@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced end-to-end with the ``noop`` sink (full compute,
+no driver collect).  Wall-clock per query; ``value`` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from dax_ppdb_spark.session import get_spark  # noqa: E402
+from dax_ppdb_spark import driver_queries  # noqa: E402
+
+# Representative of every operator family (windows, merges, joins,
+# aggregations, explode, scans) + the LLM-data operators.
+HEADLINE = [
+    "validity_fill",
+    "validity_fill_pruned",
+    "latest_only",
+    "rank_versions",
+    "merge_upsert",
+    "semi_prune",
+    "replication_diff",
+    "pricing_summary",
+    "pivot_patch",
+    "update_explode",
+    "ledger_scan",
+    "distinct_ids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("dax_ppdb_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = driver_queries.queries()
+    names = [n for n in HEADLINE if n in registry]
+    # Warm the JVM/codegen path once so timings measure the engine,
+    # not first-query classloading.
+    registry[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

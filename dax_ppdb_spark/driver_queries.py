@@ -1,0 +1,513 @@
+"""Driver-contract query registry.
+
+Each entry maps one operator from SURVEY.md §2 onto the driver's
+TPC-H-ish tables: a PySpark callable ``(spark, sf_dir) -> DataFrame``
+plus an equivalent ANSI SQL string for the DuckDB oracle.  Column
+names and value determinism are part of the contract (the driver
+hash-compares values after sorting columns by name):
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through DECIMAL(18,2) so the sum is exact and
+  engine-order-independent, then cast back to double;
+- no ANY_VALUE / nondeterministic functions — max/min/first-by-key only;
+- window orderings always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ops import fill_validity_end, latest_only, merge_upsert, rank_versions
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, sql)
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ``events`` with its nanosecond timestamp as ``ts_us`` BIGINT.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS) which vanilla
+    Spark refuses; ``nanosAsLong`` reads it as raw ns.  DuckDB
+    truncates ns->µs on read, so both sides standardize on µs
+    (``epoch_us(ts)`` in the oracle SQL).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
+
+
+# ---------------------------------------------------------------------------
+# Windows — the heart of the engine (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_VALIDITY_FILL_SQL = """
+WITH versioned AS (
+    SELECT o_orderkey, o_custkey, o_orderdate AS validity_start,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_orderdate + INTERVAL 30 DAY
+                ELSE NULL END AS validity_end
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, validity_start,
+       COALESCE(validity_end,
+                LEAD(validity_start) OVER (PARTITION BY o_custkey
+                    ORDER BY validity_start, o_orderkey)) AS validity_end
+FROM versioned
+"""
+
+
+@register("validity_fill", _VALIDITY_FILL_SQL)
+def q_validity_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/J4: SCD-2 validity-interval close over a versioned table.
+
+    ``orders`` stands in for DiaObject: customer = object id, order
+    date = validityStartMjdTai.  A deterministic third of the rows has
+    a pre-set end that must be preserved (the reference's
+    gap-preservation rule, tests/test_chunk_promoter.py:509-529).
+    """
+    orders = _read(spark, sf_dir, "orders")
+    versioned = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("validity_start"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+        ).alias("validity_end"),
+    )
+    return fill_validity_end(
+        versioned,
+        staged_ids=None,
+        id_col="o_custkey",
+        start_col="validity_start",
+        end_col="validity_end",
+        tiebreak_cols=("o_orderkey",),
+    )
+
+
+_VALIDITY_FILL_PRUNED_SQL = """
+WITH versioned AS (
+    SELECT o_orderkey, o_custkey, o_orderdate AS validity_start,
+           CAST(NULL AS TIMESTAMP) AS validity_end
+    FROM orders
+),
+staged AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 7 = 0)
+SELECT v.o_orderkey, v.o_custkey, v.validity_start,
+       CASE WHEN v.o_custkey IN (SELECT o_custkey FROM staged)
+            THEN LEAD(v.validity_start) OVER (PARTITION BY v.o_custkey
+                     ORDER BY v.validity_start, v.o_orderkey)
+            ELSE NULL END AS validity_end
+FROM versioned v
+"""
+
+
+@register("validity_fill_pruned", _VALIDITY_FILL_PRUNED_SQL)
+def q_validity_fill_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + W2: semi-join-pruned validity fill (only staged ids touched).
+
+    Reference: resources/config/sql/fill_diaobject_validity_end.sql:25-30.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    versioned = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("validity_start"),
+        F.lit(None).cast("timestamp_ntz").alias("validity_end"),
+    )
+    staged = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_custkey")
+    return fill_validity_end(
+        versioned,
+        staged_ids=staged,
+        id_col="o_custkey",
+        start_col="validity_start",
+        end_col="validity_end",
+        tiebreak_cols=("o_orderkey",),
+    )
+
+
+_LATEST_ONLY_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("latest_only", _LATEST_ONLY_SQL)
+def q_latest_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: last-writer-wins dedup with multi-key DESC tie-break.
+
+    Reference: bigquery/updates/expanded_updates_table.py:185-201.
+    """
+    events = _read_events(spark, sf_dir)
+    return latest_only(
+        events, ["user_id", "event_type"], ["ts_us", "event_id"]
+    ).select("event_id", "ts_us", "user_id", "event_type", "value")
+
+
+_RANK_VERSIONS_SQL = """
+SELECT o_orderkey, o_custkey,
+       RANK() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS version_rank
+FROM orders
+"""
+
+
+@register("rank_versions", _RANK_VERSIONS_SQL)
+def q_rank_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: rank() versions per object (sql/_ppdb_sql.py:211-216)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_custkey", F.rank().over(w).alias("version_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+_REPLICATION_DIFF_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+@register("replication_diff", _REPLICATION_DIFF_SQL)
+def q_replication_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/O4: anti-join replication diff (replicator.py:106-110)."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_PRUNE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("semi_prune", _SEMI_PRUNE_SQL)
+def q_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: left-semi pruning filter."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_CONSISTENCY_CHECK_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_acctbal < 0 AND o.o_orderstatus = 'F'
+"""
+
+
+@register("consistency_lookup", _CONSISTENCY_CHECK_SQL)
+def q_consistency_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: inner lookup join + mismatch filter (replicator.py:230-240)."""
+    customer = _read(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        F.broadcast(customer)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+_MERGE_UPSERT_SQL = """
+WITH patch AS (
+    SELECT o_orderkey + CASE WHEN o_orderkey % 200 = 0 THEN 10000000 ELSE 0 END
+               AS o_orderkey,
+           o_custkey, 'P' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT COALESCE(p.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(p.o_custkey, t.o_custkey) AS o_custkey,
+       CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_totalprice
+            ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderdate
+            ELSE t.o_orderdate END AS o_orderdate,
+       CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderpriority
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM orders t FULL OUTER JOIN patch p ON t.o_orderkey = p.o_orderkey
+"""
+
+
+@register("merge_upsert", _MERGE_UPSERT_SQL)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: UPSERT (INSERT ... ON CONFLICT DO UPDATE) as broadcast merge.
+
+    Reference: sql/_ppdb_sql_base.py:564-600.  Patch = every 100th
+    order repriced; every 200th patched key is shifted to exercise the
+    NOT MATCHED INSERT branch.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    patch = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        (
+            F.col("o_orderkey")
+            + F.when(F.col("o_orderkey") % 200 == 0, F.lit(10000000)).otherwise(0)
+        ).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return merge_upsert(orders, patch, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+_LEDGER_SCAN_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey >= 7500
+ORDER BY o_orderdate, o_orderkey
+"""
+
+
+@register("ledger_scan", _LEDGER_SCAN_SQL)
+def q_ledger_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: filtered + ordered ledger scan (sql/_ppdb_sql.py:97-125)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") >= 7500)
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+_INLIST_SQL = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+FROM lineitem WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+"""
+
+
+@register("inlist_filter", _INLIST_SQL)
+def q_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: IN-list membership (sql/_ppdb_sql.py:203-219)."""
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isin(1, 2, 3, 5, 8, 13, 21, 34, 55, 89))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+    )
+
+
+_EXISTENCE_SQL = "SELECT count(*) > 0 AS chunk_exists FROM orders WHERE o_orderkey = 42"
+
+
+@register("existence_probe", _EXISTENCE_SQL)
+def q_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: existence probe (sql/_ppdb_sql.py:143-149)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .limit(1)
+        .agg((F.count(F.lit(1)) > 0).alias("chunk_exists"))
+    )
+
+
+_NOTIN_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus NOT IN ('F', 'O')
+"""
+
+
+@register("notin_filter", _NOTIN_SQL)
+def q_notin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: NOT IN status filter (bigquery/ppdb_bigquery.py:564-568)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+_CONTIGUOUS_RUN_SQL = """
+SELECT o_orderkey FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_orderkey < COALESCE(
+        (SELECT min(o_orderkey) FROM orders WHERE o_orderstatus <> 'F'),
+        9223372036854775807)
+ORDER BY o_orderkey
+"""
+
+
+@register("contiguous_run", _CONTIGUOUS_RUN_SQL)
+def q_contiguous_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: first contiguous run of STAGED chunks in id order.
+
+    Reference: bigquery/ppdb_bigquery.py:546-576.  Distributed form:
+    scalar min of the first non-qualifying id, then a pruning filter —
+    no driver-side loop.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    cutoff = orders.filter(F.col("o_orderstatus") != "F").agg(
+        F.coalesce(F.min("o_orderkey"), F.lit(9223372036854775807)).alias("__cut")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(cutoff))
+        .filter(F.col("o_orderkey") < F.col("__cut"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_SUMMARY_SQL)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: min/max/sum/count aggregate (TPC-H Q1 shape).
+
+    Doubles are summed through DECIMAL(18,2) so the result is exact and
+    independent of partial-aggregation order, then cast back to double
+    for schema parity with the oracle.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_DISTINCT_SQL = "SELECT DISTINCT o_custkey FROM orders"
+
+
+@register("distinct_ids", _DISTINCT_SQL)
+def q_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: DISTINCT id projection (fill_diaobject_validity_end.sql:28-29)."""
+    return _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+_PIVOT_PATCH_SQL = """
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'click' THEN value END) AS click_value,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 0 AS click_present,
+       MAX(CASE WHEN event_type = 'view' THEN value END) AS view_value,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 AS view_present,
+       MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS purchase_present
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_patch", _PIVOT_PATCH_SQL)
+def q_pivot_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: rows->columns pivot patch build.
+
+    Reference: merge_diaobject_updates.sql:3-25 — per-field
+    ``ANY_VALUE(CASE WHEN field_name='f' ...)`` + ``COUNTIF(...) > 0``.
+    MAX replaces ANY_VALUE for determinism.
+    """
+    events = _read_events(spark, sf_dir)
+    aggs = []
+    for t in ("click", "view", "purchase"):
+        cond = F.col("event_type") == t
+        aggs.append(F.max(F.when(cond, F.col("value"))).alias(f"{t}_value"))
+        aggs.append((F.count(F.when(cond, F.lit(1))) > 0).alias(f"{t}_present"))
+    return events.groupBy("user_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Explode / union (SURVEY §2.10, §2.6 O5)
+# ---------------------------------------------------------------------------
+
+_UPDATE_EXPLODE_SQL = """
+SELECT event_id, k.key AS field_name,
+       json_extract_string(props, '$.' || k.key) AS value_json
+FROM (SELECT event_id, props, UNNEST(json_keys(props)) AS key FROM events) AS k(event_id, props, key)
+"""
+
+
+@register("update_explode", _UPDATE_EXPLODE_SQL)
+def q_update_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: explode one update event into per-field patch rows.
+
+    Reference: bigquery/updates/expanded_update_record.py:82-113.
+    """
+    events = _read_events(spark, sf_dir)
+    kv = F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+        "field_name", "value_json"
+    )
+    return events.select("event_id", kv)
+
+
+_UNION_CONCAT_SQL = """
+SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 1
+"""
+
+
+@register("union_concat", _UNION_CONCAT_SQL)
+def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: unionByName concat of per-chunk files (update_records.py:40-46)."""
+    events = _read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    return even.unionByName(odd)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,40 @@
+"""Latest-record dedup (last-writer-wins).
+
+Reference W3: ``ROW_NUMBER() OVER (PARTITION BY table_name,
+record_key, field_name ORDER BY apdb_replica_chunk DESC,
+update_time_ns DESC, update_order DESC) = 1``
+(``bigquery/updates/expanded_updates_table.py:185-201``; tie-break
+semantics pinned by ``tests/test_expanded_updates_table.py:178-213``).
+
+Scale notes: a single hash shuffle on the partition keys; partial
+aggregation does not apply to row_number, but AQE skew-join/partition
+splitting handles hot keys.  For the common "latest per key by one
+ordering column" case prefer ``max_by``-style aggregation (map-side
+partial agg, half the data movement) — provided the ordering tuple is
+packable; we keep row_number for exact multi-key DESC tie-break parity
+with the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_only(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the single winning row per partition key.
+
+    ``order_cols`` are applied in order, all DESC by default (the
+    reference's 3-level chunk/time/order tie-break).
+    """
+    ordering = [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*partition_cols).orderBy(*ordering)
+    rn = "__rn"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)

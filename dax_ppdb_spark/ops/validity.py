@@ -1,0 +1,76 @@
+"""SCD-Type-2 validity-interval maintenance.
+
+This is the reference's most-tested operator (SURVEY §2.5 W1/W2, §5.3):
+
+- SQL backend: rank-window self-join UPDATE with a correlated scalar
+  subquery (``sql/_ppdb_sql.py:197-248``) — next version's
+  ``validityStartMjdTai`` becomes this version's ``validityEndMjdTai``.
+- BigQuery backend: ``LEAD() OVER (PARTITION BY diaObjectId ORDER BY
+  validityStartMjdTai)`` MERGE, semi-join-pruned to staged objects
+  (``resources/config/sql/fill_diaobject_validity_end.sql``).
+
+Semantics pinned by the reference's golden tests
+(``tests/test_chunk_promoter.py:469-579``):
+1. only rows with ``validityEnd IS NULL`` are filled (explicitly-set
+   ends — including gaps that differ from the next start — are
+   preserved);
+2. the last version of each object keeps a NULL end;
+3. objects absent from the staging id set are untouched.
+
+Scale notes: the staged id set is one micro-batch (small) — it is
+broadcast to both the semi- and anti-join, so the only shuffle is the
+window's hash partition on ``diaObjectId``, and it runs over touched
+objects only, never the full 100 TB table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_versions(
+    df: DataFrame,
+    id_col: str = "diaObjectId",
+    start_col: str = "validityStartMjdTai",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W1: rank() over versions of each object.
+
+    Reference: ``sql/_ppdb_sql.py:211-216``.
+    """
+    w = Window.partitionBy(id_col).orderBy(start_col)
+    return df.withColumn(rank_col, F.rank().over(w))
+
+
+def fill_validity_end(
+    target: DataFrame,
+    staged_ids: DataFrame | None = None,
+    id_col: str = "diaObjectId",
+    start_col: str = "validityStartMjdTai",
+    end_col: str = "validityEndMjdTai",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """W2/J4/P8: close open validity intervals from the next version's start.
+
+    ``staged_ids`` (any DataFrame containing ``id_col``) prunes the
+    recompute to touched objects; pass None to process the whole table.
+    ``tiebreak_cols`` extend the window ordering when ``start_col``
+    alone is not unique per object (the reference's PK guarantees
+    uniqueness; generic inputs may not).  Column order of ``target``
+    is preserved.
+    """
+    if staged_ids is not None:
+        ids = F.broadcast(staged_ids.select(id_col).distinct())
+        touched = target.join(ids, id_col, "left_semi")
+        untouched = target.join(ids, id_col, "left_anti")
+    else:
+        touched, untouched = target, None
+
+    w = Window.partitionBy(id_col).orderBy(start_col, *tiebreak_cols)
+    filled = touched.withColumn(
+        end_col, F.coalesce(F.col(end_col), F.lead(start_col).over(w))
+    )
+    if untouched is not None:
+        filled = filled.unionByName(untouched)
+    return filled.select(*target.columns)

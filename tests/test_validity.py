@@ -1,0 +1,83 @@
+"""Port of the reference's FillValidityEnd golden tests.
+
+Reference: ``tests/test_chunk_promoter.py:371-580`` (scenarios: no-op
+when ends set, chain fill, gap preservation, partition independence,
+staging-filter scoping).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dax_ppdb_spark.ops import fill_validity_end, rank_versions
+
+COLS = ["diaObjectId", "validityStartMjdTai", "validityEndMjdTai"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), float(s), None if e is None else float(e)) for i, s, e in rows],
+        "diaObjectId LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE",
+    )
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "diaObjectId LONG")
+
+
+def _collect(df):
+    return sorted(
+        (r.diaObjectId, r.validityStartMjdTai, r.validityEndMjdTai)
+        for r in df.collect()
+    )
+
+
+def test_chain_fill(spark):
+    """All-NULL chain: each end becomes the next start; last stays NULL."""
+    df = _mk(spark, [(1, 100.0, None), (1, 110.0, None), (1, 120.0, None)])
+    out = fill_validity_end(df, _ids(spark, [1]))
+    assert _collect(out) == [(1, 100.0, 110.0), (1, 110.0, 120.0), (1, 120.0, None)]
+
+
+def test_noop_when_ends_set(spark):
+    df = _mk(spark, [(1, 100.0, 105.0), (1, 110.0, 115.0)])
+    out = fill_validity_end(df, _ids(spark, [1]))
+    assert _collect(out) == [(1, 100.0, 105.0), (1, 110.0, 115.0)]
+
+
+def test_gap_preservation(spark):
+    """Explicitly-set ends that differ from next start must be preserved."""
+    df = _mk(spark, [(1, 100.0, 102.0), (1, 110.0, None), (1, 120.0, None)])
+    out = fill_validity_end(df, _ids(spark, [1]))
+    assert _collect(out) == [(1, 100.0, 102.0), (1, 110.0, 120.0), (1, 120.0, None)]
+
+
+def test_partition_independence(spark):
+    df = _mk(spark, [(1, 100.0, None), (2, 105.0, None), (1, 110.0, None)])
+    out = fill_validity_end(df, _ids(spark, [1, 2]))
+    assert _collect(out) == [(1, 100.0, 110.0), (1, 110.0, None), (2, 105.0, None)]
+
+
+def test_staging_scope(spark):
+    """Objects absent from the staged id set are untouched."""
+    df = _mk(spark, [(1, 100.0, None), (1, 110.0, None), (2, 100.0, None), (2, 110.0, None)])
+    out = fill_validity_end(df, _ids(spark, [1]))
+    assert _collect(out) == [
+        (1, 100.0, 110.0),
+        (1, 110.0, None),
+        (2, 100.0, None),
+        (2, 110.0, None),
+    ]
+
+
+def test_full_table_when_no_staging(spark):
+    df = _mk(spark, [(1, 100.0, None), (1, 110.0, None), (2, 100.0, None)])
+    out = fill_validity_end(df, None)
+    assert _collect(out) == [(1, 100.0, 110.0), (1, 110.0, None), (2, 100.0, None)]
+
+
+def test_rank_versions(spark):
+    df = _mk(spark, [(1, 110.0, None), (1, 100.0, None), (2, 100.0, None)])
+    out = rank_versions(df)
+    got = sorted((r.diaObjectId, r.validityStartMjdTai, r["rank"]) for r in out.collect())
+    assert got == [(1, 100.0, 1), (1, 110.0, 2), (2, 100.0, 1)]

@@ -1,0 +1,112 @@
+"""Self-check harness mimicking the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and order-insensitive values (columns sorted by name,
+rows sorted, floats rounded to 9 significant-ish decimals).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from dax_ppdb_spark.session import TABLES, get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            af = av.astype(float)
+            bf = bv.astype(float)
+            both_nan = af.isna() & bf.isna()
+            close = pd.Series(
+                [
+                    (x == y) or (math.isfinite(x) and math.isfinite(y) and abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)))
+                    for x, y in zip(af.fillna(0.0), bf.fillna(0.0))
+                ]
+            )
+            if not (close | both_nan).all():
+                return False
+        else:
+            if not (av.astype(str).values == bv.astype(str).values).all():
+                return False
+    return True
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)  [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        a, b = _canon(sdf), _canon(odf)
+        if sorted(a.columns) != sorted(b.columns):
+            print(f"FAIL  {name}: columns {sorted(a.columns)} vs {sorted(b.columns)}")
+            failures += 1
+        elif len(a) != len(b):
+            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            failures += 1
+        elif not _values_match(a, b):
+            print(f"FAIL  {name}: value mismatch")
+            mask = ~(a.astype(str) == b.astype(str)).all(axis=1)
+            print(a[mask].head(5))
+            print(b[mask].head(5))
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(a)} rows  [{t_spark:.1f}s]")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
