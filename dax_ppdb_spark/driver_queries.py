@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ops import fill_validity_end, latest_only, merge_upsert, rank_versions
+from .ops import fill_validity_end, latest_only, merge_patch, merge_upsert, rank_versions
 
 
 @dataclass(frozen=True)
@@ -503,6 +503,80 @@ def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = events.filter(F.col("event_id") % 2 == 0)
     odd = events.filter(F.col("event_id") % 2 == 1)
     return even.unionByName(odd)
+
+
+_UPDATES_PIPELINE_SQL = """
+WITH expanded AS (
+    SELECT user_id, event_type AS field_name, value,
+           epoch_us(ts) AS ts_us, event_id
+    FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+latest AS (
+    SELECT user_id, field_name, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, field_name
+                                     ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM expanded
+    ) WHERE rn = 1
+),
+patch AS (
+    SELECT user_id,
+           MAX(CASE WHEN field_name = 'click' THEN value END) AS click_score,
+           COUNT(CASE WHEN field_name = 'click' THEN 1 END) > 0 AS click_present,
+           MAX(CASE WHEN field_name = 'view' THEN value END) AS view_score,
+           COUNT(CASE WHEN field_name = 'view' THEN 1 END) > 0 AS view_present,
+           MAX(CASE WHEN field_name = 'purchase' THEN value END) AS purchase_score,
+           COUNT(CASE WHEN field_name = 'purchase' THEN 1 END) > 0 AS purchase_present
+    FROM latest GROUP BY user_id
+),
+target AS (SELECT DISTINCT user_id FROM events)
+SELECT t.user_id,
+       CASE WHEN p.user_id IS NOT NULL AND p.click_present
+            THEN p.click_score ELSE 0.0 END AS click_score,
+       CASE WHEN p.user_id IS NOT NULL AND p.view_present
+            THEN p.view_score ELSE 0.0 END AS view_score,
+       CASE WHEN p.user_id IS NOT NULL AND p.purchase_present
+            THEN p.purchase_score ELSE 0.0 END AS purchase_score
+FROM target t LEFT JOIN patch p ON t.user_id = p.user_id
+"""
+
+
+@register("updates_pipeline", _UPDATES_PIPELINE_SQL)
+def q_updates_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 end-to-end updates flow: explode -> latest-only -> pivot -> merge.
+
+    Events stand in for update records (user = record key, event_type
+    = field name); the newest value per field patches a zeroed target
+    snapshot, exercising W3 + A1 + J2 composed, exactly the promotion
+    step sequence of bigquery/updates/updates_manager.py:106-150.
+    """
+    events = _read_events(spark, sf_dir)
+    expanded = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("field_name"),
+        "value",
+        "ts_us",
+        "event_id",
+    )
+    latest = latest_only(expanded, ["user_id", "field_name"], ["ts_us", "event_id"])
+    aggs = []
+    for t in ("click", "view", "purchase"):
+        cond = F.col("field_name") == t
+        aggs.append(F.max(F.when(cond, F.col("value"))).alias(f"{t}_score"))
+        aggs.append((F.count(F.when(cond, F.lit(1))) > 0).alias(f"{t}_score__present"))
+    patch = latest.groupBy("user_id").agg(*aggs)
+    target = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(0.0).alias("click_score"),
+            F.lit(0.0).alias("view_score"),
+            F.lit(0.0).alias("purchase_score"),
+        )
+    )
+    return merge_patch(target, patch, ["user_id"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
