@@ -1,0 +1,120 @@
+"""Managed parquet tables with atomic-swap and clone semantics.
+
+The reference relies on BigQuery primitives we must rebuild on a
+filesystem: zero-copy CLONE (``bigquery/chunk_promoter.py:199-203``),
+atomic WRITE_TRUNCATE swap (``:261-284``), DROP IF EXISTS (``:336-342``)
+and DELETE-by-chunk (``:306-329``).
+
+Design for scale: a table is a directory; every rewrite lands in a
+fresh ``_v<uuid>`` subdirectory and a single ``_CURRENT`` pointer file
+names the live version — readers resolve the pointer then read one
+immutable directory, so swap is one small-file replace (the same
+pointer-commit idea as Delta's ``_delta_log``, minus the log).  On a
+real object store the pointer write is the only operation that needs
+read-after-write consistency.  Chunk-partitioned tables write with
+``partitionBy`` so DELETE-by-chunk is partition pruning, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    CURRENT = "_CURRENT"
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    # -- version plumbing ---------------------------------------------------
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, self.CURRENT)
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def data_dir(self) -> str | None:
+        v = self.current_version()
+        return os.path.join(self.path, v) if v else None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _commit(self, version: str) -> None:
+        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer())  # atomic on POSIX
+
+    # -- operations ---------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        d = self.data_dir()
+        if d is None:
+            raise FileNotFoundError(f"table has no committed version: {self.path}")
+        return spark.read.parquet(d)
+
+    def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        """D9: atomic truncate-swap — write new version, flip pointer."""
+        os.makedirs(self.path, exist_ok=True)
+        version = f"_v{uuid.uuid4().hex}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, version))
+        old = self.current_version()
+        self._commit(version)
+        if old:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+
+    def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        """S7-style append into the current version directory."""
+        d = self.data_dir()
+        if d is None:
+            self.overwrite(df, partition_by)
+            return
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(d)
+
+    def clone_from(self, other: ParquetTable) -> None:
+        """D7: zero-copy CLONE via hardlinks into a new version."""
+        src = other.data_dir()
+        if src is None:
+            raise FileNotFoundError(f"clone source empty: {other.path}")
+        os.makedirs(self.path, exist_ok=True)
+        version = f"_v{uuid.uuid4().hex}"
+        dst = os.path.join(self.path, version)
+        shutil.copytree(src, dst, copy_function=os.link)
+        old = self.current_version()
+        self._commit(version)
+        if old:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+
+    def drop(self) -> None:
+        """D8: DROP TABLE IF EXISTS."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def delete_partitions(self, partition_col: str, values: list) -> None:
+        """D11: DELETE WHERE partition_col IN (...) as partition drops.
+
+        Only valid for tables written with ``partition_by=(partition_col,)``;
+        removes whole partition directories, no data rewrite.
+        """
+        d = self.data_dir()
+        if d is None:
+            return
+        for v in values:
+            shutil.rmtree(os.path.join(d, f"{partition_col}={v}"), ignore_errors=True)

@@ -1,0 +1,46 @@
+"""Spatial index column — the ST_GEOGPOINT / clustering-key analog.
+
+The reference computes a GEOGRAPHY ``geo_point = ST_GEOGPOINT(ra, dec)``
+during promotion (``bigquery/chunk_promoter.py:211-215``) purely as a
+BigQuery clustering key (``dataset_builder.py:250-253``).  Spark has no
+geography type; the equivalent is a Z-order (Morton) pixel id over
+quantized ``(ra, dec)`` used as a sort/cluster column so spatially
+close rows co-locate in the same parquet row groups and min/max
+statistics prune sky-region scans.
+
+Built from shift/OR column expressions only — stays in whole-stage
+codegen, no UDF.  16 bits per axis => ~0.005° cells, plenty for
+row-group-level data skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_index(ra: Column, dec: Column, bits_per_axis: int = 16) -> Column:
+    """Morton-interleave quantized ra ([0,360)) and dec ([-90,90])."""
+    scale = (1 << bits_per_axis) - 1
+    x = F.least(
+        F.lit(scale), F.floor(ra / F.lit(360.0) * F.lit(scale + 1)).cast("long")
+    )
+    y = F.least(
+        F.lit(scale),
+        F.floor((dec + F.lit(90.0)) / F.lit(180.0) * F.lit(scale + 1)).cast("long"),
+    )
+    # Disjoint bit positions => addition is bitwise OR (PySpark's `|`
+    # on Columns is logical, not bitwise).
+    out = F.lit(0).cast("long")
+    for i in range(bits_per_axis):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
+        )
+    return out
+
+
+def with_geo_point(df, ra_col: str = "ra", dec_col: str = "dec", out_col: str = "geo_point"):
+    """P10/S10: add the computed clustering column during promotion."""
+    return df.withColumn(out_col, zorder_index(F.col(ra_col), F.col(dec_col)))

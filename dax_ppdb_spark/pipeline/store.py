@@ -1,0 +1,71 @@
+"""Chunk store: the ``Ppdb.store`` analog (ingest one replica chunk).
+
+Reference: the BigQuery export path (``bigquery/ppdb_bigquery.py:
+403-488``) — per-table parquet + updates + manifest written to a chunk
+staging area, then a ledger row inserted *last* with status EXPORTED.
+
+D1 (multi-table transactional store) is relaxed exactly the way the
+reference's own BigQuery backend relaxes it: data writes are
+idempotent per chunk id (a re-run overwrites the same chunk partition)
+and the ledger insert is the commit point — a crash before it leaves
+invisible, harmlessly re-writable data (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.parquet_io import write_manifest, write_parquet
+from ..ledger import Ledger
+from ..schema.registry import CHUNK_COLUMN
+
+# Exported columns exclude the sub-chunk id (bigquery/ppdb_bigquery.py:444).
+EXPORT_EXCLUDE = ("apdb_replica_subchunk",)
+
+
+def store_chunk(
+    spark: SparkSession,
+    root: str,
+    chunk_id: int,
+    tables: dict[str, DataFrame],
+    updates: DataFrame | None = None,
+    ledger: Ledger | None = None,
+    unique_id: str | None = None,
+) -> str:
+    """Export one chunk's tables + updates + manifest, then commit to ledger.
+
+    Returns the chunk staging directory.  Empty chunk (no rows in any
+    table, no updates) is recorded as SKIPPED, mirroring
+    ``bigquery/ppdb_bigquery.py:403-427``.
+    """
+    chunk_dir = os.path.join(root, f"chunk_{chunk_id}")
+    total = 0
+    update_count = 0
+    for name, df in tables.items():
+        tagged = df.withColumn(CHUNK_COLUMN, F.lit(chunk_id))
+        write_parquet(tagged, os.path.join(chunk_dir, name), exclude=EXPORT_EXCLUDE)
+        total += tagged.count()
+    if updates is not None:
+        update_count = updates.count()
+        if update_count:
+            write_parquet(
+                updates.withColumn(CHUNK_COLUMN, F.lit(chunk_id)),
+                os.path.join(chunk_dir, "updates"),
+            )
+        total += update_count
+    write_manifest(chunk_dir, chunk_id, extra={"tables": sorted(tables)})
+    if ledger is not None:
+        from ..schema.registry import ChunkStatus
+
+        row = {
+            "apdb_replica_chunk": chunk_id,
+            "status": ChunkStatus.EXPORTED if total else ChunkStatus.SKIPPED,
+            "update_count": update_count,
+        }
+        if unique_id:
+            row["unique_id"] = unique_id
+        ledger.insert_chunks([row])
+    return chunk_dir

@@ -1,0 +1,89 @@
+"""Ledger state-machine tests (reference: tests/test_ppdb_bigquery.py,
+bigquery/ppdb_bigquery.py:546-657 semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dax_ppdb_spark.ledger import (
+    Ledger,
+    can_replicate,
+    consistency_mismatches,
+    replication_diff,
+)
+from dax_ppdb_spark.schema.registry import ChunkStatus
+
+
+@pytest.fixture()
+def ledger(spark, tmp_path):
+    return Ledger(spark, str(tmp_path / "ledger"))
+
+
+def test_insert_query_exists(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": 1}, {"apdb_replica_chunk": 2}])
+    assert ledger.exists(1) and not ledger.exists(99)
+    rows = ledger.query_chunks(start_chunk_id=2).collect()
+    assert [r.apdb_replica_chunk for r in rows] == [2]
+
+
+def test_insert_duplicate_raises(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": 1}])
+    with pytest.raises(ValueError, match="duplicate"):
+        ledger.insert_chunks([{"apdb_replica_chunk": 1}])
+
+
+def test_update_whitelist(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": 1}])
+    ledger.update_chunk(1, status=ChunkStatus.STAGED, gcs_uri="file:///x")
+    row = ledger.read().collect()[0]
+    assert row.status == "STAGED" and row.gcs_uri == "file:///x"
+    with pytest.raises(ValueError, match="not updatable"):
+        ledger.update_chunk(1, update_count=5)
+    with pytest.raises(LookupError):
+        ledger.update_chunk(42, status=ChunkStatus.STAGED)
+
+
+def test_upsert_chunk(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": 1, "unique_id": "a"}])
+    ledger.upsert_chunk({"apdb_replica_chunk": 1, "unique_id": "b"})
+    rows = ledger.read().collect()
+    assert len(rows) == 1 and rows[0].unique_id == "b"
+
+
+def test_promotable_contiguous_run(ledger):
+    ledger.insert_chunks(
+        [
+            {"apdb_replica_chunk": 1, "status": ChunkStatus.STAGED},
+            {"apdb_replica_chunk": 2, "status": ChunkStatus.SKIPPED},  # ignored
+            {"apdb_replica_chunk": 3, "status": ChunkStatus.STAGED},
+            {"apdb_replica_chunk": 4, "status": ChunkStatus.UPLOADED},  # breaks run
+            {"apdb_replica_chunk": 5, "status": ChunkStatus.STAGED},
+        ]
+    )
+    assert ledger.promotable_chunks() == [1, 3]
+
+
+def test_watermark_gate():
+    now = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t = lambda s: now - datetime.timedelta(seconds=s)
+    # newer chunks exist -> min_wait (300 s) applies
+    assert can_replicate(t(301), now, has_newer=True)
+    assert not can_replicate(t(299), now, has_newer=True)
+    # newest chunk -> max_wait (900 s) applies
+    assert can_replicate(t(901), now, has_newer=False)
+    assert not can_replicate(t(899), now, has_newer=False)
+
+
+def test_replication_diff_and_consistency(spark):
+    a = spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u3")], "apdb_replica_chunk LONG, unique_id STRING"
+    )
+    p = spark.createDataFrame(
+        [(1, "u1"), (2, "uX")], "apdb_replica_chunk LONG, unique_id STRING"
+    )
+    diff = replication_diff(a, p).collect()
+    assert [r.apdb_replica_chunk for r in diff] == [3]
+    bad = consistency_mismatches(a, p).collect()
+    assert [r.apdb_replica_chunk for r in bad] == [2]

@@ -1,0 +1,151 @@
+"""End-to-end store -> stage -> promote test.
+
+Mirrors the reference's promotion integration test
+(``tests/test_chunk_promoter.py:278-361``): fill two chunks of
+synthetic catalogs + update records, run the full pipeline, verify
+validity chains, applied updates, public snapshot, ledger states, and
+staged-partition cleanup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.io.parquet_io import validate_manifest
+from dax_ppdb_spark.pipeline.promote import Promoter
+from dax_ppdb_spark.pipeline.store import store_chunk
+from dax_ppdb_spark.schema.registry import ChunkStatus
+
+T0 = 1640995200000000000
+
+
+def _obj(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "diaObjectId LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE, "
+        "ra DOUBLE, dec DOUBLE, nDiaSources INT",
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "diaSourceId LONG, diaObjectId LONG, ssObjectId LONG, ra DOUBLE, dec DOUBLE, "
+        "midpointMjdTai DOUBLE, ssObjectReassocTimeMjdTai DOUBLE, timeWithdrawnMjdTai DOUBLE",
+    )
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "update_time_ns LONG, update_order LONG, update_type STRING, json_payload STRING",
+    )
+
+
+@pytest.fixture()
+def promoted(spark, tmp_path):
+    root = str(tmp_path)
+    promoter = Promoter(spark, root)
+    ledger = promoter.ledger
+
+    # Chunk 1: two objects (one with two versions), two sources.
+    c1_dir = store_chunk(
+        spark,
+        root + "/export",
+        1,
+        {
+            "DiaObject": _obj(
+                spark,
+                [
+                    (10, 100.0, None, 45.0, -30.0, 1),
+                    (10, 110.0, None, 45.0, -30.0, 2),
+                    (20, 100.0, None, 46.0, -31.0, 1),
+                ],
+            ),
+            "DiaSource": _src(
+                spark,
+                [
+                    (1001, 10, None, 45.0, -30.0, 100.0, None, None),
+                    (1002, 20, None, 46.0, -31.0, 100.0, None, None),
+                ],
+            ),
+        },
+        ledger=ledger,
+    )
+    # Chunk 2: new version of object 10 + updates (withdraw source 1002,
+    # reassign source 1001 to ssobject).
+    c2_dir = store_chunk(
+        spark,
+        root + "/export",
+        2,
+        {
+            "DiaObject": _obj(spark, [(10, 120.0, None, 45.0, -30.0, 3)]),
+        },
+        updates=_updates(
+            spark,
+            [
+                (T0, 0, "withdraw_diasource",
+                 json.dumps({"diaSourceId": 1002, "timeWithdrawnMjdTai": 130.0})),
+                (T0, 1, "reassign_diasource_to_ssobject",
+                 json.dumps({"diaSourceId": 1001, "ssObjectId": 7,
+                             "ssObjectReassocTimeMjdTai": 130.0})),
+            ],
+        ),
+        ledger=ledger,
+    )
+    validate_manifest(c1_dir)
+    promoter.stage_chunk_dir(c1_dir, 1)
+    promoter.stage_chunk_dir(c2_dir, 2)
+    assert ledger.promotable_chunks() == [1, 2]
+    assert promoter.promote() == [1, 2]
+    return promoter
+
+
+def test_validity_chain_filled(spark, promoted):
+    objs = promoted.internal["DiaObject"].read(spark)
+    rows = {
+        (r.diaObjectId, r.validityStartMjdTai): r.validityEndMjdTai
+        for r in objs.collect()
+    }
+    assert rows[(10, 100.0)] == 110.0
+    assert rows[(10, 110.0)] == 120.0
+    assert rows[(10, 120.0)] is None
+    assert rows[(20, 100.0)] is None
+
+
+def test_updates_applied(spark, promoted):
+    srcs = {r.diaSourceId: r for r in promoted.internal["DiaSource"].read(spark).collect()}
+    assert srcs[1002].timeWithdrawnMjdTai == 130.0
+    assert srcs[1001].ssObjectId == 7
+    assert srcs[1001].diaObjectId is None  # nulled by SSObject reassign
+
+
+def test_public_snapshot(spark, promoted):
+    pub = promoted.public_diaobject.read(spark)
+    assert "validityEndMjdTai" not in pub.columns
+    assert "geo_point" in pub.columns
+    keys = sorted((r.diaObjectId, r.validityStartMjdTai) for r in pub.collect())
+    assert keys == [(10, 120.0), (20, 100.0)]  # only current versions
+
+
+def test_ledger_and_cleanup(spark, promoted):
+    statuses = {
+        r.apdb_replica_chunk: r.status for r in promoted.ledger.read().collect()
+    }
+    assert statuses == {1: "PROMOTED", 2: "PROMOTED"}
+    # Staged partitions dropped (no parquet left under the data dir).
+    staged_dir = promoted.staging["DiaObject"].data_dir()
+    leftover = [
+        f for _r, _d, fs in os.walk(staged_dir) for f in fs if f.endswith(".parquet")
+    ]
+    assert leftover == []
+    # Promotion workspace cleaned.
+    assert not promoted.promotion["DiaObject"].exists()
+
+
+def test_promote_idempotent_when_nothing_staged(spark, promoted):
+    assert promoted.promote() == []
