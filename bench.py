@@ -34,6 +34,16 @@ HEADLINE = [
     "update_explode",
     "ledger_scan",
     "distinct_ids",
+    # LLM-data operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_stats",
+    "doc_fingerprint",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "multimodal_decode",
 ]
 
 

@@ -580,8 +580,12 @@ def q_updates_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import llm_queries  # noqa: F401  (registers the LLM-data queries)
+
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from . import llm_queries  # noqa: F401
+
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

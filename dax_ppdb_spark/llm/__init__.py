@@ -1,0 +1,32 @@
+"""Large-scale training-data operators (beyond the reference surface).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+similarity search over embedding columns, text analysis, and
+multimodal binary-column plumbing — all designed for 100 TB scale:
+built-in JVM expressions in the hot path, LSH prefilters instead of
+quadratic self-joins, broadcast-able small sides, and Pandas-UDF
+(Arrow) batches only where Python is unavoidable.
+"""
+
+from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from .similarity import (  # noqa: F401
+    cosine_similarity,
+    topk_bruteforce,
+    topk_bucketed,
+)
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    md5_long,
+    quality_metrics,
+    token_count,
+    tokens,
+)

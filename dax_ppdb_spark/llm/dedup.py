@@ -1,0 +1,283 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact**: one hash-shuffle on ``md5(text)`` with map-side partial
+  aggregation — the cheapest possible full-corpus dedup.
+- **n-gram Jaccard**: exact pairwise similarity, but only for pairs
+  that share a shingle (inverted-index self-join).  Quadratic in the
+  worst case — at 100 TB it is the *verify* stage applied to LSH
+  candidates, never the discovery stage.
+- **MinHash+LSH**: the discovery stage.  k min-hashes per doc, banded
+  into b buckets; candidate pairs come from an equi-join on
+  ``(band_index, band_key)`` — shuffle cost ~O(docs * b), never
+  all-pairs.  Hot buckets (boilerplate shingles) are the skew risk:
+  cap bucket size / rely on AQE skew splitting.
+- **SimHash**: per-row 16-bit signature (zero shuffle to compute);
+  equal-signature grouping finds near-dups with single-bit tolerance
+  handled by probing bit-flipped signatures.
+
+All hashes derive from md5 hex (see ``text.md5_long``) so results are
+engine-identical and the DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_PRIME, md5_long, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the
+    representative (min id) and the duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document.
+
+    Guarded for short documents: Spark's ``sequence(1, 0)`` counts
+    *down*, so docs with fewer than n tokens get an explicit empty
+    array instead.
+    """
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return grams
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, via an
+    inverted-index self-join (only pairs sharing >=1 shingle are
+    scored)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # Inverted index grouped per shingle, pairs expanded in-place — a
+    # self-join would recompute the shingle explode for both sides and
+    # shuffle the index twice.
+    members = (
+        inv.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "n_sh"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_sh"].alias("n_a"),
+                        y["n_sh"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    inter = (
+        members.select(pair_structs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(sh: Column, k: int = 8) -> Column:
+    """k-element MinHash signature over a shingle-array column.
+
+    One md5 per shingle; hash family i is an integer read from the
+    i-th 8-char window of the digest (``text.hex_window_long``) — so k
+    families cost one digest plus k cheap arithmetic passes, not k
+    digests.  Engine-independent by construction (ascii arithmetic on
+    md5 hex).  Requires ``k <= 9`` with the 3-char window stride.
+    """
+    from .text import hex_window_long
+
+    hexes = F.transform(sh, lambda s: F.md5(s))
+
+    def window_i(i: int):
+        # NB: a plain `lambda h, _i=i:` would be seen by Spark as a
+        # two-arg (element, index) lambda — closure via factory instead.
+        return lambda h: hex_window_long(h, 3 * i)
+
+    mins = [F.array_min(F.transform(hexes, window_i(i))) for i in range(k)]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on any LSH band.
+
+    With k=8, bands=4 (rows r=2): P(candidate) = 1-(1-j^2)^4 — docs
+    with Jaccard 0.8 are caught with ~97% probability.  Returns
+    distinct (doc_a < doc_b) pairs; feed to ``ngram_jaccard_pairs``
+    semantics for exact verification when needed.
+    """
+    from .text import hex_window_long
+
+    rows_per_band = k // bands
+
+    def window_i(i: int):
+        return lambda h: hex_window_long(h, 3 * i)
+
+    # ``hx`` is materialized as its own projection so the k window
+    # passes below read the md5 array once per row instead of
+    # re-hashing every shingle k times (CollapseProject keeps the
+    # boundary because the alias is referenced k times).
+    sig = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("hx", F.transform("sh", lambda s: F.md5(s)))
+        .select(
+            "doc_id",
+            F.array(
+                *[F.array_min(F.transform("hx", window_i(i))) for i in range(k)]
+            ).alias("sig"),
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "|", *[F.element_at("sig", bi * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # One aggregation instead of a self-join: a self-join would
+    # recompute the whole signature lineage for both sides (2x the
+    # hashing cost) and shuffle twice; grouping to a sorted id array
+    # and expanding in-bucket combinations shuffles the tiny banded
+    # rows once.  Bucket fan-out is quadratic per bucket either way —
+    # hot buckets are the skew risk (AQE splits them).
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Per-document SimHash signature (``bits`` wide), zero-shuffle.
+
+    Bit b is the sign of ``sum over tokens of (bit b of md5_long(tok)
+    ? +1 : -1)``; near-duplicate docs differ in few bits.
+    """
+    # Hash each token ONCE (md5 + ascii polynomial), then derive all
+    # bit contributions from the integer array — 16x fewer digests.
+    hashes = F.transform(tokens(text), lambda t: md5_long(t))
+
+    def bit_contrib(b: int):
+        return lambda h: (F.shiftright(h, b) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(
+            F.transform(hashes, bit_contrib(b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sign_dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
+
+    Bucket key = sign pattern of ``sign_dims`` components (a fixed
+    random-hyperplane family specialized to axis planes); cosine is
+    computed only within buckets.  2^len(sign_dims) buckets bound the
+    join fan-out; misses only pairs straddling an axis hyperplane —
+    acceptable for a prefilter, tighten with multiple probe tables at
+    scale.
+    """
+    from .similarity import cosine_similarity
+
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.concat_ws(
+        "",
+        *[(F.element_at(v, d) >= 0).cast("int").cast("string") for d in sign_dims],
+    )
+    e = emb.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through Spark as ``binary`` columns with a
+``media_type`` and a metadata struct; per-batch Python work (decode,
+feature extraction, resize, frame sampling) runs via ``mapInPandas``
+so payloads move as Arrow record batches, never row-at-a-time.
+
+The actual codec step is STUBBED: no image/audio libraries exist in
+this environment, so ``decode_features`` computes a deterministic fake
+feature vector from the raw bytes (and ``decode_real`` raises
+``NotImplementedError`` where PIL/librosa would plug in).  Everything
+around the stub — schema, Arrow batch shape, partition sizing,
+metadata handling — is the real production plumbing and is tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image/audio/video
+        StructField("payload", BinaryType(), False),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def decode_real(payload: bytes, media_type: str):  # pragma: no cover
+    """Where the real codec goes (PIL / torchaudio / pyav)."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use decode_features (deterministic stub) instead"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: bucketed
+    byte histogram, normalized.  Replace with a real embedding model's
+    output; shape and dtype are what downstream operators consume."""
+    if not payload:
+        return [0.0] * dim
+    counts = [0] * dim
+    for byte in payload:
+        counts[byte % dim] += 1
+    total = float(len(payload))
+    return [c / total for c in counts]
+
+
+def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    ``mapInPandas`` receives whole record batches; per-batch Python
+    cost is amortized over thousands of rows, and the output schema is
+    fixed so Catalyst can plan downstream operators normally.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": pdf["payload"].map(
+                        lambda p: _fake_features(bytes(p), dim)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled timestamp (the decode of the actual frame is stubbed to a
+    byte-slice).  Demonstrates the explode-shaped UDTF pattern."""
+    videos = media.filter(F.col("media_type") == "video")
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest((F.col("meta_duration_ms") - 1) / every_ms, F.lit(0)).cast("int"),
+        ),
+        lambda i: i * every_ms,
+    )
+    return videos.select(
+        "media_id",
+        F.explode(frames).alias("frame_ts_ms"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Build a media table from the driver's documents (text bytes as
+    payload) — the test/demo source for the binary plumbing."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(640).alias("meta_width"),
+        F.lit(480).alias("meta_height"),
+        (F.col("n_chars") * 10).cast("int").alias("meta_duration_ms"),
+    )

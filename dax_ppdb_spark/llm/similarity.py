@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- **brute-force top-k** — the exact baseline: broadcast the query set,
+  cross-join against the corpus, JVM-side dot products, per-query
+  window top-k.  Linear scan per query; right answer, and at 100 TB
+  the fallback verify stage.
+- **IVF-style bucketed top-k** — the scale path: partition the corpus
+  by a deterministic coarse quantizer (sign-pattern buckets here;
+  k-means centroids in a real deployment), probe only the query's
+  bucket.  Turns the scan into a partition-pruned lookup.
+
+The dot product is a sequential ``aggregate`` fold over ``zip_with``
+products in double precision — deterministic and identical to a C++
+sequential loop, which is what keeps the DuckDB oracle hash-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` carries (id_col, vec_col); it is broadcast (query sets
+    are small by construction), so the corpus side never shuffles —
+    the window's partition key is the query id, whose cardinality is
+    tiny, and AQE coalesces.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
+    """Deterministic coarse quantizer: sign pattern on fixed axes."""
+    return F.concat_ws(
+        "", *[(F.element_at(vec, d) >= 0).cast("int").cast("string") for d in dims]
+    )
+
+
+def topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """IVF/LSH-style approximate top-k: probe only the query's bucket.
+
+    Same output shape as :func:`topk_bruteforce`; recall is whatever
+    the quantizer gives (single-probe).  At scale, write the corpus
+    bucketed/partitioned by this key so a probe is a partition-pruned
+    read instead of a shuffle."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

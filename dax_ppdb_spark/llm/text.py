@@ -1,0 +1,161 @@
+"""Text analysis: tokenization, quality scoring, language ID,
+fingerprinting.
+
+Everything is a Column expression over built-in functions (regex,
+higher-order array ops, md5) — no Python UDFs, so the whole module
+runs inside whole-stage codegen and scales linearly with executors.
+
+Cross-engine determinism: every function here has an exact ANSI-SQL
+twin used by the DuckDB oracle (see ``driver_queries``); hashes are
+derived from md5 hex (identical everywhere) via per-character ascii
+arithmetic rather than engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\S+"
+
+# Small, fixed English stopword list (order matters only for docs).
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+HASH_PRIME = 1_000_000_007
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization as non-space runs (robust to leading/
+    trailing/multiple spaces, unlike split)."""
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def md5_long(c: Column) -> Column:
+    """Deterministic 56-bit integer hash: ascii-polynomial over the
+    first 8 hex chars of md5.
+
+    Exists because Spark's ``hash``/``xxhash64`` and DuckDB's ``hash``
+    are different algorithms; md5 hex + per-char arithmetic is
+    bit-identical in every engine.  Max value 102*128^7 < 2^63 (no
+    overflow under ANSI mode).
+    """
+    h = F.md5(c)
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        out = out + F.ascii(F.substring(h, i + 1, 1)).cast("long") * F.lit(128**i)
+    return out
+
+
+def md5_long_sql(expr: str) -> str:
+    """The DuckDB-dialect twin of :func:`md5_long` (explicit BIGINT
+    casts — DuckDB keeps int literals INT32 and overflows otherwise)."""
+    terms = [
+        f"CAST(ascii(substr(md5({expr}), {i + 1}, 1)) AS BIGINT) * CAST({128**i} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hex_window_long(hexcol: Column, offset: int) -> Column:
+    """Integer hash from an 8-char window of a hex digest at ``offset``.
+
+    Lets one md5 computation feed many hash families (overlapping
+    windows of the 32-char digest) — the md5 is the expensive part, the
+    ascii polynomial is a handful of codegen'd arithmetic ops.
+    """
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        out = out + F.ascii(F.substring(hexcol, offset + i + 1, 1)).cast("long") * F.lit(
+            128**i
+        )
+    return out
+
+
+def hex_window_long_sql(expr: str, offset: int) -> str:
+    """DuckDB twin of :func:`hex_window_long` (``expr`` is a hex string)."""
+    terms = [
+        f"CAST(ascii(substr({expr}, {offset + i + 1}, 1)) AS BIGINT) * CAST({128**i} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def stopword_count(toks: Column) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Per-document quality signals: token count, average token
+    length, stopword ratio, punctuation ratio, and a combined score.
+
+    The combined score is an arbitrary-but-deterministic linear blend;
+    downstream filters threshold it (the usual "drop bottom X%%"
+    pattern in pretraining pipelines).
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+    n_stop = stopword_count(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    avg_len = non_space.cast("double") / safe_tok
+    stop_ratio = n_stop.cast("double") / safe_tok
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + F.lit(1.0) / (F.lit(1.0) + punct_ratio * 10.0) * 0.3
+    )
+    return {
+        "n_tokens": n_tok,
+        "avg_token_len": avg_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": score,
+    }
+
+
+def language_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID.
+
+    Real pipelines use fastText/CLD3; with no models in this
+    environment the heuristic is marker-token voting, which is the
+    same shape (per-doc vectorized classify, no shuffle).
+    """
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def ratio(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t)))) / n
+
+    en = ratio(("the", "a", "of", "and", "is", "to"))
+    de = ratio(("der", "die", "das", "und", "ist"))
+    fr = ratio(("le", "la", "les", "et", "est"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint.
+
+    Position-weighted bag hash: ``sum((i+1) * (md5_long(tok) % P)) % P``
+    over tokens.  Exact in int64 for documents up to ~10k tokens;
+    commutative sum, so partial aggregation order cannot change it.
+    """
+    toks = tokens(text)
+    weighted = F.transform(
+        toks, lambda t, i: (i + F.lit(1)).cast("long") * (md5_long(t) % HASH_PRIME)
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return total % HASH_PRIME

@@ -1,0 +1,353 @@
+"""Driver-contract queries for the LLM-data operators.
+
+Registered into the same registry as ``driver_queries``; every oracle
+is exact DuckDB SQL replaying the identical hash arithmetic (see
+``llm.text.md5_long`` — md5-hex ascii polynomials are engine-
+independent).  Cosine similarities are rounded to 6 decimals on both
+sides before ranking/output so last-ulp engine differences cannot
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _read, register
+from .llm.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .llm.multimodal import decode_features, documents_as_media, sample_frames
+from .llm.similarity import topk_bruteforce, topk_bucketed
+from .llm.text import (
+    HASH_PRIME,
+    STOPWORDS,
+    doc_fingerprint,
+    hex_window_long_sql,
+    language_id,
+    md5_long_sql,
+    quality_metrics,
+)
+
+def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read + spread across cores.
+
+    The test tables arrive as a single parquet file -> one input split
+    -> one task, which serializes the CPU-heavy hash/shingle operators.
+    An explicit round-robin repartition to the cluster's parallelism
+    costs one tiny shuffle and parallelizes everything downstream; on
+    a real corpus the source already has thousands of splits and this
+    is a no-op knob.
+    """
+    return _read(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# DuckDB fragments shared by several oracles.
+_TOKS = r"regexp_extract_all(text, '\S+')"
+_SHINGLES3 = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 1, 1)), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, map-side combinable — the cheapest
+    full-corpus pass."""
+    return exact_dedup(_read_spread(spark, sf_dir, "documents"))
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES3} AS shs FROM documents
+    WHERE len({_TOKS}) >= 3
+),
+inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS n_inter
+    FROM inv a JOIN inv b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _DEDUP_NGRAM_SQL)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index self-join."""
+    return ngram_jaccard_pairs(_read_spread(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def _minhash_band_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shs, s -> {hex_window_long_sql('md5(s)', 3 * i)}))"
+        for i in range(8)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(sig[{2 * b + 1}] AS VARCHAR) || '|' || "
+        f"CAST(sig[{2 * b + 2}] AS VARCHAR) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES3} AS shs FROM documents
+    WHERE len({_TOKS}) >= 3
+),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shs) > 0),
+banded AS (
+    {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_band_sql())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands x 2 rows) candidate pairs — the
+    discovery stage that replaces the quadratic self-join at scale."""
+    return minhash_lsh_pairs(_read_spread(spark, sf_dir, "documents"), k=8, bands=4, n=3)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        bit = f"(({md5_long_sql('t')} // {2**b}) % 2) * 2 - 1"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform({_TOKS}, t -> {bit})) > 0 "
+            f"THEN {2**b} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents"
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature (zero-shuffle compute)."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[17] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[33] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[49] >= 0 AS INT) AS VARCHAR) AS bucket
+    FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b USING (bucket)
+WHERE a.id < b.id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register("dedup_embedding", _EMB_NEARDUP_SQL)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs behind a sign-bucket LSH
+    prefilter (16 buckets bound the pair fan-out)."""
+    return embedding_neardup_pairs(
+        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+           / greatest(len({_TOKS}), 1) AS avg_token_len,
+       CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+           / greatest(len({_TOKS}), 1) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+FROM documents
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: token count, avg token length,
+    stopword ratio, punctuation ratio — all JVM-side expressions."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH r AS (
+    SELECT doc_id,
+           CAST(len(list_filter({_TOKS},
+                t -> lower(t) IN ('the','a','of','and','is','to'))) AS DOUBLE)
+               / greatest(len({_TOKS}), 1) AS en,
+           CAST(len(list_filter({_TOKS},
+                t -> lower(t) IN ('der','die','das','und','ist'))) AS DOUBLE)
+               / greatest(len({_TOKS}), 1) AS de,
+           CAST(len(list_filter({_TOKS},
+                t -> lower(t) IN ('le','la','les','et','est'))) AS DOUBLE)
+               / greatest(len({_TOKS}), 1) AS fr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'unk' END AS lang_pred
+FROM r
+"""
+
+
+@register("lang_id", _LANG_ID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic (fastText stand-in)."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform({_TOKS},
+            (t, i) -> i * ({md5_long_sql('t')} % {HASH_PRIME}))) % {HASH_PRIME}
+            AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_BRUTE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv, cv), 6) AS cosine
+    FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_bruteforce", _ANN_BRUTE_SQL)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries,
+    corpus never shuffles."""
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_ANN_IVF_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[17] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[33] >= 0 AS INT) AS VARCHAR) ||
+           CAST(CAST(embedding[49] >= 0 AS INT) AS VARCHAR) AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+    FROM q JOIN e USING (bucket)
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_ivf", _ANN_IVF_SQL)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-5: probe only the query's
+    sign-bucket — partition-pruned lookup at scale."""
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_bucketed(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary columns; codec stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       unnest(range(0, ((n_chars * 10 - 1) // 1000) + 1)) * 1000 AS frame_ts_ms,
+       length(text) AS n_bytes
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled timestamp."""
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000).withColumn(
+        "frame_ts_ms", F.col("frame_ts_ms").cast("long")
+    )
+
+
+@register("multimodal_decode", None)  # Pandas-UDF path: rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas; codec stubbed deterministically)."""
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    feats = decode_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for the LLM-data operators (dedup / similarity / text /
+multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dax_ppdb_spark.llm.multimodal import (
+    decode_features,
+    decode_real,
+    documents_as_media,
+    sample_frames,
+)
+from dax_ppdb_spark.llm.similarity import topk_bruteforce
+from dax_ppdb_spark.llm.text import doc_fingerprint, language_id, token_count
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z"])
+    out = {r.keep_id: r.n_docs for r in exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e", "p q r s t"])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_minhash_lsh_finds_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    docs = _docs(spark, [base, near, "completely different words everywhere around here now"])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(spark):
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "omega psi chi"])
+    vals = [r.s for r in docs.select(simhash(F.col("text")).alias("s")).collect()]
+    assert vals[0] == vals[1]
+    assert vals[0] != vals[2]
+    assert all(0 <= v < 2**16 for v in vals)
+
+
+def test_language_id_markers(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat sat on the mat and it is warm",
+            "der hund und die katze das ist gut",
+            "le chien et la maison est grande",
+            "zzz qqq www",
+        ],
+    )
+    out = [r.lang for r in docs.select(language_id(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "unk"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = _docs(spark, ["a b c", "c b a", "a b c"])
+    fps = [r.fp for r in docs.select(doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+
+
+def test_token_count_whitespace_robust(spark):
+    docs = _docs(spark, ["  a   b  c ", "", "one"])
+    out = [r.n for r in docs.select(token_count(F.col("text")).alias("n")).collect()]
+    assert out == [3, 0, 1]
+
+
+def test_topk_bruteforce_ranks_self_similar_first(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = topk_bruteforce(emb, emb.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 3, 4]
+    assert out[0].cosine <= 1.0
+
+
+def test_multimodal_decode_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (3, "abc", "en", "web", 3)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    media = documents_as_media(docs)
+    feats = {r.media_id: r for r in decode_features(media).collect()}
+    assert feats[1].n_bytes == 11
+    assert len(feats[1].features) == 8
+    assert abs(sum(feats[1].features) - 1.0) < 1e-9  # normalized histogram
+    assert feats[3].media_type == "video"  # doc_id % 3 == 0
+
+
+def test_multimodal_frame_sample(spark):
+    docs = spark.createDataFrame(
+        [(3, "x" * 250, "en", "web", 250)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    media = documents_as_media(docs)  # duration = 2500 ms
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image")
