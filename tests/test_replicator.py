@@ -1,0 +1,123 @@
+"""Replicator loop + Structured Streaming variants.
+
+Pins the reference semantics of ``replicator.py:83-247``: anti-diff
+against the ledger, uuid consistency check, watermark hold-back, and
+the strictly-increasing-chunk-id ordering contract (``ppdb.py:147-152``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from dax_ppdb_spark.ledger import Ledger
+from dax_ppdb_spark.pipeline.replicate import DirectoryApdbSource, Replicator
+from dax_ppdb_spark.schema.registry import ChunkStatus
+from dax_ppdb_spark.streaming import stream_chunks, windowed_event_counts
+
+UTC = datetime.timezone.utc
+
+
+def _write_chunk(root: str, chunk_id: int, created_at: float, uid: str) -> None:
+    d = os.path.join(root, f"chunk_{chunk_id}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(
+            {"apdb_replica_chunk": chunk_id, "unique_id": uid, "created_at": created_at},
+            f,
+        )
+
+
+@pytest.fixture()
+def now():
+    return datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def test_directory_source_lists_in_id_order(tmp_path, now):
+    root = str(tmp_path / "apdb")
+    t0 = now.replace(tzinfo=UTC).timestamp()
+    _write_chunk(root, 11, t0, "u11")
+    _write_chunk(root, 2, t0, "u2")
+    os.makedirs(os.path.join(root, "not_a_chunk"))
+    chunks = DirectoryApdbSource(root).list_chunks()
+    assert [c.chunk_id for c in chunks] == [2, 11]
+    assert chunks[0].unique_id == "u2"
+
+
+def test_pending_respects_watermark_and_order_cut(spark, tmp_path, now):
+    root = str(tmp_path / "apdb")
+    base = now.replace(tzinfo=UTC).timestamp()
+    # chunk 1: old (eligible), chunk 2: 100s old (< min_wait, held back),
+    # chunk 3: old but must NOT be copied before chunk 2 (order contract),
+    # chunk 4: newest, has no newer chunk -> max_wait applies.
+    _write_chunk(root, 1, base - 2000, "u1")
+    _write_chunk(root, 2, base - 100, "u2")
+    _write_chunk(root, 3, base - 2000, "u3")
+    _write_chunk(root, 4, base - 600, "u4")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    rep = Replicator(spark, DirectoryApdbSource(root), ledger)
+    assert [c.chunk_id for c in rep.pending_chunks(now)] == [1]
+
+
+def test_replicate_once_records_and_skips_done(spark, tmp_path, now):
+    root = str(tmp_path / "apdb")
+    base = now.replace(tzinfo=UTC).timestamp()
+    _write_chunk(root, 1, base - 2000, "u1")
+    _write_chunk(root, 2, base - 1900, "u2")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    rep = Replicator(spark, DirectoryApdbSource(root), ledger)
+    staged = []
+    copied = rep.replicate_once(lambda c: staged.append(c.chunk_id), now=now)
+    assert copied == [1, 2] and staged == [1, 2]
+    # idempotent: second poll copies nothing
+    assert rep.replicate_once(lambda c: staged.append(c.chunk_id), now=now) == []
+    assert staged == [1, 2]
+    rows = ledger.read().orderBy("apdb_replica_chunk").collect()
+    assert [r.apdb_replica_chunk for r in rows] == [1, 2]
+    assert all(r.status == ChunkStatus.EXPORTED.value for r in rows)
+
+
+def test_uuid_mismatch_raises(spark, tmp_path, now):
+    root = str(tmp_path / "apdb")
+    base = now.replace(tzinfo=UTC).timestamp()
+    _write_chunk(root, 1, base - 2000, "changed-uuid")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    ledger.insert_chunks([{"apdb_replica_chunk": 1, "unique_id": "original-uuid"}])
+    rep = Replicator(spark, DirectoryApdbSource(root), ledger)
+    with pytest.raises(ValueError, match="unique_id mismatch"):
+        rep.pending_chunks(now)
+
+
+def test_stream_chunks_drains_available_files(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.write.parquet(os.path.join(src, "batch0"))
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id):
+        seen.extend(r.v for r in batch_df.collect())
+
+    stream_chunks(spark, src + "/*", df.schema, str(tmp_path / "ckpt"), handle)
+    assert sorted(seen) == list(range(10))
+    # restart with the same checkpoint: nothing new -> no reprocessing
+    seen.clear()
+    stream_chunks(spark, src + "/*", df.schema, str(tmp_path / "ckpt"), handle)
+    assert seen == []
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    t = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (t, "a"),
+        (t + datetime.timedelta(minutes=5), "a"),
+        (t + datetime.timedelta(minutes=12), "a"),
+        (t + datetime.timedelta(minutes=3), "b"),
+    ]
+    events = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = windowed_event_counts(events).collect()
+    got = {(r.win.start.minute, r.event_type): r.n_events for r in out}
+    assert got == {(0, "a"): 2, (10, "a"): 1, (0, "b"): 1}
