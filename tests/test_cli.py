@@ -1,0 +1,79 @@
+"""CLI smoke tests (mirrors reference ``tests/test_cli.py:42-92``)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from dax_ppdb_spark import cli
+from dax_ppdb_spark.ledger import Ledger
+from dax_ppdb_spark.pipeline.promote import Promoter
+from dax_ppdb_spark.pipeline.store import store_chunk
+
+UTC = datetime.timezone.utc
+
+
+def test_parser_requires_subcommand():
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args([])
+
+
+def test_list_chunks(spark, tmp_path, capsys):
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    ledger.insert_chunks([{"apdb_replica_chunk": 5}, {"apdb_replica_chunk": 3}])
+    assert cli.main(["list-chunks", str(tmp_path / "ledger")]) == 0
+    out = capsys.readouterr().out
+    lines = [line for line in out.splitlines() if line and line[0].isdigit()]
+    assert [line.split("\t")[0] for line in lines] == ["3", "5"]
+    assert "total: 2" in out
+
+
+def test_run_then_promote(spark, tmp_path, capsys):
+    root = str(tmp_path / "ppdb")
+    source = str(tmp_path / "apdb")
+    # Export one chunk into the APDB landing area (old enough to pass
+    # the max-wait watermark).
+    df = spark.createDataFrame(
+        [(1, 100.0, None, 45.0, -30.0, 1)],
+        "diaObjectId LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE, "
+        "ra DOUBLE, dec DOUBLE, nDiaSources INT",
+    )
+    chunk_dir = store_chunk(spark, source, 1, {"DiaObject": df})
+    # age the manifest so the watermark passes
+    mpath = os.path.join(chunk_dir, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["created_at"] -= 3600
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    assert cli.main(["run", "--source", source, "--root", root]) == 0
+    assert "replicated: [1]" in capsys.readouterr().out
+    assert cli.main(["promote", "--root", root]) == 0
+    assert "promoted: [1]" in capsys.readouterr().out
+    pub = Promoter(spark, root).public_diaobject.read(spark)
+    assert pub.count() == 1
+
+
+def test_upload_chunks_cmd(spark, tmp_path, capsys):
+    export = str(tmp_path / "export")
+    ledger_path = str(tmp_path / "ledger")
+    ledger = Ledger(spark, ledger_path)
+    df = spark.createDataFrame([(1,)], "diaObjectId LONG")
+    store_chunk(spark, export, 7, {"DiaObject": df}, ledger=ledger)
+    assert (
+        cli.main(
+            [
+                "upload-chunks",
+                "--ledger", ledger_path,
+                "--export-root", export,
+                "--bucket", str(tmp_path / "bucket"),
+            ]
+        )
+        == 0
+    )
+    assert "uploaded: [7]" in capsys.readouterr().out
+    assert os.path.exists(str(tmp_path / "bucket" / "chunk_7" / "manifest.json"))
