@@ -160,13 +160,13 @@ def minhash_lsh_pairs(
 
     rows_per_band = k // bands
 
-    def window_i(i: int):
-        return lambda h: hex_window_long(h, 3 * i)
-
-    # ``hx`` is materialized as its own projection so the k window
-    # passes below read the md5 array once per row instead of
-    # re-hashing every shingle k times (CollapseProject keeps the
-    # boundary because the alias is referenced k times).
+    # ``hx`` is materialized as its own projection so the signature
+    # fold reads the md5 array once per row instead of re-hashing
+    # every shingle k times (CollapseProject keeps the boundary
+    # because the alias is expensive and referenced downstream).
+    # All k mins are carried in one array accumulator: one pass over
+    # the shingles instead of k array_min scans.
+    long_max = (1 << 63) - 1
     sig = (
         docs.select(
             F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
@@ -175,8 +175,14 @@ def minhash_lsh_pairs(
         .withColumn("hx", F.transform("sh", lambda s: F.md5(s)))
         .select(
             "doc_id",
-            F.array(
-                *[F.array_min(F.transform("hx", window_i(i))) for i in range(k)]
+            F.aggregate(
+                "hx",
+                F.array_repeat(F.lit(long_max).cast("long"), k),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    F.array(*[hex_window_long(h, 3 * i) for i in range(k)]),
+                    lambda a, b: F.least(a, b),
+                ),
             ).alias("sig"),
         )
     )
@@ -229,23 +235,34 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
     Bit b is the sign of ``sum over tokens of (bit b of md5_long(tok)
     ? +1 : -1)``; near-duplicate docs differ in few bits.
+
+    Single pass: one md5_long per token, with all ``bits`` counters
+    carried in an array accumulator — a per-bit fold would re-evaluate
+    the token-hash array ``bits`` times (expression trees are
+    duplicated, not shared, across sibling aggregates).
     """
-    # Hash each token ONCE (md5 + ascii polynomial), then derive all
-    # bit contributions from the integer array — 16x fewer digests.
     hashes = F.transform(tokens(text), lambda t: md5_long(t))
-
-    def bit_contrib(b: int):
-        return lambda h: (F.shiftright(h, b) % 2) * 2 - 1
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        contrib = F.aggregate(
-            F.transform(hashes, bit_contrib(b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        out = out + F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0))
-    return out
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        # md5_long is nonnegative, so bit b of h == (h & 2^b) != 0.
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
 
 
 def embedding_neardup_pairs(
