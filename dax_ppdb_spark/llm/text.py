@@ -35,29 +35,21 @@ def token_count(c: Column) -> Column:
 
 
 def md5_long(c: Column) -> Column:
-    """Deterministic 56-bit integer hash: ascii-polynomial over the
-    first 8 hex chars of md5.
+    """Deterministic 32-bit integer hash: the first 8 hex chars of md5
+    parsed as an unsigned integer.
 
     Exists because Spark's ``hash``/``xxhash64`` and DuckDB's ``hash``
-    are different algorithms; md5 hex + per-char arithmetic is
-    bit-identical in every engine.  Max value 102*128^7 < 2^63 (no
-    overflow under ANSI mode).
+    are different algorithms; md5 hex + base-16 parse is bit-identical
+    in every engine (Spark ``conv(_, 16, 10)``, DuckDB
+    ``CAST('0x' || _ AS BIGINT)``), and one parse replaces the 8
+    substring+ascii ops of a per-char polynomial.
     """
-    h = F.md5(c)
-    out = F.lit(0).cast("long")
-    for i in range(8):
-        out = out + F.ascii(F.substring(h, i + 1, 1)).cast("long") * F.lit(128**i)
-    return out
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
 def md5_long_sql(expr: str) -> str:
-    """The DuckDB-dialect twin of :func:`md5_long` (explicit BIGINT
-    casts — DuckDB keeps int literals INT32 and overflows otherwise)."""
-    terms = [
-        f"CAST(ascii(substr(md5({expr}), {i + 1}, 1)) AS BIGINT) * CAST({128**i} AS BIGINT)"
-        for i in range(8)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """The DuckDB-dialect twin of :func:`md5_long`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
 def hex_window_long(hexcol: Column, offset: int) -> Column:
@@ -65,23 +57,14 @@ def hex_window_long(hexcol: Column, offset: int) -> Column:
 
     Lets one md5 computation feed many hash families (overlapping
     windows of the 32-char digest) — the md5 is the expensive part, the
-    ascii polynomial is a handful of codegen'd arithmetic ops.
+    window parse is a single codegen'd conv.
     """
-    out = F.lit(0).cast("long")
-    for i in range(8):
-        out = out + F.ascii(F.substring(hexcol, offset + i + 1, 1)).cast("long") * F.lit(
-            128**i
-        )
-    return out
+    return F.conv(F.substring(hexcol, offset + 1, 8), 16, 10).cast("long")
 
 
 def hex_window_long_sql(expr: str, offset: int) -> str:
     """DuckDB twin of :func:`hex_window_long` (``expr`` is a hex string)."""
-    terms = [
-        f"CAST(ascii(substr({expr}, {offset + i + 1}, 1)) AS BIGINT) * CAST({128**i} AS BIGINT)"
-        for i in range(8)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return f"CAST('0x' || substr({expr}, {offset + 1}, 8) AS BIGINT)"
 
 
 def stopword_count(toks: Column) -> Column:

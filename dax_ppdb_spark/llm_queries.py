@@ -2,7 +2,7 @@
 
 Registered into the same registry as ``driver_queries``; every oracle
 is exact DuckDB SQL replaying the identical hash arithmetic (see
-``llm.text.md5_long`` — md5-hex ascii polynomials are engine-
+``llm.text.md5_long`` — md5-hex window parses are engine-
 independent).  Cosine similarities are rounded to 6 decimals on both
 sides before ranking/output so last-ulp engine differences cannot
 flip the hash.
