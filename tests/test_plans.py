@@ -1,0 +1,80 @@
+"""Physical-plan audit: the properties that matter at 100 TB.
+
+Asserts, for the registered driver queries, that:
+- filters reach the parquet scan (``PushedFilters``) and projections
+  prune the read schema;
+- small build sides broadcast (semi/anti joins never shuffle the big
+  probe side);
+- no row-at-a-time Python UDF (``BatchEvalPython``) appears anywhere —
+  only Arrow-batched evaluation is acceptable, and only in the
+  explicitly-Pandas multimodal path.
+
+These are regression guards: a refactor that silently turns a
+broadcast prune into a shuffled join, or drops a pushed filter, fails
+here long before it would show up as a bench regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dax_ppdb_spark import driver_queries
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return driver_queries.queries()
+
+
+def test_ledger_scan_pushes_range_filter(spark, sf_dir, registry):
+    plan = plan_of(registry["ledger_scan"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderkey" in plan
+
+
+def test_semi_prune_broadcasts_build_side(spark, sf_dir, registry):
+    plan = plan_of(registry["semi_prune"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    # the probe side must not be exchanged before the join
+    probe = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(l_orderkey" not in probe
+
+
+def test_replication_diff_is_broadcast_anti_join(spark, sf_dir, registry):
+    plan = plan_of(registry["replication_diff"](spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_scan_schema_is_pruned(spark, sf_dir, registry):
+    plan = plan_of(registry["distinct_ids"](spark, sf_dir))
+    # distinct over one column must read exactly that column
+    for line in plan.splitlines():
+        if line.startswith("ReadSchema"):
+            assert line.count(":") <= 3, line  # struct<one field>
+            assert "o_custkey" in line
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir, registry):
+    for name, fn in registry.items():
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan:
+            assert name.startswith("multimodal"), (
+                f"{name} uses Pandas evaluation outside the multimodal path"
+            )
+
+
+def test_validity_fill_single_window_exchange(spark, sf_dir, registry):
+    """The SCD-2 fill shuffles once on the partition key; a second
+    hash exchange would mean the window spec and the write layout
+    disagree."""
+    plan = plan_of(registry["validity_fill"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
