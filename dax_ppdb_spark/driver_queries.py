@@ -579,6 +579,40 @@ def q_updates_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_patch(target, patch, ["user_id"])
 
 
+_WINDOWED_COUNTS_SQL = """
+SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("windowed_counts", _WINDOWED_COUNTS_SQL)
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming surface: tumbling-window event counts via the
+    same operator the stream path uses (``streaming.chunks.
+    windowed_event_counts`` — batch/stream unified in Spark).
+
+    The window start is emitted as epoch µs so the oracle compare is
+    timezone-free.
+    """
+    from .streaming import windowed_event_counts
+
+    # Window alignment is session-timezone-relative; pin UTC so the
+    # buckets are epoch-aligned like the oracle's integer division.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    out = windowed_event_counts(events, ts_col="ts", window_duration="10 minutes")
+    return out.select(
+        F.unix_micros(F.col("win.start")).alias("bucket_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import llm_queries  # noqa: F401  (registers the LLM-data queries)
 

@@ -34,6 +34,30 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the GPT-2-style split that approximates subword token counts far
+# better than whitespace (punctuation and numbers become their own
+# tokens).  Portable regex (no lookarounds) so every engine agrees.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(c: Column) -> Column:
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Approximate LLM token count: BPE-ish pieces plus a length tax on
+    long words (a w-char word costs ~ceil(w/6) subword tokens)."""
+    pieces = bpe_tokens(c)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.lit(1)
+        + F.floor((F.length(t) - F.lit(1)) / F.lit(6)).cast("long"),
+    )
+
+
 def md5_long(c: Column) -> Column:
     """Deterministic 32-bit integer hash: the first 8 hex chars of md5
     parsed as an unsigned integer.

@@ -240,6 +240,31 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+            regexp_extract_all(text, '{_BPE_RE_SQL}'),
+            t -> 1 + (len(t) - 1) // 6)), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count_bpe", _TOKEN_COUNT_SQL)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (the per-doc cost metric of
+    every pretraining pipeline); pure JVM regex, no tokenizer model."""
+    from .llm.text import bpe_token_count, token_count
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 _FINGERPRINT_SQL = f"""
 SELECT doc_id,
        CAST(list_sum(list_transform({_TOKS},

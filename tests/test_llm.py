@@ -124,3 +124,28 @@ def test_multimodal_frame_sample(spark):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_bpe_token_count_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.llm.text import bpe_token_count, bpe_tokens
+
+    df = spark.createDataFrame(
+        [(1, "hello, world! 42"), (2, ""), (3, "internationalization")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            bpe_tokens(F.col("text")).alias("pieces"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    # "hello" "," "world" "!" "42" -> 5 pieces, all short -> 5 tokens
+    assert rows[1].pieces == ["hello", ",", "world", "!", "42"]
+    assert rows[1].n == 5
+    assert rows[2].n == 0
+    # 20-char word costs 1 + floor(19/6) = 4 tokens
+    assert rows[3].n == 4
