@@ -291,6 +291,51 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, patch, ["o_orderkey"])
 
 
+_MERGE_COMPOSITE_SQL = """
+WITH t AS (
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+),
+patch AS (
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           l_quantity * 2 AS l_quantity, 'P' AS l_returnflag
+    FROM t WHERE l_orderkey % 500 = 0
+)
+SELECT COALESCE(p.l_orderkey, t.l_orderkey) AS l_orderkey,
+       COALESCE(p.l_partkey, t.l_partkey) AS l_partkey,
+       COALESCE(p.l_linenumber, t.l_linenumber) AS l_linenumber,
+       CASE WHEN p.l_orderkey IS NOT NULL THEN p.l_quantity
+            ELSE t.l_quantity END AS l_quantity,
+       CASE WHEN p.l_orderkey IS NOT NULL THEN p.l_returnflag
+            ELSE t.l_returnflag END AS l_returnflag
+FROM t FULL OUTER JOIN patch p
+  ON t.l_orderkey = p.l_orderkey
+ AND t.l_partkey = p.l_partkey
+ AND t.l_linenumber = p.l_linenumber
+"""
+
+
+@register("merge_composite", _MERGE_COMPOSITE_SQL)
+def q_merge_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: MERGE on a composite (3-column) key.
+
+    Reference: merge_diaforcedsource_updates.sql:23-25 — the
+    DiaForcedSource merge joins on (diaObjectId, visit, detector);
+    here (l_orderkey, l_partkey, l_linenumber) plays that role.
+    """
+    t = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    patch = t.filter(F.col("l_orderkey") % 500 == 0).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        (F.col("l_quantity") * 2).alias("l_quantity"),
+        F.lit("P").alias("l_returnflag"),
+    )
+    return merge_upsert(t, patch, ["l_orderkey", "l_partkey", "l_linenumber"])
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters (SURVEY §2.1, §2.2)
 # ---------------------------------------------------------------------------
