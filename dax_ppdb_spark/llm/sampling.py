@@ -1,0 +1,116 @@
+"""Dataset splitting, stratified sampling, and shard packing.
+
+The operators a pretraining-data pipeline runs after dedup/quality:
+
+- **hash_split**: deterministic train/val/test assignment from a salted
+  document-id hash.  Assignment is a pure function of (salt, id) — re-
+  running on new data never reshuffles old docs across splits, and no
+  engine RNG is involved (reproducible everywhere, join-free).
+- **stratified_sample**: per-stratum (e.g. per-language, per-source)
+  keep-rates via the same hash — the "datamix weights" operator.  A
+  map-side filter: no shuffle, scales embarrassingly.
+- **pack_shards**: assign documents to fixed-token-budget training
+  shards by cumulative size over a deterministic order.  One window
+  cumsum — the Spark analog of the greedy sequential packer.  At 100 TB
+  the single global ordering is the scale risk: partition the cumsum by
+  a coarse bucket (e.g. split × language) so each partition packs
+  independently — the ``partition_cols`` knob.
+
+All hashes derive from md5 (``text.md5_long``) so the DuckDB oracle
+replays them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import md5_long
+
+# Denominator for rate arithmetic: rates are exact in 1e6ths.
+RATE_DENOM = 1_000_000
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Stable bucket in [0, RATE_DENOM) from a salted id hash."""
+    return md5_long(F.concat(F.lit(salt), id_col.cast("string"))) % RATE_DENOM
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights.
+
+    ``weights`` is ordered; cumulative thresholds partition the bucket
+    space, so the same (salt, id) always lands in the same split.
+    """
+    bucket = split_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        cond = bucket < int(round(acc * RATE_DENOM))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = expr.otherwise(weights[-1][0])
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically.
+
+    A map-side filter (no shuffle, no RNG): row kept iff
+    ``hash(salt, id) % D < rate[stratum] * D``.  Rates are exact in
+    millionths.  Strata missing from ``rates`` use ``default_rate``.
+    """
+    bucket = split_bucket(F.col(id_col), salt)
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        thr = F.lit(int(round(r * RATE_DENOM)))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = (
+        rate.otherwise(F.lit(int(round(default_rate * RATE_DENOM))))
+        if rate is not None
+        else F.lit(int(round(default_rate * RATE_DENOM)))
+    )
+    return df.filter(bucket < rate)
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: str,
+    shard_tokens: int,
+    order_cols: Sequence[str] = ("doc_id",),
+    partition_cols: Sequence[str] = (),
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Assign rows to consecutive shards of ~``shard_tokens`` budget.
+
+    Shard id = floor(exclusive-prefix-sum(size) / budget) over the
+    deterministic ``order_cols`` order (per ``partition_cols`` group
+    when given — the scale path; a single global cumsum serializes into
+    one task per sort range otherwise).  Oversized single docs get
+    their own shard rather than splitting.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy()
+    ).orderBy(*order_cols)
+    prefix = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(
+        out_col, F.floor(prefix / F.lit(shard_tokens)).cast("long")
+    )

@@ -376,3 +376,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splitting / shard packing
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = md5_long_sql("'split' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} < 900000 THEN 'train'
+            WHEN {_BUCKET_SQL} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("split_assign", _SPLIT_SQL)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test assignment — rerunning
+    on grown data never moves an old doc across splits."""
+    from .llm.sampling import hash_split
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
+_SAMPLE_BUCKET_SQL = md5_long_sql("'mix' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                WHEN 'fr' THEN 250000 ELSE 100000 END
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language datamix rates as a map-side hash filter (no RNG,
+    no shuffle)."""
+    from .llm.sampling import stratified_sample
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        rates={"en": 0.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang",
+        salt="mix",
+        default_rate=0.1,
+    )
+    return kept.select("doc_id", "lang")
+
+
+_SHARD_PACK_SQL = """
+SELECT doc_id, source,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_chars) / 20000.0) AS BIGINT) AS shard_id
+FROM documents
+"""
+
+
+@register("shard_pack", _SHARD_PACK_SQL)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: per-source cumulative-size window —
+    each source packs independently (the 100 TB-safe shape)."""
+    from .llm.sampling import pack_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_shards(
+        docs,
+        size_col="n_chars",
+        shard_tokens=20000,
+        order_cols=("doc_id",),
+        partition_cols=("source",),
+    ).select("doc_id", "source", "shard_id")

@@ -149,3 +149,52 @@ def test_bpe_token_count_known_values(spark):
     assert rows[2].n == 0
     # 20-char word costs 1 + floor(19/6) = 4 tokens
     assert rows[3].n == 4
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    from dax_ppdb_spark.llm.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df)
+    counts = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90% of 2000
+    # determinism: same assignment on re-run and on a superset
+    again = {r.doc_id: r.split for r in hash_split(df).collect()}
+    superset = {r.doc_id: r.split for r in hash_split(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id")).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert again == first
+    assert all(superset[k] == v for k, v in first.items())
+
+
+def test_stratified_sample_rates(spark):
+    from dax_ppdb_spark.llm.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    kept = stratified_sample(df, rates={"en": 0.25, "de": 1.0})
+    counts = {r.lang: r.n for r in kept.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert counts["de"] == 1000  # rate 1.0 keeps everything
+    assert 150 < counts["en"] < 350  # ~25% of 1000
+
+
+def test_pack_shards_budget(spark):
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.llm.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, "s", 30) for i in range(10)], "doc_id LONG, source STRING, n LONG"
+    )
+    out = pack_shards(df, size_col="n", shard_tokens=100, partition_cols=("source",))
+    shards = {r.doc_id: r.shard_id for r in out.collect()}
+    # 30 tokens each, budget 100 -> docs 0-3 shard 0 (prefix 0,30,60,90), 4-6 shard 1, ...
+    assert [shards[i] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # an oversized doc occupies its own shard without splitting
+    big = spark.createDataFrame(
+        [(1, "s", 500), (2, "s", 10)], "doc_id LONG, source STRING, n LONG"
+    )
+    out2 = {r.doc_id: r.shard_id for r in pack_shards(
+        big, size_col="n", shard_tokens=100, partition_cols=("source",)).collect()}
+    assert out2[1] == 0 and out2[2] == 5
