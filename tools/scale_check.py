@@ -1,0 +1,112 @@
+"""Scaling evidence: run headline operators at 1x and Nx data volume.
+
+Synthesizes an Nx copy of the sf tables (ids shifted per replica so
+keys stay unique and group counts scale with the data) into a temp
+dir, then times representative queries at both scales on the same
+local cluster. A scale-safe operator shows time growth ~= data growth
+(or less); superlinear growth flags a shuffle/skew problem that would
+bite at 100 TB.
+
+Usage: python tools/scale_check.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dax_ppdb_spark.session import get_spark  # noqa: E402
+from dax_ppdb_spark import driver_queries  # noqa: E402
+
+QUERIES = [
+    "validity_fill",
+    "latest_only",
+    "merge_upsert",
+    "merge_composite",
+    "pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "token_count_bpe",
+    "split_assign",
+    "shard_pack",
+    "ann_topk_bruteforce",
+]
+
+# id column to shift per replica so keys stay unique (tables absent
+# from a query are still copied unshifted).
+ID_SHIFT = {
+    "orders": ("o_orderkey", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+    "customer": ("c_custkey", 100_000_000),
+    "events": ("event_id", 100_000_000),
+    "documents": ("doc_id", 100_000_000),
+    "embeddings": ("vec_id", 100_000_000),
+}
+
+
+def scale_table(spark, src: str, dst: str, table: str, n: int) -> None:
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    col, shift = ID_SHIFT.get(table, (None, 0))
+    parts = []
+    for i in range(n):
+        p = df
+        if col is not None and i > 0:
+            p = p.withColumn(col, F.col(col) + F.lit(i * shift))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+
+
+def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    registry[QUERIES[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in QUERIES:
+        t0 = time.time()
+        registry[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = time.time() - t0
+    return timings
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    # events.parquet stores TIMESTAMP(NANOS); read as raw ns (the
+    # query fns standardize on integer µs regardless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    registry = driver_queries.queries()
+
+    tmp = tempfile.mkdtemp(prefix="scale_check_")
+    try:
+        tables = sorted(
+            f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        )
+        for t in tables:
+            scale_table(spark, sf_dir, tmp, t, n)
+        base = time_queries(spark, registry, sf_dir)
+        big = time_queries(spark, registry, tmp)
+        print(f"\n{'query':26s} {'1x s':>8s} {f'{n}x s':>8s} {'growth':>8s}  (data x{n})")
+        for name in QUERIES:
+            g = big[name] / max(base[name], 1e-9)
+            flag = "  <-- superlinear" if g > n * 1.3 else ""
+            print(f"{name:26s} {base[name]:8.2f} {big[name]:8.2f} {g:7.1f}x{flag}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
