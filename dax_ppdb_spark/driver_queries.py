@@ -624,6 +624,59 @@ def q_updates_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_patch(target, patch, ["user_id"])
 
 
+def _zorder_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of ``ops.spatial.zorder_index`` (bit interleave)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x_expr} // {2**i}) % 2) * {2**(2 * i)}")
+        terms.append(f"(({y_expr} // {2**i}) % 2) * {2**(2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPATIAL_BOX_SQL = f"""
+WITH sky AS (
+    SELECT o_orderkey,
+           (o_orderkey % 36000) / 100.0 AS ra,
+           (o_custkey % 18000) / 100.0 - 90.0 AS dec
+    FROM orders
+),
+q AS (
+    SELECT o_orderkey, ra, dec,
+           least(65535, CAST(floor(ra / 360.0 * 65536) AS BIGINT)) AS qx,
+           least(65535, CAST(floor((dec + 90.0) / 180.0 * 65536) AS BIGINT)) AS qy
+    FROM sky
+    WHERE ra >= 45.0 AND ra < 55.0 AND dec >= -90.0 AND dec < -80.0
+)
+SELECT o_orderkey, ra, dec,
+       CAST({_zorder_sql('qx', 'qy')} AS BIGINT) AS geo_point
+FROM q
+"""
+
+
+@register("spatial_box", _SPATIAL_BOX_SQL)
+def q_spatial_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: sky-box query over the Z-order clustering key.
+
+    Reference: ST_GEOGPOINT(ra, dec) clustering
+    (chunk_promoter.py:211-215, dataset_builder.py:250-253).  Synthetic
+    (ra, dec) derived from order keys; the production path sorts on
+    ``geo_point`` so this box filter prunes parquet row groups via
+    min/max stats.
+    """
+    from .ops.spatial import zorder_index
+
+    sky = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 36000) / 100.0).alias("ra"),
+        ((F.col("o_custkey") % 18000) / 100.0 - 90.0).alias("dec"),
+    )
+    box = sky.filter(
+        (F.col("ra") >= 45.0) & (F.col("ra") < 55.0)
+        & (F.col("dec") >= -90.0) & (F.col("dec") < -80.0)
+    )
+    return box.withColumn("geo_point", zorder_index(F.col("ra"), F.col("dec")))
+
+
 _WINDOWED_COUNTS_SQL = """
 SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
        event_type,
