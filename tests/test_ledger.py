@@ -87,3 +87,18 @@ def test_replication_diff_and_consistency(spark):
     assert [r.apdb_replica_chunk for r in diff] == [3]
     bad = consistency_mismatches(a, p).collect()
     assert [r.apdb_replica_chunk for r in bad] == [2]
+
+
+def test_metadata_roundtrip(spark, tmp_path):
+    from dax_ppdb_spark.metadata import Metadata
+
+    m = Metadata(spark, str(tmp_path / "metadata"))
+    assert m.get("missing") is None
+    assert m.get("missing", "d") == "d"
+    m.set_versions("0.1.1", "ppdb-spark 1.0")
+    m.set("extra", "x")
+    assert m.get("version:schema") == "0.1.1"
+    m.set("extra", "y")  # overwrite, no duplicate rows
+    items = m.items()
+    assert items["extra"] == "y"
+    assert len(items) == 3
