@@ -48,20 +48,16 @@ def _cmd_run(args: argparse.Namespace) -> int:
         max_wait_s=args.max_wait_time,
     )
 
-    def stage(chunk):
-        promoter.stage_chunk_dir(chunk.path, chunk.chunk_id)
-
-    # The replicator records EXPORTED after stage_fn; staging flips the
-    # row to STAGED, so stage_fn here only copies data files.
-    def copy_only(chunk):
-        pass
-
+    # The replicator inserts the EXPORTED ledger row after stage_fn
+    # returns; staging (which flips the row to STAGED) must therefore
+    # run after the poll. Collect the copied chunks' paths during the
+    # poll and stage them once their ledger rows exist.
     while True:
-        copied = rep.replicate_once(copy_only)
-        for cid in copied:
-            chunk = next(c for c in rep.source.list_chunks() if c.chunk_id == cid)
-            promoter.stage_chunk_dir(chunk.path, cid)
-        print(f"replicated: {copied}")
+        copied_chunks: list = []
+        rep.replicate_once(copied_chunks.append)
+        for chunk in copied_chunks:
+            promoter.stage_chunk_dir(chunk.path, chunk.chunk_id)
+        print(f"replicated: {[c.chunk_id for c in copied_chunks]}")
         if not args.loop:
             return 0
         time.sleep(args.check_interval)

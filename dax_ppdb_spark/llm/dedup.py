@@ -124,21 +124,23 @@ def minhash_signature(sh: Column, k: int = 8) -> Column:
 
     One md5 per shingle; hash family i is an integer read from the
     i-th 8-char window of the digest (``text.hex_window_long``) — so k
-    families cost one digest plus k cheap arithmetic passes, not k
-    digests.  Engine-independent by construction (ascii arithmetic on
-    md5 hex).  Requires ``k <= 9`` with the 3-char window stride.
+    families cost one digest plus k window parses.  All k mins are
+    carried in a single array fold (one pass over the shingles, not k
+    ``array_min`` scans).  Engine-independent by construction.
+    Requires ``k <= 9`` with the 3-char window stride.
     """
     from .text import hex_window_long
 
-    hexes = F.transform(sh, lambda s: F.md5(s))
-
-    def window_i(i: int):
-        # NB: a plain `lambda h, _i=i:` would be seen by Spark as a
-        # two-arg (element, index) lambda — closure via factory instead.
-        return lambda h: hex_window_long(h, 3 * i)
-
-    mins = [F.array_min(F.transform(hexes, window_i(i))) for i in range(k)]
-    return F.array(*mins)
+    long_max = (1 << 63) - 1
+    return F.aggregate(
+        F.transform(sh, lambda s: F.md5(s)),
+        F.array_repeat(F.lit(long_max).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[hex_window_long(h, 3 * i) for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -156,35 +158,14 @@ def minhash_lsh_pairs(
     distinct (doc_a < doc_b) pairs; feed to ``ngram_jaccard_pairs``
     semantics for exact verification when needed.
     """
-    from .text import hex_window_long
-
     rows_per_band = k // bands
 
-    # ``hx`` is materialized as its own projection so the signature
-    # fold reads the md5 array once per row instead of re-hashing
-    # every shingle k times (CollapseProject keeps the boundary
-    # because the alias is expensive and referenced downstream).
-    # All k mins are carried in one array accumulator: one pass over
-    # the shingles instead of k array_min scans.
-    long_max = (1 << 63) - 1
     sig = (
         docs.select(
             F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
         )
         .filter(F.size("sh") > 0)
-        .withColumn("hx", F.transform("sh", lambda s: F.md5(s)))
-        .select(
-            "doc_id",
-            F.aggregate(
-                "hx",
-                F.array_repeat(F.lit(long_max).cast("long"), k),
-                lambda acc, h: F.zip_with(
-                    acc,
-                    F.array(*[hex_window_long(h, 3 * i) for i in range(k)]),
-                    lambda a, b: F.least(a, b),
-                ),
-            ).alias("sig"),
-        )
+        .select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
     )
     band_keys = F.array(
         *[

@@ -54,12 +54,20 @@ class DatasetBuilder:
     def database(self, dataset: str) -> str:
         return f"{self.prefix}_{dataset}"
 
-    def build_all(self) -> None:
+    def build_all(self, metadata_path: str | None = None) -> None:
         for ds in DATASET_TYPES:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.database(ds)}`")
         self._build_staging()
         self._build_internal()
         self._build_public()
+        if metadata_path is not None:
+            # Creation-time version bookkeeping (_ppdb_sql_base.py:263-265).
+            from .. import __version__ as code_version
+            from ..metadata import Metadata
+
+            Metadata(self.spark, metadata_path).set_versions(
+                self.schema.version or "unknown", code_version
+            )
 
     def _create_table(self, db: str, name: str, struct: StructType) -> None:
         cols = ", ".join(

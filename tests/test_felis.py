@@ -136,3 +136,16 @@ def test_dataset_builder_creates_namespaces(spark, tmp_path):
         assert spark.table("t_ppdb_public.DiaSource").count() == 1
     finally:
         builder.drop_all()
+
+
+def test_build_all_records_versions(spark, tmp_path):
+    from dax_ppdb_spark.metadata import Metadata
+
+    builder = DatasetBuilder(spark, load_schema(SAMPLE), prefix="t_meta")
+    try:
+        builder.build_all(metadata_path=str(tmp_path / "metadata"))
+        m = Metadata(spark, str(tmp_path / "metadata"))
+        assert m.get("version:schema") == "1.0.0"
+        assert m.get("version:code")
+    finally:
+        builder.drop_all()
