@@ -75,6 +75,65 @@ def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     )
 
 
+def probe_buckets(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
+    """The query's bucket plus every Hamming-1 neighbor (one sign bit
+    flipped) — 1 + len(dims) probes."""
+    bits = [(F.element_at(vec, d) >= 0).cast("int") for d in dims]
+
+    def key(flip: int | None) -> Column:
+        parts = [
+            (F.lit(1) - b if i == flip else b).cast("string")
+            for i, b in enumerate(bits)
+        ]
+        return F.concat(*parts)
+
+    return F.array(key(None), *[key(j) for j in range(len(dims))])
+
+
+def topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Multi-probe bucketed top-k: probe the query's bucket and all
+    Hamming-1 buckets.
+
+    Recovers most of the recall a single probe loses to vectors
+    sitting just across one hyperplane, at ~(1+len(dims))x the probe
+    cost — still a tiny fraction of brute force.  Each corpus row has
+    exactly one bucket, so a (query, neighbor) pair matches at most
+    one probe: no post-dedup needed.  The probe fan-out lives on the
+    broadcast (query) side; the corpus still never shuffles.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("bucket", F.explode(probe_buckets(F.col("qv"), dims)))
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,

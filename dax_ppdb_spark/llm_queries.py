@@ -335,6 +335,47 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+_ANN_MULTIPROBE_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(embedding[1] >= 0 AS INT) AS b1,
+           CAST(embedding[17] >= 0 AS INT) AS b2,
+           CAST(embedding[33] >= 0 AS INT) AS b3,
+           CAST(embedding[49] >= 0 AS INT) AS b4
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, b1, b2, b3, b4
+      FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+    FROM q JOIN e
+      ON (CASE WHEN q.b1 = e.b1 THEN 0 ELSE 1 END
+        + CASE WHEN q.b2 = e.b2 THEN 0 ELSE 1 END
+        + CASE WHEN q.b3 = e.b3 THEN 0 ELSE 1 END
+        + CASE WHEN q.b4 = e.b4 THEN 0 ELSE 1 END) <= 1
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_multiprobe", _ANN_MULTIPROBE_SQL)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe bucketed top-5: probe the query bucket plus all
+    Hamming-1 buckets (recall recovery at 5x probe cost, corpus still
+    unshuffled).  Oracle expresses the same probe set as a
+    Hamming-distance <= 1 join condition."""
+    from .llm.similarity import topk_multiprobe
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_multiprobe(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 @register("ann_topk_ivf", _ANN_IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-bucketed approximate top-5: probe only the query's

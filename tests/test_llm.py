@@ -198,3 +198,24 @@ def test_pack_shards_budget(spark):
     out2 = {r.doc_id: r.shard_id for r in pack_shards(
         big, size_col="n", shard_tokens=100, partition_cols=("source",)).collect()}
     assert out2[1] == 0 and out2[2] == 5
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from dax_ppdb_spark.llm.similarity import (
+        topk_bruteforce,
+        topk_bucketed,
+        topk_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 5)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(topk_bruteforce(emb, q, k=5))
+    single = pairs(topk_bucketed(emb, q, k=5))
+    multi = pairs(topk_multiprobe(emb, q, k=5))
+    # multi-probe must recover at least the single-probe answers' recall
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) > 0

@@ -78,3 +78,12 @@ def test_validity_fill_single_window_exchange(spark, sf_dir, registry):
     disagree."""
     plan = plan_of(registry["validity_fill"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ann_queries_broadcast_query_side(spark, sf_dir, registry):
+    for name in ("ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_multiprobe"):
+        plan = plan_of(registry[name](spark, sf_dir))
+        assert "BroadcastExchange" in plan, f"{name}: query side not broadcast"
+        # corpus must not hash-shuffle before the join
+        probe = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in probe, f"{name}: corpus shuffled"
