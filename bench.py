@@ -27,6 +27,7 @@ HEADLINE = [
     "latest_only",
     "rank_versions",
     "merge_upsert",
+    "merge_composite",
     "semi_prune",
     "replication_diff",
     "pricing_summary",
@@ -34,15 +35,22 @@ HEADLINE = [
     "update_explode",
     "ledger_scan",
     "distinct_ids",
+    "spatial_box",
+    "windowed_counts",
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
     "text_stats",
+    "token_count_bpe",
     "doc_fingerprint",
+    "split_assign",
+    "stratified_sample",
+    "shard_pack",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_multiprobe",
     "multimodal_decode",
 ]
 
