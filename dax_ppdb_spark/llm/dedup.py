@@ -67,10 +67,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, via an
     inverted-index self-join (only pairs sharing >=1 shingle are
-    scored)."""
+    scored).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs ("stop shingles": boilerplate that links everything to
+    everything).  At corpus scale this caps the per-bucket pair
+    fan-out from O(df²) on the hottest shingle to O(max_doc_freq²) —
+    the standard skew guard for inverted-index joins.  It trades a
+    slight Jaccard underestimate for docs whose overlap is pure
+    boilerplate (the pairs worth keeping share rarer shingles too).
+    """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -87,6 +97,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("ms") > 1)
     )
+    if max_doc_freq is not None:
+        members = members.filter(F.size("ms") <= max_doc_freq)
     pair_structs = F.explode(
         F.flatten(
             F.transform(
@@ -150,6 +162,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on any LSH band.
 
@@ -191,6 +204,10 @@ def minhash_lsh_pairs(
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        # Degenerate buckets (a band key shared by thousands of docs —
+        # empty/boilerplate text) would expand O(|bucket|^2) pairs;
+        # cap them out, the docs still pair through their other bands.
+        .filter(F.lit(True) if max_bucket is None else F.size("ids") <= max_bucket)
         .select(
             F.explode(
                 F.flatten(

@@ -219,3 +219,24 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # multi-probe must recover at least the single-probe answers' recall
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) > 0
+
+
+def test_hot_shingle_and_bucket_caps(spark):
+    from dax_ppdb_spark.llm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    # 6 docs sharing only a boilerplate footer + one true near-dup pair
+    footer = "standard footer text here"
+    rows = [(i, f"unique content number {i} " + footer) for i in range(6)]
+    rows += [(10, "the quick brown fox jumps over the lazy dog"),
+             (11, "the quick brown fox jumps over the lazy cat")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1)
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=3)
+    assert capped.count() < uncapped.count()
+    # the true near-dup pair survives the cap (rare shingles link it)
+    assert capped.filter("doc_a = 10 AND doc_b = 11").count() == 1
+
+    pairs_capped = minhash_lsh_pairs(docs, max_bucket=3)
+    got = {(r.doc_a, r.doc_b) for r in pairs_capped.collect()}
+    assert (10, 11) in got
