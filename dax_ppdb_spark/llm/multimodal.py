@@ -97,6 +97,55 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(extract, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize plumbing: images are re-encoded to
+    (width, height), non-image rows pass through untouched.
+
+    The pixel work is STUBBED (no PIL here): the fake "resize" scales
+    the payload length proportionally to the pixel-count change, which
+    preserves the property real code has — output size tracks target
+    dimensions — so partition-sizing logic downstream is testable.
+    Swap ``_fake_resize`` for ``PIL.Image.resize`` + re-encode in
+    production; schema and batch shape stay identical.
+    """
+
+    def _fake_resize(payload: bytes, w0, h0) -> bytes:
+        if not payload or not w0 or not h0:
+            return payload or b""
+        ratio = (width * height) / float(int(w0) * int(h0))
+        n = max(1, int(len(payload) * ratio))
+        reps = (n + len(payload) - 1) // len(payload)
+        return (payload * reps)[:n]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image"
+            out = pdf.copy()
+            out.loc[is_img, "payload"] = pdf.loc[is_img].apply(
+                lambda r: _fake_resize(
+                    bytes(r["payload"]), r["meta_width"], r["meta_height"]
+                ),
+                axis=1,
+            )
+            out.loc[is_img, "meta_width"] = width
+            out.loc[is_img, "meta_height"] = height
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(work, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
     sampled timestamp (the decode of the actual frame is stubbed to a

@@ -491,3 +491,17 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("doc_id",),
         partition_cols=("source",),
     ).select("doc_id", "source", "shard_id")
+
+
+@register("multimodal_resize", None)  # Pandas-UDF path: rows-only check
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image resize plumbing (mapInPandas; pixel codec
+    stubbed, size-tracking semantics real)."""
+    from .llm.multimodal import resize_images
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    out = resize_images(media, 320, 240)
+    return out.select(
+        "media_id", "media_type", "meta_width", "meta_height",
+        F.length("payload").alias("n_bytes"),
+    )

@@ -240,3 +240,21 @@ def test_hot_shingle_and_bucket_caps(spark):
     pairs_capped = minhash_lsh_pairs(docs, max_bucket=3)
     got = {(r.doc_a, r.doc_b) for r in pairs_capped.collect()}
     assert (10, 11) in got
+
+
+def test_resize_images_plumbing(spark):
+    from dax_ppdb_spark.llm.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100, "en", "web", 100), (2, "y" * 100, "en", "web", 100)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    media = documents_as_media(docs)  # doc 1 -> image, doc 2 -> audio
+    out = {r.media_id: r for r in resize_images(media, 320, 240).collect()}
+    img = out[1]
+    assert (img.meta_width, img.meta_height) == (320, 240)
+    # fake resize scales payload by pixel ratio: (320*240)/(640*480) = 0.25
+    assert len(img.payload) == 25
+    audio = out[2]  # untouched passthrough
+    assert (audio.meta_width, audio.meta_height) == (640, 480)
+    assert len(audio.payload) == 100
