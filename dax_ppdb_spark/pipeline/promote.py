@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..io.table import ParquetTable
 from ..ledger import Ledger
+from ..metrics import timer
 from ..ops.spatial import with_geo_point
 from ..ops.updates import apply_update_patches, expand_updates, latest_updates
 from ..ops.validity import fill_validity_end
@@ -99,12 +100,20 @@ class Promoter:
         if not chunk_ids:
             return []
         try:
-            self._copy_staging_to_promotion(chunk_ids)
-            self._fill_validity_end(chunk_ids)
-            self._apply_updates(chunk_ids)
-            self._swap_promotion_to_internal()
-            self._create_public_snapshot()
-            self._delete_staged(chunk_ids)
+            steps = (
+                ("copy_staging_to_promotion", self._copy_staging_to_promotion),
+                ("fill_validity_end", self._fill_validity_end),
+                ("apply_updates", self._apply_updates),
+            )
+            for name, step in steps:
+                with timer(name, chunks=chunk_ids):
+                    step(chunk_ids)
+            with timer("swap_promotion_to_internal", chunks=chunk_ids):
+                self._swap_promotion_to_internal()
+            with timer("create_public_snapshot", chunks=chunk_ids):
+                self._create_public_snapshot()
+            with timer("delete_staged", chunks=chunk_ids):
+                self._delete_staged(chunk_ids)
             for cid in chunk_ids:
                 self.ledger.update_chunk(cid, status=ChunkStatus.PROMOTED)
             return chunk_ids

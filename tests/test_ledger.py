@@ -102,3 +102,17 @@ def test_metadata_roundtrip(spark, tmp_path):
     items = m.items()
     assert items["extra"] == "y"
     assert len(items) == 3
+
+
+def test_metrics_timer_logs(caplog):
+    import logging
+
+    from dax_ppdb_spark.metrics import log_rows, timer
+
+    with caplog.at_level(logging.INFO, logger="dax_ppdb_spark.metrics"):
+        with timer("stage_x", table="DiaObject", chunk=7):
+            pass
+        log_rows("insert", 42, table="DiaSource")
+    text = caplog.text
+    assert "stage_x took" in text and "table=DiaObject" in text
+    assert "insert rows=42" in text
