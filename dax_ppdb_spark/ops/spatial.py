@@ -44,3 +44,20 @@ def zorder_index(ra: Column, dec: Column, bits_per_axis: int = 16) -> Column:
 def with_geo_point(df, ra_col: str = "ra", dec_col: str = "dec", out_col: str = "geo_point"):
     """P10/S10: add the computed clustering column during promotion."""
     return df.withColumn(out_col, zorder_index(F.col(ra_col), F.col(dec_col)))
+
+
+def zorder_cell(geo_point: Column, level: int, bits_per_axis: int = 16) -> Column:
+    """Coarse hierarchical cell id: the Z-order truncated to ``level``
+    bits per axis (HEALPix-style nesting — every level-L cell contains
+    exactly 4 level-(L+1) cells).
+
+    Because Morton codes nest, a sky region at any resolution is a
+    contiguous set of coarse cells => a range predicate on the sorted
+    ``geo_point`` column, which parquet row-group min/max stats prune.
+    Use for multi-resolution cone searches and for choosing partition
+    granularity (coarse level for partitioning, full code for in-file
+    sort).
+    """
+    if not 0 < level <= bits_per_axis:
+        raise ValueError(f"level must be in (0, {bits_per_axis}]")
+    return F.shiftright(geo_point, 2 * (bits_per_axis - level))

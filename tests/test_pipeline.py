@@ -149,3 +149,33 @@ def test_ledger_and_cleanup(spark, promoted):
 
 def test_promote_idempotent_when_nothing_staged(spark, promoted):
     assert promoted.promote() == []
+
+
+def test_promotion_failure_cleans_workspace_and_keeps_ledger(spark, tmp_path, monkeypatch):
+    """D14: a failing step must drop the promotion workspace (cleanup
+    in finally) and leave the ledger un-promoted so a retry can rerun
+    the chunk."""
+    root = str(tmp_path)
+    promoter = Promoter(spark, root)
+    ledger = promoter.ledger
+    c_dir = store_chunk(
+        spark, root + "/export", 1,
+        {"DiaObject": _obj(spark, [(1, 100.0, None, 45.0, -30.0, 1)])},
+        ledger=ledger,
+    )
+    promoter.stage_chunk_dir(c_dir, 1)
+
+    def boom(chunk_ids):
+        raise RuntimeError("swap failed")
+
+    monkeypatch.setattr(promoter, "_apply_updates", boom)
+    with pytest.raises(RuntimeError, match="swap failed"):
+        promoter.promote()
+    # workspace dropped, ledger still STAGED, staged data intact
+    assert not promoter.promotion["DiaObject"].exists()
+    row = ledger.read().first()
+    assert row.status == ChunkStatus.STAGED.value
+    assert promoter.staging["DiaObject"].read(spark).count() == 1
+    # retry succeeds
+    monkeypatch.undo()
+    assert promoter.promote() == [1]

@@ -1,0 +1,56 @@
+"""Z-order spatial index: nesting, locality, and range-pruning
+properties that make it a valid ST_GEOGPOINT-clustering replacement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.ops.spatial import with_geo_point, zorder_cell, zorder_index
+
+
+def _sky(spark, pts):
+    return with_geo_point(
+        spark.createDataFrame(pts, "ra DOUBLE, dec DOUBLE")
+    )
+
+
+def test_zorder_distinct_and_bounded(spark):
+    pts = [(ra * 10.0, dec * 10.0 - 90.0) for ra in range(10) for dec in range(10)]
+    rows = _sky(spark, pts).collect()
+    codes = [r.geo_point for r in rows]
+    assert len(set(codes)) == len(codes)  # distinct cells -> distinct codes
+    assert all(0 <= c < 1 << 32 for c in codes)
+
+
+def test_zorder_locality(spark):
+    """Nearby points share high bits: same coarse cell."""
+    rows = _sky(
+        spark, [(45.0, -30.0), (45.001, -30.001), (225.0, 60.0)]
+    ).withColumn("cell", zorder_cell(F.col("geo_point"), level=8)).collect()
+    near_a, near_b, far = rows
+    assert near_a.cell == near_b.cell
+    assert far.cell != near_a.cell
+
+
+def test_zorder_cell_nesting(spark):
+    """Every level-L cell id is the parent of its level-(L+1) ids."""
+    df = _sky(spark, [(123.4, 5.6)])
+    out = df.select(
+        zorder_cell(F.col("geo_point"), 4).alias("c4"),
+        zorder_cell(F.col("geo_point"), 5).alias("c5"),
+    ).first()
+    assert out.c5 >> 2 == out.c4
+
+
+def test_zorder_cell_level_bounds(spark):
+    df = _sky(spark, [(0.0, 0.0)])
+    with pytest.raises(ValueError):
+        df.select(zorder_cell(F.col("geo_point"), 0))
+    with pytest.raises(ValueError):
+        df.select(zorder_cell(F.col("geo_point"), 17))
+
+
+def test_edge_coordinates_clamped(spark):
+    rows = _sky(spark, [(359.999999, 89.999999), (0.0, -90.0)]).collect()
+    assert all(0 <= r.geo_point < 1 << 32 for r in rows)
