@@ -677,6 +677,67 @@ def q_spatial_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box.withColumn("geo_point", zorder_index(F.col("ra"), F.col("dec")))
 
 
+def _cone_search_sql() -> str:
+    from .ops.spatial import cells_for_box
+
+    cells = cells_for_box(48.0, 52.0, -87.0, -83.0, level=8)
+    cell_list = ", ".join(str(c) for c in cells)
+    return f"""
+WITH sky AS (
+    SELECT o_orderkey,
+           (o_orderkey % 36000) / 100.0 AS ra,
+           (o_custkey % 18000) / 100.0 - 90.0 AS dec
+    FROM orders
+),
+q AS (
+    SELECT o_orderkey, ra, dec,
+           least(65535, CAST(floor(ra / 360.0 * 65536) AS BIGINT)) AS qx,
+           least(65535, CAST(floor((dec + 90.0) / 180.0 * 65536) AS BIGINT)) AS qy
+    FROM sky
+),
+coarse AS (
+    SELECT o_orderkey, ra, dec,
+           CAST({_zorder_sql('qx', 'qy')} AS BIGINT) // {4 ** (16 - 8)} AS cell
+    FROM q
+)
+SELECT o_orderkey, ra, dec,
+       round(sqrt((ra - 50.0) * (ra - 50.0) + (dec + 85.0) * (dec + 85.0)), 6)
+           AS dist_deg
+FROM coarse
+WHERE cell IN ({cell_list})
+  AND (ra - 50.0) * (ra - 50.0) + (dec + 85.0) * (dec + 85.0) <= 4.0
+"""
+
+
+@register("cone_search", _cone_search_sql())
+def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune + refine sky cone search: coarse Z-order cells (data-
+    skipping predicate on the clustering key) then the exact radius
+    filter.
+
+    The cell IN-list is computed driver-side by
+    ``ops.spatial.cells_for_box`` — on a geo_point-sorted table the
+    coarse predicate prunes parquet row groups before a single exact
+    distance is evaluated (the BigQuery geo-clustering access path).
+    """
+    from .ops.spatial import cells_for_box, zorder_cell, zorder_index
+
+    cells = cells_for_box(48.0, 52.0, -87.0, -83.0, level=8)
+    sky = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 36000) / 100.0).alias("ra"),
+        ((F.col("o_custkey") % 18000) / 100.0 - 90.0).alias("dec"),
+    )
+    coarse = sky.withColumn(
+        "cell", zorder_cell(zorder_index(F.col("ra"), F.col("dec")), level=8)
+    ).filter(F.col("cell").isin(cells))
+    d2 = (F.col("ra") - 50.0) ** 2 + (F.col("dec") + 85.0) ** 2
+    return (
+        coarse.filter(d2 <= 4.0)
+        .select("o_orderkey", "ra", "dec", F.round(F.sqrt(d2), 6).alias("dist_deg"))
+    )
+
+
 _WINDOWED_COUNTS_SQL = """
 SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
        event_type,

@@ -61,3 +61,40 @@ def zorder_cell(geo_point: Column, level: int, bits_per_axis: int = 16) -> Colum
     if not 0 < level <= bits_per_axis:
         raise ValueError(f"level must be in (0, {bits_per_axis}]")
     return F.shiftright(geo_point, 2 * (bits_per_axis - level))
+
+
+def _morton(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def cells_for_box(
+    ra_min: float,
+    ra_max: float,
+    dec_min: float,
+    dec_max: float,
+    level: int,
+    bits_per_axis: int = 16,
+) -> list[int]:
+    """Driver-side: the level-``level`` Z-order cells covering a sky box.
+
+    The query-planning half of the prune+refine pattern: these cell ids
+    become an IN/range predicate on ``zorder_cell(geo_point, level)``
+    that parquet min/max stats can skip on; the exact geometric filter
+    then refines the survivors.  Matches ``zorder_cell(zorder_index(ra,
+    dec), level)`` exactly because truncating a floor-quantization is
+    the coarser floor-quantization.  (No RA wraparound handling — split
+    the box at 0/360 first.)
+    """
+    scale = 1 << level
+    x0 = max(0, min(scale - 1, int(ra_min / 360.0 * scale)))
+    x1 = max(0, min(scale - 1, int(ra_max / 360.0 * scale)))
+    y0 = max(0, min(scale - 1, int((dec_min + 90.0) / 180.0 * scale)))
+    y1 = max(0, min(scale - 1, int((dec_max + 90.0) / 180.0 * scale)))
+    return sorted(
+        _morton(x, y, level)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    )

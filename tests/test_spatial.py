@@ -54,3 +54,35 @@ def test_zorder_cell_level_bounds(spark):
 def test_edge_coordinates_clamped(spark):
     rows = _sky(spark, [(359.999999, 89.999999), (0.0, -90.0)]).collect()
     assert all(0 <= r.geo_point < 1 << 32 for r in rows)
+
+
+def test_cells_for_box_covers_refine_region(spark):
+    """Prune + refine == plain refine: the coarse cell predicate must
+    not drop any point inside the exact region."""
+    from dax_ppdb_spark.ops.spatial import cells_for_box
+
+    pts = [
+        (48.0 + i * 0.37, -87.0 + j * 0.29)
+        for i in range(12)
+        for j in range(15)
+    ]
+    df = _sky(spark, pts).withColumn("cell", zorder_cell(F.col("geo_point"), 8))
+    d2 = (F.col("ra") - 50.0) ** 2 + (F.col("dec") + 85.0) ** 2
+    exact = df.filter(d2 <= 4.0)
+    cells = cells_for_box(48.0, 52.0, -87.0, -83.0, level=8)
+    pruned = exact.filter(F.col("cell").isin(cells))
+    assert pruned.count() == exact.count() > 0
+
+
+def test_cells_match_column_expression(spark):
+    """cells_for_box quantization must agree with zorder_cell/zorder_index."""
+    from dax_ppdb_spark.ops.spatial import cells_for_box
+
+    pts = [(48.01, -86.99), (51.99, -83.01), (50.0, -85.0)]
+    rows = (
+        _sky(spark, pts)
+        .withColumn("cell", zorder_cell(F.col("geo_point"), 8))
+        .collect()
+    )
+    cells = set(cells_for_box(48.0, 52.0, -87.0, -83.0, level=8))
+    assert all(r.cell in cells for r in rows)
