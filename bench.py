@@ -36,6 +36,7 @@ HEADLINE = [
     "ledger_scan",
     "distinct_ids",
     "spatial_box",
+    "cone_search",
     "windowed_counts",
     # LLM-data operators
     "dedup_exact",
