@@ -172,19 +172,30 @@ class Promoter:
 
     def _create_public_snapshot(self) -> None:
         """Step 5: public DiaObject = current rows only, without
-        validityEndMjdTai, clustered by geo_point (D10/P3/P4)."""
+        validityEndMjdTai, clustered by geo_point (D10/P3/P4).
+
+        Two-level clustering: partitioned by the coarse Z-order cell
+        (``geo_cell``, level 4 => at most 256 directories) so sky
+        queries prune whole partitions at the metadata level, and
+        sorted by the full ``geo_point`` within files so row-group
+        min/max stats prune inside each partition — together the
+        BigQuery ``CLUSTER BY geo_point`` access path.
+        """
         if not self.internal["DiaObject"].exists():
             return
+        from ..ops.spatial import zorder_cell
+
         cur = (
             self.internal["DiaObject"]
             .read(self.spark)
             .filter(F.col("validityEndMjdTai").isNull())
             .drop("validityEndMjdTai")
+            .withColumn("geo_cell", zorder_cell(F.col("geo_point"), level=4))
         )
         clustered = cur.repartitionByRange(F.col("geo_point")).sortWithinPartitions(
             "geo_point"
         )
-        self.public_diaobject.overwrite(clustered)
+        self.public_diaobject.overwrite(clustered, partition_by=("geo_cell",))
 
     def _delete_staged(self, chunk_ids: list[int]) -> None:
         """Step 6: partition drops on staging tables (D11)."""

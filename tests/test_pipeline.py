@@ -179,3 +179,18 @@ def test_promotion_failure_cleans_workspace_and_keeps_ledger(spark, tmp_path, mo
     # retry succeeds
     monkeypatch.undo()
     assert promoter.promote() == [1]
+
+
+def test_public_snapshot_partition_prunes_sky_queries(spark, promoted):
+    """The public table is partitioned by coarse Z-order cell: a sky
+    query filtered on geo_cell must show PartitionFilters in the scan
+    (metadata-level pruning, no data read outside the region)."""
+    pub = promoted.public_diaobject.read(spark)
+    assert "geo_cell" in pub.columns
+    one_cell = pub.select("geo_cell").first().geo_cell
+    q = pub.filter(F.col("geo_cell") == one_cell)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "geo_cell" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
