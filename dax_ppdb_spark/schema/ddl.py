@@ -94,8 +94,12 @@ class DatasetBuilder:
         db = self.database("public")
         internal = self.database("internal")
         dia_object = _with_field(
-            _without_field(self.schema.struct("DiaObject"), "validityEndMjdTai"),
-            StructField("geo_point", LongType(), True),
+            _with_field(
+                _without_field(self.schema.struct("DiaObject"), "validityEndMjdTai"),
+                StructField("geo_point", LongType(), True),
+            ),
+            # Coarse partition key: see Promoter._create_public_snapshot.
+            StructField("geo_cell", LongType(), True),
         )
         self._create_table(db, "DiaObject", dia_object)
         for t in ("DiaSource", "DiaForcedSource"):

@@ -127,7 +127,8 @@ def test_dataset_builder_creates_namespaces(spark, tmp_path):
         internal_cols = [f.name for f in spark.table("t_ppdb_internal.DiaObject").schema]
         assert "geo_point" in internal_cols
         public_cols = [f.name for f in spark.table("t_ppdb_public.DiaObject").schema]
-        assert "validityEndMjdTai" not in public_cols and "geo_point" in public_cols
+        assert "validityEndMjdTai" not in public_cols
+        assert "geo_point" in public_cols and "geo_cell" in public_cols
         # public DiaSource is a view over internal
         spark.sql(
             "INSERT INTO t_ppdb_internal.DiaSource "
