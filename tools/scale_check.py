@@ -39,7 +39,12 @@ QUERIES = [
     "token_count_bpe",
     "split_assign",
     "shard_pack",
+    "stratified_sample",
+    "spatial_box",
+    "cone_search",
+    "windowed_counts",
     "ann_topk_bruteforce",
+    "ann_topk_multiprobe",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
