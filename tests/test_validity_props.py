@@ -80,3 +80,35 @@ def test_fill_invariants(spark, rows, staged):
             assert r.validity_end == nxt  # (2)
         else:
             assert r.validity_end is None  # (3)
+
+
+latest_row = st.tuples(
+    st.integers(min_value=1, max_value=4),   # key
+    st.integers(min_value=0, max_value=50),  # chunk
+    st.integers(min_value=0, max_value=50),  # time_ns
+    st.integers(min_value=0, max_value=10),  # order
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(latest_row, min_size=1, max_size=25))
+def test_latest_only_invariants(spark, rows):
+    """W3 contract (expanded_updates_table.py:185-201): exactly one
+    survivor per key, and it carries the lexicographically-greatest
+    (chunk, time_ns, order) tuple."""
+    from dax_ppdb_spark.ops.latest import latest_only
+
+    rows = list({r: None for r in rows})  # dedup exact duplicates
+    df = spark.createDataFrame(rows, "k LONG, chunk LONG, t LONG, o LONG")
+    out = latest_only(df, ["k"], ["chunk", "t", "o"]).collect()
+    expected = {}
+    for k, c, t, o in rows:
+        if k not in expected or (c, t, o) > expected[k]:
+            expected[k] = (c, t, o)
+    assert len(out) == len(expected)
+    for r in out:
+        assert (r.chunk, r.t, r.o) == expected[r.k]
