@@ -505,3 +505,52 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "media_type", "meta_width", "meta_height",
         F.length("payload").alias("n_bytes"),
     )
+
+
+_CURATE_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           least(len({_TOKS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1)) * 0.3
+           + 1.0 / (1.0 + (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)) * 10.0) * 0.3
+               AS quality_score
+    FROM documents
+),
+quality AS (SELECT * FROM scored WHERE quality_score >= 0.4),
+deduped AS (
+    SELECT * FROM quality
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+)
+SELECT doc_id, lang, round(quality_score, 6) AS quality_score,
+       CASE WHEN {md5_long_sql("'split' || CAST(doc_id AS VARCHAR)")} % 1000000 < 900000
+            THEN 'train'
+            WHEN {md5_long_sql("'split' || CAST(doc_id AS VARCHAR)")} % 1000000 < 950000
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM deduped
+"""
+
+
+@register("corpus_curate", _CURATE_SQL)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation pipeline: quality filter -> exact dedup (keep
+    min doc_id per text) -> deterministic split assignment, composed
+    from the individual operators.  One shuffle (the dedup groupBy);
+    quality scoring and splitting are map-side."""
+    from .llm.sampling import hash_split
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    quality = docs.withColumn(
+        "quality_score", quality_metrics(F.col("text"))["quality_score"]
+    ).filter(F.col("quality_score") >= 0.4)
+    keep = (
+        quality.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(keep, "doc_id", "left_semi")
+    return hash_split(deduped).select(
+        "doc_id", "lang", F.round("quality_score", 6).alias("quality_score"), "split"
+    )

@@ -14,6 +14,7 @@ invisible, harmlessly re-writable data (SURVEY §7.4).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,15 +47,19 @@ def store_chunk(
     update_count = 0
     for name, df in tables.items():
         tagged = df.withColumn(CHUNK_COLUMN, F.lit(chunk_id))
-        write_parquet(tagged, os.path.join(chunk_dir, name), exclude=EXPORT_EXCLUDE)
-        total += tagged.count()
+        path = os.path.join(chunk_dir, name)
+        write_parquet(tagged, path, exclude=EXPORT_EXCLUDE)
+        # Count from the written files: parquet footer row counts, no
+        # recompute of the input lineage.
+        total += spark.read.parquet(path).count()
     if updates is not None:
-        update_count = updates.count()
-        if update_count:
-            write_parquet(
-                updates.withColumn(CHUNK_COLUMN, F.lit(chunk_id)),
-                os.path.join(chunk_dir, "updates"),
-            )
+        upath = os.path.join(chunk_dir, "updates")
+        write_parquet(
+            updates.withColumn(CHUNK_COLUMN, F.lit(chunk_id)), upath
+        )
+        update_count = spark.read.parquet(upath).count()
+        if not update_count:
+            shutil.rmtree(upath, ignore_errors=True)
         total += update_count
     write_manifest(chunk_dir, chunk_id, extra={"tables": sorted(tables)})
     if ledger is not None:
