@@ -49,6 +49,7 @@ HEADLINE = [
     "split_assign",
     "stratified_sample",
     "shard_pack",
+    "corpus_curate",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_multiprobe",
