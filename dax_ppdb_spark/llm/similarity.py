@@ -75,6 +75,101 @@ def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     )
 
 
+def _dist2_to(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the closest centroid (first wins on ties)."""
+    dists = F.array(*[_dist2_to(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations on DataFrames — the real IVF
+    coarse quantizer (``sign_bucket`` is the model-free stand-in).
+
+    Deterministic by construction: init = the ``n_clusters`` lowest-id
+    vectors, fixed iteration count, first-wins tie-break on assignment,
+    and centroids rounded to 6 decimals each update so float partial-
+    aggregation ulp noise cannot flip assignments between runs.  Each
+    iteration is one assignment pass (centroids inlined as literals —
+    no join, no shuffle) plus one element-wise mean (posexplode +
+    groupBy over n_clusters*dim cells).  Only ``n_clusters * dim``
+    floats ever reach the driver.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
+    for _ in range(iters):
+        assigned = c.select(nearest_centroid(F.col("v"), cents).alias("cid"), "v")
+        cells = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        new = {cid: dict() for cid in range(len(cents))}
+        for r in cells:
+            new[r.cid][r.pos] = r.m
+        cents = [
+            [new[cid][p] for p in sorted(new[cid])] if new[cid] else cents[cid]
+            for cid in range(len(cents))
+        ]
+    return cents
+
+
+def topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k with learned (k-means) centroids: train the coarse
+    quantizer, assign corpus and queries to their nearest centroid,
+    probe only the query's cell.  Same output shape as the other top-k
+    variants.  At scale: train on a sample, write the corpus
+    partitioned by ``cid``, and probes become partition-pruned reads.
+    """
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cid", nearest_centroid(F.col("cv"), cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cid", nearest_centroid(F.col("qv"), cents))
+    joined = c.join(F.broadcast(q), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def probe_buckets(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     """The query's bucket plus every Hamming-1 neighbor (one sign bit
     flipped) — 1 + len(dims) probes."""

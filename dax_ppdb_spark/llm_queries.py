@@ -554,3 +554,15 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(deduped).select(
         "doc_id", "lang", F.round("quality_score", 6).alias("quality_score"), "split"
     )
+
+
+@register("ann_topk_kmeans", None)  # iterative training: rows-only check
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a learned k-means coarse quantizer (3 Lloyd
+    iterations, deterministic init/tie-breaks/rounding).  Iterative
+    training is not single-statement SQL -> rows-only driver check;
+    determinism is pinned by unit test instead."""
+    from .llm.similarity import topk_kmeans
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_kmeans(emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8)

@@ -258,3 +258,31 @@ def test_resize_images_plumbing(spark):
     audio = out[2]  # untouched passthrough
     assert (audio.meta_width, audio.meta_height) == (640, 480)
     assert len(audio.payload) == 100
+
+
+def test_kmeans_ivf_deterministic_and_sane(spark):
+    from dax_ppdb_spark.llm.similarity import (
+        kmeans_centroids,
+        topk_bruteforce,
+        topk_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_centroids(emb, n_clusters=4, iters=2)
+    c2 = kmeans_centroids(emb, n_clusters=4, iters=2)
+    assert c1 == c2  # bit-identical across runs
+    assert len(c1) == 4 and all(len(c) == len(c1[0]) for c in c1)
+
+    q = emb.filter(emb.vec_id < 5)
+    approx = topk_kmeans(emb, q, k=5, n_clusters=4, iters=2)
+    rows = approx.collect()
+    assert len(rows) == 25  # 5 queries x top-5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    exact = {(r.query_id, r.neighbor_id) for r in topk_bruteforce(emb, q, k=5).collect()}
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in rows)
+    assert hits > 0  # learned cells recover some exact neighbors
+    for qid, rs in per_q.items():
+        cos = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
