@@ -121,3 +121,41 @@ def test_windowed_event_counts_batch_semantics(spark):
     out = windowed_event_counts(events).collect()
     got = {(r.win.start.minute, r.event_type): r.n_events for r in out}
     assert got == {(0, "a"): 2, (10, "a"): 1, (0, "b"): 1}
+
+
+def test_windowed_counts_on_a_real_stream(spark, tmp_path):
+    """The same operator on a streaming DataFrame: file-source stream,
+    watermark applied, availableNow drain via foreachBatch."""
+    import datetime as dt
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    t = dt.datetime(2026, 1, 1, 0, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (t, "a"),
+            (t + dt.timedelta(minutes=5), "a"),
+            (t + dt.timedelta(minutes=12), "b"),
+        ],
+        "ts TIMESTAMP, event_type STRING",
+    )
+    batch.write.parquet(os.path.join(src, "p0"))
+
+    stream = spark.readStream.schema(batch.schema).parquet(src + "/*")
+    agg = windowed_event_counts(stream)
+    assert agg.isStreaming
+    got: dict = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[(r.win.start.minute, r.event_type)] = r.n_events
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == {(0, "a"): 2, (10, "b"): 1}

@@ -86,3 +86,27 @@ def test_cells_match_column_expression(spark):
     )
     cells = set(cells_for_box(48.0, 52.0, -87.0, -83.0, level=8))
     assert all(r.cell in cells for r in rows)
+
+
+def test_cells_for_box_property(spark):
+    """Random boxes + random interior points: every point's coarse
+    cell is in the box's cell cover (hypothesis-style sweep without
+    per-example Spark jobs — quantization is replayed in Python)."""
+    import random
+
+    from dax_ppdb_spark.ops.spatial import _morton, cells_for_box
+
+    rng = random.Random(42)
+    for _ in range(200):
+        ra0 = rng.uniform(0, 350)
+        ra1 = ra0 + rng.uniform(0.01, 9)
+        dec0 = rng.uniform(-90, 80)
+        dec1 = dec0 + rng.uniform(0.01, 9)
+        level = rng.choice([4, 6, 8, 10])
+        cells = set(cells_for_box(ra0, ra1, dec0, dec1, level))
+        for _ in range(5):
+            ra = rng.uniform(ra0, min(ra1, 359.999999))
+            dec = rng.uniform(dec0, min(dec1, 89.999999))
+            x = min(65535, int(ra / 360.0 * 65536)) >> (16 - level)
+            y = min(65535, int((dec + 90.0) / 180.0 * 65536)) >> (16 - level)
+            assert _morton(x, y, level) in cells
