@@ -159,3 +159,45 @@ def test_windowed_counts_on_a_real_stream(spark, tmp_path):
     )
     q.awaitTermination()
     assert got == {(0, "a"): 2, (10, "b"): 1}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across two
+    availableNow drains sharing one checkpoint (state restore)."""
+    from dax_ppdb_spark.streaming import running_event_totals
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    schema = "event_id LONG, event_type STRING"
+    spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], schema).write.parquet(
+        os.path.join(src, "b0")
+    )
+    results: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "b0")).schema
+        ).parquet(src + "/*")
+        q = (
+            running_event_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: results.extend(
+                    (r.key, r.n_batch, r.n_total) for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(results) == [("a", 2, 2), ("b", 1, 1)]
+    # second batch lands; totals continue from checkpointed state
+    spark.createDataFrame([(4, "a"), (5, "c")], schema).write.mode("append").parquet(
+        os.path.join(src, "b1")
+    )
+    results.clear()
+    run_once()
+    assert sorted(results) == [("a", 1, 3), ("c", 1, 1)]
