@@ -17,12 +17,22 @@ from .dedup import (  # noqa: F401
     shingles,
     simhash,
 )
+from .sampling import (  # noqa: F401
+    hash_split,
+    pack_shards,
+    stratified_sample,
+)
 from .similarity import (  # noqa: F401
     cosine_similarity,
+    kmeans_centroids,
     topk_bruteforce,
     topk_bucketed,
+    topk_kmeans,
+    topk_multiprobe,
 )
 from .text import (  # noqa: F401
+    bpe_token_count,
+    bpe_tokens,
     doc_fingerprint,
     language_id,
     md5_long,

@@ -228,6 +228,38 @@ def minhash_lsh_pairs(
     )
 
 
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    n-gram with an evaluation set.
+
+    The standard pretraining hygiene pass (exclude train docs that
+    leak eval content).  The benchmark side is tiny -> its distinct
+    shingles broadcast, so the corpus side is a map-side semi-join on
+    the exploded shingles: no corpus shuffle, scales to the full
+    100 TB scan.  Returns distinct contaminated ``doc_id`` +
+    ``n_hits`` (how many distinct eval shingles matched).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """Per-document SimHash signature (``bits`` wide), zero-shuffle.
 

@@ -566,3 +566,36 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read_spread(spark, sf_dir, "embeddings")
     return topk_kmeans(emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8)
+
+
+_SHINGLES5 = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS}) - 3, 1)), "
+    f"i -> array_to_string(({_TOKS})[i:i+4], ' ')))"
+)
+
+_DECONTAMINATE_SQL = f"""
+WITH bench AS (
+    SELECT DISTINCT unnest({_SHINGLES5}) AS shingle
+    FROM documents WHERE doc_id >= 490 AND len({_TOKS}) >= 5
+),
+doc_sh AS (
+    SELECT doc_id, unnest({_SHINGLES5}) AS shingle
+    FROM documents WHERE len({_TOKS}) >= 5
+)
+SELECT doc_id, COUNT(DISTINCT shingle) AS n_hits
+FROM doc_sh JOIN bench USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@register("decontaminate", _DECONTAMINATE_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 5-gram with the
+    held-out set (docs with id >= 490 stand in for the benchmark).
+    Benchmark shingles broadcast; the corpus side never shuffles."""
+    from .llm.dedup import contaminated_docs
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") >= 490)
+    return contaminated_docs(docs, bench, n=5)

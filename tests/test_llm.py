@@ -286,3 +286,23 @@ def test_kmeans_ivf_deterministic_and_sane(spark):
     for qid, rs in per_q.items():
         cos = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_decontamination_flags_leaked_docs(spark):
+    from dax_ppdb_spark.llm.dedup import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris indeed")],
+        "doc_id LONG, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "we know the capital of france is paris so the answer leaks"),
+            (2, "completely unrelated text about astronomy and telescopes here"),
+            (3, "short"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.n_hits for r in contaminated_docs(docs, bench, n=5).collect()}
+    assert 1 in out and out[1] >= 1  # leaked doc flagged
+    assert 2 not in out and 3 not in out
