@@ -163,3 +163,32 @@ def test_validate_missing_targets(spark):
     target = spark.createDataFrame([(100001,)], "diaSourceId LONG")
     missing = validate_update_targets(target, patch, ("diaSourceId",)).collect()
     assert sorted(r.diaSourceId for r in missing) == [100002, 100003]
+
+
+def test_latest_only_agg_matches_window_form(spark):
+    """The max_by aggregation form and the row_number window form pick
+    the same winners (ordering tuples unique by construction)."""
+    import random
+
+    from dax_ppdb_spark.ops.latest import latest_only, latest_only_agg
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(1, 20), rng.randint(0, 30), i, f"v{i}")
+        for i in range(300)
+    ]  # i makes the (t, i) ordering tuple unique
+    df = spark.createDataFrame(rows, "k LONG, t LONG, o LONG, v STRING")
+    a = {(r.k, r.t, r.o, r.v) for r in latest_only(df, ["k"], ["t", "o"]).collect()}
+    b = {(r.k, r.t, r.o, r.v) for r in latest_only_agg(df, ["k"], ["t", "o"]).collect()}
+    assert a == b and len(a) == df.select("k").distinct().count()
+
+
+def test_latest_only_agg_partial_aggregates(spark):
+    """The plan must show a two-phase hash aggregate (partial_maxby
+    before the exchange) — the reason this form wins at scale."""
+    from dax_ppdb_spark.ops.latest import latest_only_agg
+
+    df = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id AS o", "CAST(id AS STRING) AS v")
+    out = latest_only_agg(df, ["k"], ["t", "o"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
