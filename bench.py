@@ -38,6 +38,7 @@ HEADLINE = [
     "spatial_box",
     "cone_search",
     "windowed_counts",
+    "sessionize",
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -50,6 +51,7 @@ HEADLINE = [
     "stratified_sample",
     "shard_pack",
     "corpus_curate",
+    "quality_quantiles",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_multiprobe",

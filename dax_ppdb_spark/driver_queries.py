@@ -782,3 +782,52 @@ def oracle_sql() -> dict[str, str]:
     from . import llm_queries  # noqa: F401
 
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+tagged AS (
+    SELECT user_id, event_id, ts_us,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS session_seq
+    FROM ordered
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM tagged
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize", _SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag -> new-session flag -> running sum as session id -> per-session
+    aggregates.  One shuffle on user_id shared by both windows and the
+    final aggregation (same partition key); the streaming-native
+    variant is ``F.session_window`` with a watermark.
+    """
+    events = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+    ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)
+    tagged = events.withColumn("new_session", new_session).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )

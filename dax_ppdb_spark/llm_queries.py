@@ -599,3 +599,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_spread(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") >= 490)
     return contaminated_docs(docs, bench, n=5)
+
+
+_QUALITY_QUANTILES_SQL = f"""
+WITH scored AS (
+    SELECT least(len({_TOKS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1)) * 0.3
+           + 1.0 / (1.0 + (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)) * 10.0) * 0.3
+               AS q
+    FROM documents
+)
+SELECT round(quantile_cont(q, 0.25), 6) AS p25,
+       round(quantile_cont(q, 0.50), 6) AS p50,
+       round(quantile_cont(q, 0.75), 6) AS p75,
+       round(quantile_cont(q, 0.95), 6) AS p95
+FROM scored
+"""
+
+
+@register("quality_quantiles", _QUALITY_QUANTILES_SQL)
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of the quality score — how the
+    "drop the bottom X%" threshold is chosen.  Exact ``percentile``
+    here (sort-based, engine-identical); at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, single pass, mergeable)
+    and accept the epsilon."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    scored = docs.select(quality_metrics(F.col("text"))["quality_score"].alias("q"))
+    return scored.select(
+        *[
+            F.round(F.expr(f"percentile(q, {p})"), 6).alias(name)
+            for name, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+        ]
+    )
