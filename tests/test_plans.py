@@ -87,3 +87,10 @@ def test_ann_queries_broadcast_query_side(spark, sf_dir, registry):
         # corpus must not hash-shuffle before the join
         probe = plan.split("BroadcastExchange")[0]
         assert "Exchange hashpartitioning" not in probe, f"{name}: corpus shuffled"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir, registry):
+    """lag-window, cumsum-window, and the session aggregation all key
+    on user_id: one exchange must serve all three."""
+    plan = plan_of(registry["sessionize"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
