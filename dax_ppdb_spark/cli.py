@@ -46,6 +46,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
         promoter.ledger,
         min_wait_s=args.min_wait_time,
         max_wait_s=args.max_wait_time,
+        update=args.update,
     )
 
     # The replicator inserts the EXPORTED ledger row after stage_fn
@@ -111,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-wait-time", type=float, default=300.0)
     p.add_argument("--max-wait-time", type=float, default=900.0)
     p.add_argument("--check-interval", type=float, default=360.0)
+    p.add_argument("--update", action="store_true",
+                   help="allow re-replication of chunks whose uuid changed")
     p.add_argument("--loop", action="store_true", help="poll continuously")
     p.set_defaults(func=_cmd_run)
 

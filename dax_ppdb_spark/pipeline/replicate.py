@@ -75,12 +75,19 @@ class Replicator:
         ledger: Ledger,
         min_wait_s: float = 300.0,
         max_wait_s: float = 900.0,
+        update: bool = False,
     ) -> None:
+        """``update=True`` enables re-replication: a chunk whose
+        ``unique_id`` changed at the source (the APDB re-generated it)
+        is copied again and its ledger row upserted, instead of the
+        mismatch being a hard error (reference ``replicator.py:55-56``,
+        store path ``sql/_ppdb_sql.py:140-155`` / upsert D2)."""
         self.spark = spark
         self.source = source
         self.ledger = ledger
         self.min_wait_s = min_wait_s
         self.max_wait_s = max_wait_s
+        self.update = update
 
     def pending_chunks(self, now: datetime.datetime | None = None) -> list[SourceChunk]:
         """J5 + watermark: source chunks not yet in the ledger whose
@@ -99,17 +106,21 @@ class Replicator:
             "apdb_replica_chunk LONG, unique_id STRING",
         )
         ppdb = self.ledger.read()
-        bad = consistency_mismatches(src_df, ppdb).collect()
-        if bad:
-            ids = sorted(r.apdb_replica_chunk for r in bad)
-            raise ValueError(f"unique_id mismatch for replicated chunks: {ids}")
+        mismatched = {
+            r.apdb_replica_chunk for r in consistency_mismatches(src_df, ppdb).collect()
+        }
+        if mismatched and not self.update:
+            raise ValueError(
+                f"unique_id mismatch for replicated chunks: {sorted(mismatched)}"
+            )
         missing_ids = {
             r.apdb_replica_chunk for r in replication_diff(src_df, ppdb).collect()
         }
+        eligible = missing_ids | mismatched
         newest_id = chunks[-1].chunk_id
         out: list[SourceChunk] = []
         for c in chunks:
-            if c.chunk_id not in missing_ids:
+            if c.chunk_id not in eligible:
                 continue
             has_newer = c.chunk_id < newest_id
             if not can_replicate(
@@ -123,12 +134,17 @@ class Replicator:
         self,
         stage_fn,
         now: datetime.datetime | None = None,
+        count: int | None = None,
     ) -> list[int]:
         """One poll iteration: copy every eligible chunk via
-        ``stage_fn(chunk) -> None`` and record it in the ledger.
-        Returns the copied chunk ids."""
+        ``stage_fn(chunk) -> None`` and record it in the ledger
+        (insert, or upsert when re-replicating under ``update=True``).
+        ``count`` bounds the chunks copied per poll
+        (``replicator.py:97-99``).  Returns the copied chunk ids."""
         copied = []
         for c in self.pending_chunks(now):
+            if count is not None and len(copied) >= count:
+                break
             stage_fn(c)
             row = {
                 "apdb_replica_chunk": c.chunk_id,
@@ -137,6 +153,9 @@ class Replicator:
             }
             if c.unique_id:
                 row["unique_id"] = c.unique_id
-            self.ledger.insert_chunks([row])
+            if self.update and self.ledger.exists(c.chunk_id):
+                self.ledger.upsert_chunk(row)
+            else:
+                self.ledger.insert_chunks([row])
             copied.append(c.chunk_id)
         return copied

@@ -201,3 +201,36 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     results.clear()
     run_once()
     assert sorted(results) == [("a", 1, 3), ("c", 1, 1)]
+
+
+def test_update_mode_rereplicates_mismatched_chunk(spark, tmp_path, now):
+    """update=True: a source chunk whose uuid changed is copied again
+    and its ledger row upserted (reference --update / D2 path)."""
+    root = str(tmp_path / "apdb")
+    base = now.replace(tzinfo=UTC).timestamp()
+    _write_chunk(root, 1, base - 2000, "new-uuid")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    ledger.insert_chunks([{"apdb_replica_chunk": 1, "unique_id": "old-uuid"}])
+
+    strict = Replicator(spark, DirectoryApdbSource(root), ledger)
+    with pytest.raises(ValueError, match="unique_id mismatch"):
+        strict.pending_chunks(now)
+
+    rerep = Replicator(spark, DirectoryApdbSource(root), ledger, update=True)
+    staged = []
+    assert rerep.replicate_once(lambda c: staged.append(c.chunk_id), now=now) == [1]
+    rows = ledger.read().collect()
+    assert len(rows) == 1 and rows[0].unique_id == "new-uuid"
+    # converged: nothing pending afterwards
+    assert rerep.pending_chunks(now) == []
+
+
+def test_count_bounds_chunks_per_poll(spark, tmp_path, now):
+    root = str(tmp_path / "apdb")
+    base = now.replace(tzinfo=UTC).timestamp()
+    for cid in (1, 2, 3):
+        _write_chunk(root, cid, base - 2000, f"u{cid}")
+    ledger = Ledger(spark, str(tmp_path / "ledger"))
+    rep = Replicator(spark, DirectoryApdbSource(root), ledger)
+    assert rep.replicate_once(lambda c: None, now=now, count=2) == [1, 2]
+    assert rep.replicate_once(lambda c: None, now=now) == [3]
