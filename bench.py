@@ -31,6 +31,7 @@ HEADLINE = [
     "semi_prune",
     "replication_diff",
     "pricing_summary",
+    "revenue_by_nation",
     "pivot_patch",
     "update_explode",
     "ledger_scan",

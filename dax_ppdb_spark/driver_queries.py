@@ -831,3 +831,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS nation, r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("revenue_by_nation", _REVENUE_BY_NATION_SQL)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join tree (fact + 4 dims), TPC-H Q5 shape.
+
+    All four dimension sides are broadcast-sized, so the plan is a
+    chain of broadcast hash joins over a single fact scan — zero fact
+    shuffles before the final aggregation.  Revenue sums go through
+    DECIMAL(18,2) for engine-order-independent totals.
+    """
+    l = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    # Exact decimal arithmetic end-to-end: casting the double PRODUCT
+    # to decimal would round it, and Spark/DuckDB disagree on rounding
+    # mode at ties; decimal-in, decimal-out is bit-identical.
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

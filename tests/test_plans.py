@@ -94,3 +94,13 @@ def test_sessionize_single_shuffle(spark, sf_dir, registry):
     on user_id: one exchange must serve all three."""
     plan = plan_of(registry["sessionize"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_multiway_join_broadcasts_all_dims(spark, sf_dir, registry):
+    """Q5-shaped join tree: four broadcast hash joins, and the fact
+    side reaches the partial aggregation without a single shuffle."""
+    plan = plan_of(registry["revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    before_first_broadcast = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in before_first_broadcast
