@@ -100,7 +100,8 @@ def test_multiway_join_broadcasts_all_dims(spark, sf_dir, registry):
     """Q5-shaped join tree: four broadcast hash joins, and the fact
     side reaches the partial aggregation without a single shuffle."""
     plan = plan_of(registry["revenue_by_nation"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") == 4
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("BroadcastHashJoin") == 8
     assert "SortMergeJoin" not in plan
     before_first_broadcast = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in before_first_broadcast
