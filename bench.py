@@ -40,6 +40,7 @@ HEADLINE = [
     "cone_search",
     "windowed_counts",
     "sessionize",
+    "asof_attribution",
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -882,3 +882,41 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+"""
+
+
+@register("asof_attribution", _ASOF_SQL)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attributed to the user's most recent
+    prior purchase (NULL when none).  The oracle uses DuckDB's native
+    ASOF JOIN; the Spark side is ``ops.asof.asof_join`` (range join +
+    max_by reduction — see the module docstring for the scale shape).
+    """
+    from .ops.asof import asof_join
+
+    events = _read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts_us", right_time="p_ts_us"
+    )

@@ -1,0 +1,74 @@
+"""As-of join semantics: backward/forward, tolerance, no-match NULLs.
+
+Cross-checked against DuckDB's native ASOF JOIN by the driver oracle
+(`asof_attribution`); these pin the operator's edge behavior directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dax_ppdb_spark.ops.asof import asof_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "b", 50), (4, "c", 10)],
+        "id LONG, k STRING, t LONG",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, "a90"), ("a", 200, "a200"), ("a", 300, "a300"), ("b", 60, "b60")],
+        "k STRING, rt LONG, tag STRING",
+    )
+    return left, right
+
+
+def test_backward_picks_latest_at_or_before(spark):
+    left, right = _sides(spark)
+    out = {r.id: (r.rt, r.tag) for r in asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt").collect()}
+    assert out[1] == (90, "a90")      # 90 <= 100 < 200
+    assert out[2] == (200, "a200")    # latest at-or-before 205
+    assert out[3] == (None, None)     # b's only row is at 60 > 50
+    assert out[4] == (None, None)     # key c has no right rows
+
+
+def test_forward_picks_earliest_at_or_after(spark):
+    left, right = _sides(spark)
+    out = {r.id: (r.rt, r.tag) for r in asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        direction="forward").collect()}
+    assert out[1] == (200, "a200")
+    assert out[2] == (300, "a300")
+    assert out[3] == (60, "b60")
+    assert out[4] == (None, None)
+
+
+def test_tolerance_bounds_lookback(spark):
+    left, right = _sides(spark)
+    out = {r.id: r.tag for r in asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        tolerance=5).collect()}
+    assert out[1] is None            # 100-90=10 > 5
+    assert out[2] == "a200"          # 205-200=5 <= 5
+
+
+def test_exact_time_match_included(spark):
+    left, right = _sides(spark)
+    exact = spark.createDataFrame([(9, "a", 200)], "id LONG, k STRING, t LONG")
+    out = asof_join(exact, right, on=["k"], left_time="t", right_time="rt").first()
+    assert out.tag == "a200"        # at-or-before is inclusive
+
+
+def test_suffix_on_clashing_columns(spark):
+    left = spark.createDataFrame([(1, "a", 10, "L")], "id LONG, k STRING, t LONG, v STRING")
+    right = spark.createDataFrame([("a", 5, "R")], "k STRING, t LONG, v STRING")
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t").first()
+    assert out.v == "L" and out.v_r == "R" and out.t == 10 and out.t_r == 5
+
+
+def test_bad_direction_raises(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                  direction="sideways")
