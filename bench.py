@@ -24,6 +24,7 @@ from dax_ppdb_spark import driver_queries  # noqa: E402
 HEADLINE = [
     "validity_fill",
     "validity_fill_pruned",
+    "snapshot_asof",
     "latest_only",
     "rank_versions",
     "merge_upsert",

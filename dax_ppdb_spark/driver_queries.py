@@ -920,3 +920,44 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on=["user_id"], left_time="ts_us", right_time="p_ts_us"
     )
+
+
+_SNAPSHOT_ASOF_SQL = """
+WITH versioned AS (
+    SELECT o_orderkey, o_custkey, o_orderdate AS validity_start,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_orderdate + INTERVAL 30 DAY
+                ELSE NULL END AS validity_end
+    FROM orders
+),
+filled AS (
+    SELECT o_orderkey, o_custkey, validity_start,
+           COALESCE(validity_end,
+                    LEAD(validity_start) OVER (PARTITION BY o_custkey
+                        ORDER BY validity_start, o_orderkey)) AS validity_end
+    FROM versioned
+)
+SELECT o_orderkey, o_custkey, validity_start, validity_end
+FROM filled
+WHERE validity_start <= TIMESTAMP '1995-06-01 00:00:00'
+  AND (validity_end IS NULL OR validity_end > TIMESTAMP '1995-06-01 00:00:00')
+"""
+
+
+@register("snapshot_asof", _SNAPSHOT_ASOF_SQL)
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot: the version of each object valid at a
+    chosen instant, over the validity-filled table — the reference's
+    public-snapshot semantics (D10/P4) generalized from "now" to any
+    time.  Composition: fill_validity_end -> valid_at (pure filter)."""
+    import datetime
+
+    from .ops.validity import valid_at
+
+    filled = q_validity_fill(spark, sf_dir)
+    return valid_at(
+        filled,
+        datetime.datetime(1995, 6, 1),
+        start_col="validity_start",
+        end_col="validity_end",
+    )

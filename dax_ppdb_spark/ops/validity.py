@@ -74,3 +74,25 @@ def fill_validity_end(
     if untouched is not None:
         filled = filled.unionByName(untouched)
     return filled.select(*target.columns)
+
+
+def valid_at(
+    df: DataFrame,
+    at,
+    start_col: str = "validityStartMjdTai",
+    end_col: str = "validityEndMjdTai",
+) -> DataFrame:
+    """Point-in-time snapshot of an SCD-2 table: rows whose validity
+    interval covers ``at`` (half-open ``[start, end)``; NULL end means
+    still current).
+
+    This is the reference's public-snapshot semantics generalized from
+    "now" to any time (``chunk_promoter.py:297-301`` is the
+    ``at = +inf`` special case).  A pure filter: no shuffle, and when
+    the table is stored sorted/partitioned on the id/spatial key the
+    predicate rides alongside pruning untouched.
+    """
+    t = F.lit(at)
+    return df.filter(
+        (F.col(start_col) <= t) & (F.col(end_col).isNull() | (F.col(end_col) > t))
+    )

@@ -81,3 +81,20 @@ def test_rank_versions(spark):
     out = rank_versions(df)
     got = sorted((r.diaObjectId, r.validityStartMjdTai, r["rank"]) for r in out.collect())
     assert got == [(1, 100.0, 1), (1, 110.0, 2), (2, 100.0, 1)]
+
+
+def test_valid_at_point_in_time(spark):
+    from dax_ppdb_spark.ops.validity import valid_at
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 20.0),   # closed before 25
+            (1, 20.0, None),   # current at 25
+            (2, 30.0, None),   # starts after 25
+            (3, 25.0, 26.0),   # starts exactly at 25 (inclusive)
+            (4, 24.0, 25.0),   # ends exactly at 25 (exclusive)
+        ],
+        "oid LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE",
+    )
+    got = {(r.oid, r.validityStartMjdTai) for r in valid_at(df, 25.0).collect()}
+    assert got == {(1, 20.0), (3, 25.0)}
