@@ -68,3 +68,43 @@ def latest_only_agg(
         .select(*partition_cols, *[F.col(f"__w.{c}").alias(c) for c in others])
         .select(*df.columns)
     )
+
+
+def topk_per_key(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+    descending: bool = True,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k rows per key (k=1 == :func:`latest_only`), with an
+    optional salted two-phase plan for skewed keys.
+
+    Hot window partitions are the one skew AQE cannot split (a window
+    partition must be processed by one task).  With ``salt_buckets``=B
+    the rows first compute top-k within (key, salt) — salt derived
+    from the row content, so any one task sees ~1/B of a hot key —
+    then the <= B*k survivors per key go through the exact window.
+    Global top-k is always a subset of the union of per-bucket top-k,
+    so the result is identical to the direct form; the second window's
+    partitions are bounded by B*k rows regardless of input skew.
+    """
+    ordering = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
+    ]
+    rn = "__rn"
+    src = df
+    if salt_buckets is not None:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)
+        )
+        w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*ordering)
+        src = (
+            df.withColumn("__salt", salt)
+            .withColumn(rn, F.row_number().over(w1))
+            .filter(F.col(rn) <= k)
+            .drop(rn, "__salt")
+        )
+    w = Window.partitionBy(*partition_cols).orderBy(*ordering)
+    return src.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= k).drop(rn)

@@ -192,3 +192,26 @@ def test_latest_only_agg_partial_aggregates(spark):
     out = latest_only_agg(df, ["k"], ["t", "o"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+
+
+def test_topk_per_key_salted_matches_direct(spark):
+    """Two-phase salted top-k == direct window top-k (winners unique
+    by construction), with bounded second-phase partitions."""
+    import random
+
+    from dax_ppdb_spark.ops.latest import topk_per_key
+
+    rng = random.Random(11)
+    # heavy skew: 90% of rows on key 1
+    rows = [
+        (1 if rng.random() < 0.9 else rng.randint(2, 10), i, f"v{i}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k LONG, t LONG, v STRING")
+    direct = {(r.k, r.t) for r in topk_per_key(df, ["k"], ["t"], k=3).collect()}
+    salted = {
+        (r.k, r.t)
+        for r in topk_per_key(df, ["k"], ["t"], k=3, salt_buckets=8).collect()
+    }
+    assert salted == direct
+    assert len([1 for k, _t in direct if k == 1]) == 3
