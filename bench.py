@@ -25,6 +25,7 @@ HEADLINE = [
     "validity_fill",
     "validity_fill_pruned",
     "snapshot_asof",
+    "overlap_violations",
     "latest_only",
     "rank_versions",
     "merge_upsert",

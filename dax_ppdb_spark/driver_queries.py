@@ -961,3 +961,55 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="validity_start",
         end_col="validity_end",
     )
+
+
+_OVERLAP_VIOLATIONS_SQL = """
+WITH versioned AS (
+    SELECT o_orderkey, o_custkey, o_orderdate AS validity_start,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_orderdate + INTERVAL 30 DAY
+                ELSE NULL END AS validity_end
+    FROM orders
+),
+scanned AS (
+    SELECT o_orderkey, o_custkey, validity_start, validity_end,
+           MAX(COALESCE(validity_end, TIMESTAMP '2200-01-01 00:00:00')) OVER (
+               PARTITION BY o_custkey ORDER BY validity_start, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS overlaps_until
+    FROM versioned
+)
+SELECT o_orderkey, o_custkey, validity_start, validity_end, overlaps_until
+FROM scanned
+WHERE overlaps_until > validity_start
+"""
+
+
+@register("overlap_violations", _OVERLAP_VIOLATIONS_SQL)
+def q_overlap_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 overlap invariant check via one running-max window pass
+    (O(n log n), exact for non-adjacent overlaps, no self-join).  The
+    versioned orders deliberately contain overlaps: preset 30-day ends
+    commonly cross the customer's next order date.  Open intervals use
+    a sentinel far-future timestamp so the running max stays in the
+    timestamp domain (engine-identical, no float/string formatting)."""
+    from .ops.validity import overlap_violations
+
+    orders = _read(spark, sf_dir, "orders")
+    versioned = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("validity_start"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+        ).alias("validity_end"),
+    )
+    return overlap_violations(
+        versioned,
+        id_col="o_custkey",
+        start_col="validity_start",
+        end_col="validity_end",
+        tiebreak_cols=("o_orderkey",),
+        open_sentinel=F.expr("TIMESTAMP_NTZ '2200-01-01 00:00:00'"),
+    )

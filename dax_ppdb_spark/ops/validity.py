@@ -96,3 +96,35 @@ def valid_at(
     return df.filter(
         (F.col(start_col) <= t) & (F.col(end_col).isNull() | (F.col(end_col) > t))
     )
+
+
+def overlap_violations(
+    df: DataFrame,
+    id_col: str = "diaObjectId",
+    start_col: str = "validityStartMjdTai",
+    end_col: str = "validityEndMjdTai",
+    tiebreak_cols: tuple[str, ...] = (),
+    open_sentinel=None,
+) -> DataFrame:
+    """SCD-2 invariant check: versions whose interval overlaps ANY
+    earlier version of the same object.
+
+    Sorted-scan form: a version violates iff its start is before the
+    running max of all earlier ends (NULL end = open = +inf, or
+    ``open_sentinel`` for non-numeric time types).  One window pass —
+    O(n log n) against the O(n^2) pairwise self-join, and exact for
+    arbitrary (not just adjacent) overlaps.  Returns the violating
+    rows with the offending running max.
+    """
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(start_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sentinel = open_sentinel if open_sentinel is not None else F.lit(float("inf"))
+    prev_max_end = F.max(F.coalesce(F.col(end_col), sentinel)).over(w)
+    return (
+        df.withColumn("__prev_max_end", prev_max_end)
+        .filter(F.col("__prev_max_end") > F.col(start_col))
+        .withColumnRenamed("__prev_max_end", "overlaps_until")
+    )

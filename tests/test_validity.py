@@ -98,3 +98,25 @@ def test_valid_at_point_in_time(spark):
     )
     got = {(r.oid, r.validityStartMjdTai) for r in valid_at(df, 25.0).collect()}
     assert got == {(1, 20.0), (3, 25.0)}
+
+
+def test_overlap_violations_detects_non_adjacent(spark):
+    from dax_ppdb_spark.ops.validity import overlap_violations
+
+    df = spark.createDataFrame(
+        [
+            # object 1: v1 [0,100) swallows v2 AND v3 (non-adjacent overlap)
+            (1, 0.0, 100.0),
+            (1, 10.0, 20.0),
+            (1, 50.0, None),
+            # object 2: clean chain
+            (2, 0.0, 10.0),
+            (2, 10.0, None),
+        ],
+        "oid LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE",
+    )
+    bad = {
+        (r.oid, r.validityStartMjdTai)
+        for r in overlap_violations(df, id_col="oid").collect()
+    }
+    assert bad == {(1, 10.0), (1, 50.0)}
