@@ -43,6 +43,10 @@ QUERIES = [
     "spatial_box",
     "cone_search",
     "windowed_counts",
+    "sessionize",
+    "asof_attribution",
+    "overlap_violations",
+    "snapshot_asof",
     "ann_topk_bruteforce",
     "ann_topk_multiprobe",
 ]
