@@ -34,6 +34,7 @@ HEADLINE = [
     "replication_diff",
     "pricing_summary",
     "revenue_by_nation",
+    "rollup_revenue",
     "pivot_patch",
     "update_explode",
     "ledger_scan",

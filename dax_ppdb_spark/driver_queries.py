@@ -1013,3 +1013,68 @@ def q_overlap_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=("o_orderkey",),
         open_sentinel=F.expr("TIMESTAMP_NTZ '2200-01-01 00:00:00'"),
     )
+
+
+_ROLLUP_REVENUE_SQL = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       COUNT(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("rollup_revenue", _ROLLUP_REVENUE_SQL)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (region -> nation -> grand
+    total) — beyond the reference's aggregate surface (SURVEY §2.4
+    notes it has none); one shuffle, grouping-set expansion is
+    map-side.  NULL grouping levels are labeled 'ALL' so the oracle
+    hash compare is null-safe."""
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total_acctbal",
+            "n_suppliers",
+        )
+    )
+
+
+_EXCEPT_IDS_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("except_ids", _EXCEPT_IDS_SQL)
+def q_except_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): ordering customers outside
+    the BUILDING segment — the set-op surface SURVEY §2.6 notes the
+    reference expresses only as Python set arithmetic (O4)."""
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return orders.subtract(building)  # EXCEPT DISTINCT semantics

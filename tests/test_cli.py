@@ -77,3 +77,34 @@ def test_upload_chunks_cmd(spark, tmp_path, capsys):
     )
     assert "uploaded: [7]" in capsys.readouterr().out
     assert os.path.exists(str(tmp_path / "bucket" / "chunk_7" / "manifest.json"))
+
+
+def test_run_update_flag_rereplicates(spark, tmp_path, capsys):
+    root = str(tmp_path / "ppdb")
+    source = str(tmp_path / "apdb")
+    df = spark.createDataFrame(
+        [(1, 100.0, None, 45.0, -30.0, 1)],
+        "diaObjectId LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE, "
+        "ra DOUBLE, dec DOUBLE, nDiaSources INT",
+    )
+    chunk_dir = store_chunk(spark, source, 1, {"DiaObject": df})
+
+    def age_manifest(uid):
+        mpath = os.path.join(chunk_dir, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["created_at"] -= 3600
+        m["unique_id"] = uid
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+    age_manifest("uuid-one")
+    assert cli.main(["run", "--source", source, "--root", root]) == 0
+    capsys.readouterr()
+    # source regenerates the chunk with a new uuid: strict mode raises,
+    # --update re-replicates
+    age_manifest("uuid-two")
+    with pytest.raises(ValueError, match="unique_id mismatch"):
+        cli.main(["run", "--source", source, "--root", root])
+    assert cli.main(["run", "--source", source, "--root", root, "--update"]) == 0
+    assert "replicated: [1]" in capsys.readouterr().out
