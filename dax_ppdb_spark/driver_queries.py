@@ -1078,3 +1078,23 @@ def q_except_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return orders.subtract(building)  # EXCEPT DISTINCT semantics
+
+
+_INTERSECT_IDS_SQL = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+
+
+@register("intersect_ids", _INTERSECT_IDS_SQL)
+def q_intersect_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT): ordering customers in
+    good standing — completes the set-op family with except_ids."""
+    orders = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    good = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return orders.intersect(good)
