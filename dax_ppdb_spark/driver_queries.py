@@ -795,8 +795,9 @@ WITH ordered AS (
 ),
 tagged AS (
     SELECT user_id, event_id, ts_us,
-           SUM(new_session) OVER (PARTITION BY user_id
-                                  ORDER BY ts_us, event_id) AS session_seq
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id)
+                AS BIGINT) AS session_seq
     FROM ordered
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -405,10 +405,33 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)  # Pandas-UDF path: rows-only check
+# The driver documents are pure ASCII (verified: octet_length(encode(text))
+# == length(text) for every row), so byte values equal character code
+# points and the stubbed byte-histogram feature is exactly replayable in
+# SQL over ord() of each character.
+_MEDIA_TYPE_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'video'
+            WHEN doc_id % 3 = 1 THEN 'image'
+            ELSE 'audio' END"""
+
+_MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       round(CAST(len(list_filter(
+                 list_transform(regexp_extract_all(text, '.', 0, 's'),
+                                c -> ord(c)),
+                 x -> x % 8 = 0)) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS f0
+FROM documents
+"""
+
+
+@register("multimodal_decode", _MULTIMODAL_DECODE_SQL)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
-    (mapInPandas; codec stubbed deterministically)."""
+    (mapInPandas; codec stubbed deterministically).  The stub's byte
+    histogram is replayed by the oracle over character code points
+    (payloads are ASCII text bytes by construction)."""
     media = documents_as_media(_read(spark, sf_dir, "documents"))
     feats = decode_features(media, dim=8)
     return feats.select(
@@ -493,10 +516,27 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "shard_id")
 
 
-@register("multimodal_resize", None)  # Pandas-UDF path: rows-only check
+# The fake resize scales payload length by the pixel-count ratio
+# (320*240)/(640*480) = 0.25 exactly, so the resized byte count is
+# max(1, len // 4) for images and a passthrough otherwise.
+_MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 320 ELSE 640 END AS INT) AS meta_width,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 240 ELSE 480 END AS INT) AS meta_height,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE greatest(length(text) // 4, 1) END
+            ELSE length(text) END AS INT) AS n_bytes
+FROM documents
+"""
+
+
+@register("multimodal_resize", _MULTIMODAL_RESIZE_SQL)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched image resize plumbing (mapInPandas; pixel codec
-    stubbed, size-tracking semantics real)."""
+    stubbed, size-tracking semantics real).  The oracle replays the
+    stub's deterministic length rule (pixel-ratio-scaled byte count)."""
     from .llm.multimodal import resize_images
 
     media = documents_as_media(_read(spark, sf_dir, "documents"))
@@ -556,12 +596,81 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_kmeans", None)  # iterative training: rows-only check
+def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5) -> str:
+    """Replay the deterministic Lloyd training as chained CTEs: init =
+    lowest-id vectors, per-iteration argmin assignment (lowest-cid tie
+    break, matching Spark's ``array_position`` first-wins) and a
+    round-6 element-wise mean (kills partial-agg ulp noise on both
+    engines), then the final bucketed top-k probe."""
+
+    def dist2(vcol: str, ccol: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+            f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])))"
+        )
+
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM e ORDER BY vec_id LIMIT {n_clusters}
+)"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+a{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.v', prev + '.c')},
+                                           {prev}.cid) AS rn
+        FROM e CROSS JOIN {prev}
+    ) WHERE rn = 1
+),
+m{it} AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, pos, round(avg(val), 6) AS m FROM (
+            SELECT cid, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+            FROM a{it}
+        ) GROUP BY cid, pos
+    ) GROUP BY cid
+),
+c{it} AS (
+    SELECT p.cid, COALESCE(m.c, p.c) AS c
+    FROM {prev} p LEFT JOIN m{it} m USING (cid)
+)"""
+        prev = f"c{it}"
+    sql += f""",
+asg AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist2('e.v', prev + '.c')},
+                                           {prev}.cid) AS rn
+        FROM e CROSS JOIN {prev}
+    ) WHERE rn = 1
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+        FROM asg q JOIN asg c USING (cid)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+) WHERE rank <= {k}
+"""
+    return sql
+
+
+@register("ann_topk_kmeans", _kmeans_sql())
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a learned k-means coarse quantizer (3 Lloyd
-    iterations, deterministic init/tie-breaks/rounding).  Iterative
-    training is not single-statement SQL -> rows-only driver check;
-    determinism is pinned by unit test instead."""
+    iterations, deterministic init/tie-breaks/rounding).  The training
+    loop is fully deterministic, so the oracle replays the identical
+    iterations as chained SQL CTEs — a real value-checked row, not a
+    rows-only pass."""
     from .llm.similarity import topk_kmeans
 
     emb = _read_spread(spark, sf_dir, "embeddings")
