@@ -103,6 +103,52 @@ class ParquetTable:
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 
+    def replace_partitions(
+        self, df: DataFrame, partition_col: str, values: list
+    ) -> None:
+        """Touched-partition MERGE commit: atomically publish a new
+        version where only the named partitions are rewritten.
+
+        The reference's MERGE touches matched rows in place
+        (``resources/config/sql/fill_diaobject_validity_end.sql:25-40``);
+        without a transactional format the closest scale-equivalent is
+        partition-level copy-on-write: every *untouched* partition is
+        hardlinked from the current version (O(number of files), zero
+        bytes copied) and only the partitions named in ``values`` are
+        written from ``df`` — so commit IO is proportional to the
+        touched slice, never the table.  ``df`` must contain only rows
+        whose ``partition_col`` falls in ``values``.
+        """
+        d = self.data_dir()
+        if d is None:
+            self.overwrite(df, (partition_col,))
+            return
+        os.makedirs(self.path, exist_ok=True)
+        version = f"_v{uuid.uuid4().hex}"
+        dst = os.path.join(self.path, version)
+        tmp = os.path.join(self.path, f"_tmp{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        written = {
+            name for name in os.listdir(tmp) if name.startswith(f"{partition_col}=")
+        }
+        skip = written | {f"{partition_col}={v}" for v in values}
+        os.makedirs(dst)
+        for name in os.listdir(d):
+            src = os.path.join(d, name)
+            if name in skip:
+                continue
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(dst, name), copy_function=os.link)
+            else:
+                os.link(src, os.path.join(dst, name))
+        for name in written:
+            shutil.move(os.path.join(tmp, name), os.path.join(dst, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        old = self.current_version()
+        self._commit(version)
+        if old:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+
     def drop(self) -> None:
         """D8: DROP TABLE IF EXISTS."""
         shutil.rmtree(self.path, ignore_errors=True)

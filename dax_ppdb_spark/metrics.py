@@ -14,9 +14,15 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 from contextlib import contextmanager
 
 _LOG = logging.getLogger("dax_ppdb_spark.metrics")
+
+# In-process record of recent stage timings / row counts so tests and
+# benches can assert on instrumentation without scraping logs (the
+# reference's MonAgent buffer analog).
+_RECENT: deque[dict] = deque(maxlen=4096)
 
 
 @contextmanager
@@ -27,11 +33,28 @@ def timer(stage: str, **tags):
     try:
         yield
     finally:
+        dt = time.time() - t0
+        _RECENT.append({"kind": "timer", "stage": stage, "seconds": dt, **tags})
         tag_s = " ".join(f"{k}={v}" for k, v in tags.items())
-        _LOG.info("%s took %.3fs %s", stage, time.time() - t0, tag_s)
+        _LOG.info("%s took %.3fs %s", stage, dt, tag_s)
 
 
 def log_rows(stage: str, n: int, **tags) -> None:
     """DML-stats logging (inserted/updated/deleted row counts)."""
+    _RECENT.append({"kind": "rows", "stage": stage, "rows": n, **tags})
     tag_s = " ".join(f"{k}={v}" for k, v in tags.items())
     _LOG.info("%s rows=%d %s", stage, n, tag_s)
+
+
+def recent(stage: str | None = None, kind: str | None = None) -> list[dict]:
+    """Recorded entries, newest last, optionally filtered."""
+    return [
+        dict(r)
+        for r in _RECENT
+        if (stage is None or r["stage"] == stage)
+        and (kind is None or r["kind"] == kind)
+    ]
+
+
+def clear() -> None:
+    _RECENT.clear()

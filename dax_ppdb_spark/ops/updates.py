@@ -191,27 +191,34 @@ def build_patch(latest: DataFrame, table_name: str) -> DataFrame:
     return src.groupBy(*keys).agg(*aggs)
 
 
+def table_patch(latest: DataFrame, table_name: str) -> DataFrame:
+    """The merge-ready patch for one table, with the reference's
+    special case applied: a present-but-NULL ``nDiaSources`` keeps the
+    target value (``merge_diaobject_updates.sql:32``), reproduced here
+    by clearing the present flag."""
+    patch = build_patch(latest, table_name)
+    if table_name == "DiaObject":
+        patch = patch.withColumn(
+            "nDiaSources__present",
+            F.col("nDiaSources__present") & F.col("nDiaSources").isNotNull(),
+        )
+    return patch
+
+
 def apply_update_patches(targets: dict[str, DataFrame], latest: DataFrame) -> dict[str, DataFrame]:
     """J2/J3: merge the latest patches into each target table.
 
     Returns new snapshots for the tables that have patches; untouched
     tables pass through unchanged.  NULL patch values overwrite only
-    via their ``__present`` flag — except the reference's special case
-    that a present-but-NULL ``nDiaSources`` keeps the target value
-    (``merge_diaobject_updates.sql:32``), reproduced here by clearing
-    the present flag.
+    via their ``__present`` flag (see :func:`table_patch`).
     """
     out = dict(targets)
     for table_name, (key_cols, _fields) in TABLE_PATCHES.items():
         if table_name not in targets:
             continue
-        patch = build_patch(latest, table_name)
-        if table_name == "DiaObject":
-            patch = patch.withColumn(
-                "nDiaSources__present",
-                F.col("nDiaSources__present") & F.col("nDiaSources").isNotNull(),
-            )
-        out[table_name] = merge_patch(targets[table_name], patch, key_cols)
+        out[table_name] = merge_patch(
+            targets[table_name], table_patch(latest, table_name), key_cols
+        )
     return out
 
 

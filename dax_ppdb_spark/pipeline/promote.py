@@ -19,43 +19,99 @@ ordered steps with cleanup in ``finally``:
 Ordering invariant (SURVEY §3.3): updates apply after inserts within a
 batch; last-writer-wins resolves by (chunk, time_ns, order) DESC.
 
-Scale notes: staging tables are partitioned by ``apdb_replica_chunk``
-so step 1 reads only the promoted chunks (partition pruning) and step
-6 is a metadata-only partition drop.  The update patch sets are one
-batch's worth — broadcast merges, no target-side shuffle.  The public
-snapshot is range-partitioned + sorted on ``geo_point`` so row-group
-min/max stats prune sky-region queries (the BigQuery clustering
-analog).
+Scale notes — every step is O(batch), never O(table):
+
+- staging tables are partitioned by ``apdb_replica_chunk`` so step 1
+  reads only the promoted chunks (partition pruning) and step 6 is a
+  metadata-only partition drop;
+- step 1 clones internal into promotion by hardlink (zero bytes
+  copied) and appends just the staged rows, like the reference's
+  CLONE + INSERT-SELECT (``chunk_promoter.py:199-227``);
+- internal tables are range-bucketed on their MERGE key (the BigQuery
+  id-clustering analog — range, so one batch's roughly-contiguous ids
+  land in a handful of buckets), and steps 2-3 read and rewrite only
+  the buckets a batch touches (``ParquetTable.replace_partitions``
+  hardlinks the rest) — the touched-rows-only IO of the reference's
+  MERGE statements;
+- update patch sets are one batch's worth — broadcast merges, no
+  target-side shuffle.
+
+The public snapshot is range-partitioned + sorted on ``geo_point`` so
+row-group min/max stats prune sky-region queries (the BigQuery
+clustering analog); it remains a full rewrite by design (the
+reference's CTAS does too).
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.table import ParquetTable
 from ..ledger import Ledger
 from ..metrics import timer
+from ..ops.merge import merge_patch
 from ..ops.spatial import with_geo_point
-from ..ops.updates import apply_update_patches, expand_updates, latest_updates
+from ..ops.updates import TABLE_PATCHES, expand_updates, latest_updates, table_patch
 from ..ops.validity import fill_validity_end
 from ..schema.registry import CHUNK_COLUMN, ChunkStatus
 
 DIA_TABLES = ("DiaObject", "DiaSource", "DiaForcedSource")
 
+# Internal/promotion tables are RANGE-bucketed on the column their
+# point-MERGEs key on — the analog of the reference's BigQuery
+# clustering + search index on ``diaObjectId``
+# (``bigquery/schema/dataset_builder.py:250-265``), which is itself
+# range-based block clustering.  Range (not hash) is what makes a
+# batch's IO O(batch): ids are assigned roughly monotonically, so one
+# replication chunk's keys cover a handful of contiguous ranges and
+# its MERGEs touch a handful of buckets no matter how big the table
+# has grown; a hash would smear every batch across all buckets.
+# DiaSource updates key on diaSourceId (reassign/withdraw), the other
+# two tables on diaObjectId.
+OBJ_BUCKET = "obj_bucket"
+BUCKET_KEYS = {
+    "DiaObject": "diaObjectId",
+    "DiaSource": "diaSourceId",
+    "DiaForcedSource": "diaObjectId",
+}
+
 
 class Promoter:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, bucket_width: int = 1_000_000
+    ) -> None:
         self.spark = spark
         self.root = root
+        # Ids per bucket: size so one bucket's rows are a comfortable
+        # rewrite unit (a few GB at production row sizes).
+        self.bucket_width = bucket_width
         self.staging = {t: ParquetTable(os.path.join(root, "staging", t)) for t in DIA_TABLES}
         self.staging_updates = ParquetTable(os.path.join(root, "staging", "updates"))
         self.internal = {t: ParquetTable(os.path.join(root, "internal", t)) for t in DIA_TABLES}
         self.promotion = {t: ParquetTable(os.path.join(root, "promotion", t)) for t in DIA_TABLES}
         self.public_diaobject = ParquetTable(os.path.join(root, "public", "DiaObject"))
         self.ledger = Ledger(spark, os.path.join(root, "ledger"))
+
+    # -- bucketing ----------------------------------------------------------
+
+    def _bucket_expr(self, key: Column) -> Column:
+        return F.floor(key / F.lit(self.bucket_width)).cast("long")
+
+    def _with_bucket(self, df: DataFrame, table: str) -> DataFrame:
+        return df.withColumn(OBJ_BUCKET, self._bucket_expr(F.col(BUCKET_KEYS[table])))
+
+    def _buckets_of(self, keys: DataFrame, key_col: str) -> list[int]:
+        """Distinct buckets hit by a batch's keys — driver-side control
+        data, one long per touched id range."""
+        rows = (
+            keys.select(self._bucket_expr(F.col(key_col)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return [r.b for r in rows]
 
     # -- staging (the external-Dataflow-job analog) -------------------------
 
@@ -111,7 +167,7 @@ class Promoter:
             with timer("swap_promotion_to_internal", chunks=chunk_ids):
                 self._swap_promotion_to_internal()
             with timer("create_public_snapshot", chunks=chunk_ids):
-                self._create_public_snapshot()
+                self._update_public_snapshot(chunk_ids)
             with timer("delete_staged", chunks=chunk_ids):
                 self._delete_staged(chunk_ids)
             for cid in chunk_ids:
@@ -121,32 +177,61 @@ class Promoter:
             self._cleanup()
 
     def _copy_staging_to_promotion(self, chunk_ids: list[int]) -> None:
-        """Step 1: promo := clone(internal) + staged rows with geo_point."""
+        """Step 1: promo := zero-copy clone(internal) + append of the
+        staged rows only, with geo_point and bucket computed.
+
+        Matches ``bigquery/chunk_promoter.py:199-227`` (CLONE + INSERT
+        INTO ... SELECT): the clone is hardlinks (O(files)), the insert
+        writes one batch — promotion IO is O(batch), never O(table).
+        """
         for t in DIA_TABLES:
             staged = self._staged(t, chunk_ids)
+            add = (
+                self._with_bucket(with_geo_point(staged.drop(CHUNK_COLUMN)), t)
+                if staged is not None
+                else None
+            )
             if self.internal[t].exists():
-                base = self.internal[t].read(self.spark)
-            else:
-                base = None
-            if staged is not None:
-                add = with_geo_point(staged.drop(CHUNK_COLUMN))
-                combined = base.unionByName(add, allowMissingColumns=True) if base is not None else add
-            else:
-                combined = base
-            if combined is not None:
-                self.promotion[t].overwrite(combined)
+                self.promotion[t].clone_from(self.internal[t])
+                if add is not None:
+                    cur_cols = set(self.promotion[t].read(self.spark).columns)
+                    if set(add.columns) == cur_cols:
+                        self.promotion[t].append(add, partition_by=(OBJ_BUCKET,))
+                    else:
+                        # Schema drift (new/dropped columns in a batch):
+                        # fall back to a full rewrite — rare by design.
+                        combined = self.promotion[t].read(self.spark).unionByName(
+                            add, allowMissingColumns=True
+                        )
+                        self.promotion[t].overwrite(combined, partition_by=(OBJ_BUCKET,))
+            elif add is not None:
+                self.promotion[t].overwrite(add, partition_by=(OBJ_BUCKET,))
 
     def _fill_validity_end(self, chunk_ids: list[int]) -> None:
-        """Step 2: close open DiaObject intervals, pruned to staged ids."""
+        """Step 2: close open DiaObject intervals — touched buckets only.
+
+        The staged id set names a handful of id-range buckets; only
+        those partitions are read (partition-pruned scan) and
+        rewritten (``replace_partitions`` hardlinks the rest), matching
+        the reference MERGE's touched-rows-only IO
+        (``fill_diaobject_validity_end.sql:25-40``).
+        """
         staged = self._staged("DiaObject", chunk_ids)
         if staged is None or not self.promotion["DiaObject"].exists():
             return
+        ids = staged.select("diaObjectId").distinct()
+        buckets = self._buckets_of(ids, "diaObjectId")
         target = self.promotion["DiaObject"].read(self.spark)
-        filled = fill_validity_end(target, staged.select("diaObjectId"))
-        self.promotion["DiaObject"].overwrite(filled)
+        touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
+        filled = fill_validity_end(touched, ids)
+        self.promotion["DiaObject"].replace_partitions(filled, OBJ_BUCKET, buckets)
 
     def _apply_updates(self, chunk_ids: list[int]) -> None:
-        """Step 3: expand -> latest-only -> per-table merge."""
+        """Step 3: expand -> latest-only -> per-table bucket-pruned merge.
+
+        Each table's patch keys map to a handful of id-range buckets; the
+        MERGE reads and rewrites only those partitions.
+        """
         if not self.staging_updates.exists():
             return
         raw = self.staging_updates.read(self.spark).filter(
@@ -154,15 +239,18 @@ class Promoter:
         )
         if not raw.limit(1).count():
             return
-        latest = latest_updates(expand_updates(raw))
-        targets = {
-            t: self.promotion[t].read(self.spark)
-            for t in DIA_TABLES
-            if self.promotion[t].exists()
-        }
-        patched = apply_update_patches(targets, latest)
-        for t, df in patched.items():
-            self.promotion[t].overwrite(df)
+        latest = latest_updates(expand_updates(raw)).localCheckpoint()
+        for t, (key_cols, _fields) in TABLE_PATCHES.items():
+            if not self.promotion[t].exists():
+                continue
+            patch = table_patch(latest, t)
+            if not patch.limit(1).count():
+                continue
+            buckets = self._buckets_of(patch, key_cols[0])
+            target = self.promotion[t].read(self.spark)
+            touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
+            merged = merge_patch(touched, patch, key_cols)
+            self.promotion[t].replace_partitions(merged, OBJ_BUCKET, buckets)
 
     def _swap_promotion_to_internal(self) -> None:
         """Step 4: atomic truncate-swap (zero-copy clone + pointer flip)."""
@@ -170,32 +258,115 @@ class Promoter:
             if self.promotion[t].exists():
                 self.internal[t].clone_from(self.promotion[t])
 
-    def _create_public_snapshot(self) -> None:
+    GEO_LEVEL = 4  # coarse cell for partitioning: at most 256 directories
+
+    def _update_public_snapshot(self, chunk_ids: list[int]) -> None:
         """Step 5: public DiaObject = current rows only, without
         validityEndMjdTai, clustered by geo_point (D10/P3/P4).
 
         Two-level clustering: partitioned by the coarse Z-order cell
-        (``geo_cell``, level 4 => at most 256 directories) so sky
-        queries prune whole partitions at the metadata level, and
-        sorted by the full ``geo_point`` within files so row-group
-        min/max stats prune inside each partition — together the
-        BigQuery ``CLUSTER BY geo_point`` access path.
+        (``geo_cell``) so sky queries prune whole partitions at the
+        metadata level, and sorted by the full ``geo_point`` within
+        files so row-group min/max stats prune inside each partition —
+        together the BigQuery ``CLUSTER BY geo_point`` access path.
+
+        The reference re-runs a full CTAS per batch
+        (``chunk_promoter.py:261-301``); at 100 TB that is an O(table)
+        copy every 10 minutes, so here the snapshot is maintained
+        *incrementally*: only the geo cells that a touched object's
+        versions can occupy are rewritten (old current rows of touched
+        ids removed, new current rows inserted), every other cell is
+        hardlinked.  First promotion (no public table yet) falls back
+        to the full build.  Equivalence with the full recompute is
+        pinned by test_pipeline.
         """
         if not self.internal["DiaObject"].exists():
             return
+        if not self.public_diaobject.exists():
+            self._create_public_snapshot_full()
+            return
+        touched = self._touched_object_ids(chunk_ids)
+        if touched is None:
+            return
+        self._update_public_snapshot_incremental(touched)
+
+    def _create_public_snapshot_full(self) -> None:
         from ..ops.spatial import zorder_cell
 
         cur = (
             self.internal["DiaObject"]
             .read(self.spark)
             .filter(F.col("validityEndMjdTai").isNull())
-            .drop("validityEndMjdTai")
-            .withColumn("geo_cell", zorder_cell(F.col("geo_point"), level=4))
+            .drop("validityEndMjdTai", OBJ_BUCKET)
+            .withColumn("geo_cell", zorder_cell(F.col("geo_point"), self.GEO_LEVEL))
         )
         clustered = cur.repartitionByRange(F.col("geo_point")).sortWithinPartitions(
             "geo_point"
         )
         self.public_diaobject.overwrite(clustered, partition_by=("geo_cell",))
+
+    def _touched_object_ids(self, chunk_ids: list[int]) -> DataFrame | None:
+        """DiaObject ids this batch inserted or patched (batch-sized)."""
+        parts = []
+        staged = self._staged("DiaObject", chunk_ids)
+        if staged is not None:
+            parts.append(staged.select("diaObjectId"))
+        if self.staging_updates.exists():
+            raw = self.staging_updates.read(self.spark).filter(
+                F.col(CHUNK_COLUMN).isin(chunk_ids)
+            )
+            if raw.limit(1).count():
+                patch = table_patch(latest_updates(expand_updates(raw)), "DiaObject")
+                parts.append(patch.select("diaObjectId"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _update_public_snapshot_incremental(self, touched_ids: DataFrame) -> None:
+        """Rewrite only the geo cells touched objects can occupy.
+
+        Every version of a touched object lives in its id-range
+        bucket, so the candidate cell set (old position and new) comes
+        from a bucket-pruned read of internal — the public table is
+        never scanned by id, only its touched cell partitions are read
+        back.
+        """
+        from ..ops.spatial import zorder_cell
+
+        internal = self.internal["DiaObject"].read(self.spark)
+        buckets = self._buckets_of(touched_ids, "diaObjectId")
+        ids = F.broadcast(touched_ids.distinct())
+        versions = internal.filter(F.col(OBJ_BUCKET).isin(buckets)).join(
+            ids, "diaObjectId", "left_semi"
+        )
+        cells = [
+            r.c
+            for r in versions.select(
+                zorder_cell(F.col("geo_point"), self.GEO_LEVEL).alias("c")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not cells:
+            return
+        new_rows = (
+            versions.filter(F.col("validityEndMjdTai").isNull())
+            .drop("validityEndMjdTai", OBJ_BUCKET)
+            .withColumn("geo_cell", zorder_cell(F.col("geo_point"), self.GEO_LEVEL))
+        )
+        pub = self.public_diaobject.read(self.spark)
+        kept = pub.filter(F.col("geo_cell").isin(cells)).join(
+            ids, "diaObjectId", "left_anti"
+        )
+        replacement = (
+            kept.unionByName(new_rows)
+            .repartitionByRange(F.col("geo_point"))
+            .sortWithinPartitions("geo_point")
+        )
+        self.public_diaobject.replace_partitions(replacement, "geo_cell", cells)
 
     def _delete_staged(self, chunk_ids: list[int]) -> None:
         """Step 6: partition drops on staging tables (D11)."""

@@ -98,7 +98,7 @@ class DatasetBuilder:
                 _without_field(self.schema.struct("DiaObject"), "validityEndMjdTai"),
                 StructField("geo_point", LongType(), True),
             ),
-            # Coarse partition key: see Promoter._create_public_snapshot.
+            # Coarse partition key: see Promoter._create_public_snapshot_full.
             StructField("geo_cell", LongType(), True),
         )
         self._create_table(db, "DiaObject", dia_object)

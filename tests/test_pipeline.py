@@ -181,6 +181,59 @@ def test_promotion_failure_cleans_workspace_and_keeps_ledger(spark, tmp_path, mo
     assert promoter.promote() == [1]
 
 
+def test_incremental_snapshot_matches_full_recompute(spark, promoted):
+    """Step 5 is incremental after the first promotion: a second batch
+    must leave the public table identical to a from-scratch rebuild
+    (new object inserted, superseded version replaced, everything
+    else untouched)."""
+    promoter = promoted
+    root = promoter.root
+    # Chunk 3: new version of object 20 (supersedes 100.0) + new object 30,
+    # plus an update closing nothing (nDiaSources bump on object 10).
+    c3_dir = store_chunk(
+        spark,
+        root + "/export",
+        3,
+        {
+            "DiaObject": _obj(
+                spark,
+                [
+                    (20, 130.0, None, 46.0, -31.0, 2),
+                    (30, 200.0, None, 12.0, 5.0, 1),
+                ],
+            ),
+        },
+        updates=_updates(
+            spark,
+            [
+                (T0 + 10, 0, "update_ndiasources",
+                 json.dumps({"diaObjectId": 10, "nDiaSources": 9})),
+            ],
+        ),
+        ledger=promoter.ledger,
+    )
+    promoter.stage_chunk_dir(c3_dir, 3)
+    assert promoter.promote() == [3]
+
+    pub = promoted.public_diaobject.read(spark)
+    internal = promoter.internal["DiaObject"].read(spark)
+    full = internal.filter(F.col("validityEndMjdTai").isNull()).drop(
+        "validityEndMjdTai", "obj_bucket"
+    )
+    got = sorted(
+        (r.diaObjectId, r.validityStartMjdTai, r.nDiaSources)
+        for r in pub.collect()
+    )
+    want = sorted(
+        (r.diaObjectId, r.validityStartMjdTai, r.nDiaSources)
+        for r in full.collect()
+    )
+    assert got == want
+    assert [g[0] for g in got] == [10, 20, 30]
+    # the patched nDiaSources reached the public snapshot
+    assert dict((g[0], g[2]) for g in got)[10] == 9
+
+
 def test_public_snapshot_partition_prunes_sky_queries(spark, promoted):
     """The public table is partitioned by coarse Z-order cell: a sky
     query filtered on geo_cell must show PartitionFilters in the scan

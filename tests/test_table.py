@@ -1,0 +1,78 @@
+"""ParquetTable version/partition plumbing, especially the
+touched-partition commit (``replace_partitions``) that keeps promotion
+IO O(batch): untouched partitions must be hardlinked (zero bytes
+copied), touched ones rewritten, and the swap atomic."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.io.table import ParquetTable
+
+
+def _mk(spark, tmp_path, rows):
+    t = ParquetTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(rows, "k INT, v STRING")
+    t.overwrite(df, partition_by=("k",))
+    return t
+
+
+def _content(spark, t):
+    return {(r.k, r.v) for r in t.read(spark).collect()}
+
+
+def test_replace_partitions_rewrites_only_named(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(0, "a"), (1, "b"), (2, "c")])
+    patch = spark.createDataFrame([(1, "B"), (1, "B2")], "k INT, v STRING")
+    t.replace_partitions(patch, "k", [1])
+    assert _content(spark, t) == {(0, "a"), (1, "B"), (1, "B2"), (2, "c")}
+
+
+def test_replace_partitions_untouched_are_hardlinks(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(0, "a"), (1, "b")])
+    old_dir = t.data_dir()
+    old_inodes = {
+        f: os.stat(os.path.join(old_dir, "k=0", f)).st_ino
+        for f in os.listdir(os.path.join(old_dir, "k=0"))
+        if f.endswith(".parquet")
+    }
+    patch = spark.createDataFrame([(1, "B")], "k INT, v STRING")
+    t.replace_partitions(patch, "k", [1])
+    new_dir = t.data_dir()
+    assert new_dir != old_dir
+    new_inodes = {
+        f: os.stat(os.path.join(new_dir, "k=0", f)).st_ino
+        for f in os.listdir(os.path.join(new_dir, "k=0"))
+        if f.endswith(".parquet")
+    }
+    # same inodes: the untouched partition was linked, not copied
+    assert new_inodes == old_inodes
+
+
+def test_replace_partitions_can_empty_a_partition(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(0, "a"), (1, "b")])
+    empty = spark.createDataFrame([], "k INT, v STRING")
+    t.replace_partitions(empty, "k", [1])
+    assert _content(spark, t) == {(0, "a")}
+    assert not os.path.exists(os.path.join(t.data_dir(), "k=1"))
+
+
+def test_replace_partitions_on_missing_table_is_overwrite(spark, tmp_path):
+    t = ParquetTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(0, "a")], "k INT, v STRING")
+    t.replace_partitions(df, "k", [0])
+    assert _content(spark, t) == {(0, "a")}
+
+
+def test_replace_partitions_filter_prunes_partitions(spark, tmp_path):
+    """Reading back with a bucket filter must show PartitionFilters —
+    the read half of the touched-partition contract."""
+    t = _mk(spark, tmp_path, [(0, "a"), (1, "b"), (2, "c")])
+    q = t.read(spark).filter(F.col("k") == 1)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "k" in plan.split("PartitionFilters", 1)[1].split("\n")[0]

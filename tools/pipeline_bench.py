@@ -67,7 +67,86 @@ def synth_chunk(spark, chunk_id: int, n_obj: int):
     return {"DiaObject": base, "DiaSource": sources}, updates
 
 
+def _promote_one(spark, promoter, ledger, root, chunk_id: int, n_obj: int) -> dict:
+    """Store + stage + promote one chunk; return per-step promote seconds."""
+    from dax_ppdb_spark import metrics
+
+    tables, updates = synth_chunk(spark, chunk_id, n_obj)
+    c_dir = store_chunk(
+        spark, root + "/export", chunk_id, tables, updates=updates, ledger=ledger
+    )
+    promoter.stage_chunk_dir(c_dir, chunk_id)
+    metrics.clear()
+    t0 = time.time()
+    assert promoter.promote() == [chunk_id]
+    total = time.time() - t0
+    steps = {
+        r["stage"]: round(r["seconds"], 2) for r in metrics.recent(kind="timer")
+    }
+    steps["total"] = round(total, 2)
+    return steps
+
+
+def scale_axis(factor: int, n_obj: int) -> None:
+    """Promote cost vs internal-table size: promote a same-size batch
+    against a small internal table and against one ``factor``x bigger.
+
+    With range-bucketed internal tables every step is O(batch): the
+    per-step timings must stay flat as internal grows (the public
+    snapshot too — it is maintained incrementally).  This is the axis
+    the query bench can't see: a full-rewrite promotion would show
+    promote time scaling with ``factor``.
+    """
+    from dax_ppdb_spark.ops.spatial import with_geo_point
+    from dax_ppdb_spark.pipeline.promote import OBJ_BUCKET, DIA_TABLES
+
+    spark = get_spark("pipeline-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="pipeline_bench_scale_")
+    try:
+        promoter = Promoter(spark, root)
+        ledger = promoter.ledger
+        # Seed internal, then measure a batch against the small table.
+        _promote_one(spark, promoter, ledger, root, 1, n_obj)
+        steps_small = _promote_one(spark, promoter, ledger, root, 2, n_obj)
+        small_rows = promoter.internal["DiaObject"].read(spark).count()
+
+        # Grow internal by factor: synthetic history in far-away id
+        # ranges (promoted long ago, untouched by the next batch).
+        big = spark.range(factor * n_obj).select(
+            (F.lit(1_000_000_000) + F.col("id")).alias("diaObjectId"),
+            (F.lit(59000.0) + F.col("id") % 997 / 100.0).alias("validityStartMjdTai"),
+            F.lit(None).cast("double").alias("validityEndMjdTai"),
+            (F.col("id") % 3600 / 10.0).alias("ra"),
+            (F.col("id") % 1700 / 10.0 - 85.0).alias("dec"),
+            F.lit(1).alias("nDiaSources"),
+        )
+        grown = promoter._with_bucket(with_geo_point(big), "DiaObject")
+        promoter.internal["DiaObject"].append(grown, partition_by=(OBJ_BUCKET,))
+        big_rows = promoter.internal["DiaObject"].read(spark).count()
+
+        steps_big = _promote_one(spark, promoter, ledger, root, 3, n_obj)
+        print(json.dumps({
+            "metric": "promote_scale_axis_ratio",
+            "value": round(steps_big["total"] / max(steps_small["total"], 1e-9), 2),
+            "unit": "x (promote time big/small; flat == ~1)",
+            "internal_rows_small": small_rows,
+            "internal_rows_big": big_rows,
+            "growth_factor": factor,
+            "promote_steps_sec_small": steps_small,
+            "promote_steps_sec_big": steps_big,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-axis":
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        n_obj = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+        scale_axis(factor, n_obj)
+        return
     n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_obj = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     spark = get_spark("pipeline-bench")
