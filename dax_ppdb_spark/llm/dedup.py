@@ -295,21 +295,41 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
+def axis_planes(dim: int, n_planes: int) -> tuple[int, ...]:
+    """Evenly-spaced axis hyperplanes (1-based component indexes) —
+    the deterministic sign-LSH family.  Scale ``n_planes`` with the
+    corpus: 2^n_planes buckets, so pick ``n_planes >= log2(N /
+    target_bucket_size)`` to keep per-bucket all-pairs work bounded
+    (e.g. 1e9 vectors at ~4k per bucket -> 18 planes)."""
+    if not 0 < n_planes <= dim:
+        raise ValueError(f"n_planes must be in (0, {dim}]")
+    return tuple(int(i * dim / n_planes) + 1 for i in range(n_planes))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    sign_dims: tuple[int, ...] = (1, 17, 33, 49),
+    sign_dims: tuple[int, ...] = axis_planes(64, 4),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
 
-    Bucket key = sign pattern of ``sign_dims`` components (a fixed
-    random-hyperplane family specialized to axis planes); cosine is
-    computed only within buckets.  2^len(sign_dims) buckets bound the
-    join fan-out; misses only pairs straddling an axis hyperplane —
-    acceptable for a prefilter, tighten with multiple probe tables at
-    scale.
+    Bucket key = sign pattern of ``sign_dims`` components (see
+    :func:`axis_planes`); cosine is computed only within buckets, so
+    the join fan-out is sum over buckets of |bucket|^2 — bounded by
+    scaling the plane count with the corpus (2^len(sign_dims) buckets)
+    and by ``max_bucket``, which drops degenerate buckets outright
+    (e.g. the all-zeros-embedding bucket) exactly like
+    ``minhash_lsh_pairs``' cap: a bucket bigger than the cap would do
+    O(cap^2+) work for pairs that are overwhelmingly boilerplate.
+    Misses only pairs straddling a hyperplane — acceptable for a
+    prefilter; recall floor vs brute force is pinned by test_llm.
+
+    The cap is applied via a broadcast join against the (tiny,
+    one-row-per-bucket) size table *before* the pair join, so an
+    oversized bucket never materializes its pair expansion.
     """
     from .similarity import cosine_similarity
 
@@ -319,6 +339,14 @@ def embedding_neardup_pairs(
         *[(F.element_at(v, d) >= 0).cast("int").cast("string") for d in sign_dims],
     )
     e = emb.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    if max_bucket is not None:
+        ok = (
+            e.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("bucket")
+        )
+        e = e.join(F.broadcast(ok), "bucket")
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -242,6 +242,52 @@ def test_hot_shingle_and_bucket_caps(spark):
     assert (10, 11) in got
 
 
+def test_embedding_neardup_recall_and_cap(spark):
+    """Sign-bucket prefilter: results must be an exact-cosine subset of
+    brute force, recall must not decrease with fewer planes (coarser
+    buckets = more candidates), and the bucket cap must bound the pair
+    expansion without losing everything."""
+    from dax_ppdb_spark.llm.dedup import axis_planes, embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def pairs(df):
+        return {(r.id_a, r.id_b) for r in df.collect()}
+
+    # brute force: every pair, no bucket filter (1 plane -> 2 buckets is
+    # not brute force; use a cross-join threshold reference instead)
+    from dax_ppdb_spark.llm.similarity import cosine_similarity
+
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(F.col("vec_id").alias("id"), v.alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= 0.3)
+    )
+    exact = pairs(brute)
+    assert exact  # sanity: the fixture has near-dup pairs at 0.3
+
+    coarse = pairs(embedding_neardup_pairs(emb, threshold=0.3, sign_dims=axis_planes(64, 4)))
+    fine = pairs(embedding_neardup_pairs(emb, threshold=0.3, sign_dims=axis_planes(64, 8)))
+    assert coarse <= exact and fine <= exact  # prefilter never invents pairs
+    assert fine <= coarse  # more planes only splits buckets
+    assert len(coarse) >= len(exact) // 2  # recall floor at 4 planes
+
+    capped = pairs(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, sign_dims=axis_planes(64, 4), max_bucket=8
+        )
+    )
+    assert capped <= coarse
+
+    with pytest.raises(ValueError):
+        axis_planes(64, 0)
+
+
 def test_resize_images_plumbing(spark):
     from dax_ppdb_spark.llm.multimodal import resize_images
 
