@@ -113,9 +113,9 @@ WITH versioned AS (
            CAST(NULL AS TIMESTAMP) AS validity_end
     FROM orders
 ),
-staged AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 7 = 0)
+staged AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0)
 SELECT v.o_orderkey, v.o_custkey, v.validity_start,
-       CASE WHEN v.o_custkey IN (SELECT o_custkey FROM staged)
+       CASE WHEN v.o_custkey IN (SELECT c_custkey FROM staged)
             THEN LEAD(v.validity_start) OVER (PARTITION BY v.o_custkey
                      ORDER BY v.validity_start, v.o_orderkey)
             ELSE NULL END AS validity_end
@@ -127,6 +127,10 @@ FROM versioned v
 def q_validity_fill_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 + W2: semi-join-pruned validity fill (only staged ids touched).
 
+    The staged-id set is an independent small scan (~1% of customers),
+    the realistic micro-batch shape: broadcast to the semi/anti joins,
+    so the window sort runs over ~1% of the table instead of all of it.
+
     Reference: resources/config/sql/fill_diaobject_validity_end.sql:25-30.
     """
     orders = _read(spark, sf_dir, "orders")
@@ -136,7 +140,11 @@ def q_validity_fill_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("validity_start"),
         F.lit(None).cast("timestamp_ntz").alias("validity_end"),
     )
-    staged = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_custkey")
+    staged = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 101 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
     return fill_validity_end(
         versioned,
         staged_ids=staged,

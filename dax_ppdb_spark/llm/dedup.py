@@ -306,6 +306,31 @@ def axis_planes(dim: int, n_planes: int) -> tuple[int, ...]:
     return tuple(int(i * dim / n_planes) + 1 for i in range(n_planes))
 
 
+def banded_axis_planes(
+    dim: int, planes_per_band: int, n_bands: int
+) -> tuple[tuple[int, ...], ...]:
+    """``n_bands`` disjoint sets of ``planes_per_band`` evenly-spaced
+    axis hyperplanes — the OR-of-ANDs banding for sign LSH, same shape
+    as MinHash banding.  A pair is a candidate if it agrees on EVERY
+    plane of ANY band: recall = 1 - (1 - p^k)^L for per-plane agreement
+    p, so low-threshold recall that a single band can never reach
+    (p^k) becomes tunable via L.  Precision per band is unchanged, so
+    bucket sizes stay bounded; candidate dedup happens before the
+    cosine evaluation."""
+    if planes_per_band <= 0 or n_bands <= 0:
+        raise ValueError("planes_per_band and n_bands must be positive")
+    if planes_per_band * n_bands > dim:
+        raise ValueError(
+            f"planes_per_band*n_bands must be <= {dim} for disjoint axes"
+        )
+    flat = axis_planes(dim, planes_per_band * n_bands)
+    # round-robin so each band spans the whole vector, not one slice
+    return tuple(
+        tuple(flat[b + i * n_bands] for i in range(planes_per_band))
+        for b in range(n_bands)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -313,6 +338,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     sign_dims: tuple[int, ...] = axis_planes(64, 4),
     max_bucket: int | None = None,
+    bands: tuple[tuple[int, ...], ...] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
 
@@ -324,32 +350,50 @@ def embedding_neardup_pairs(
     (e.g. the all-zeros-embedding bucket) exactly like
     ``minhash_lsh_pairs``' cap: a bucket bigger than the cap would do
     O(cap^2+) work for pairs that are overwhelmingly boilerplate.
-    Misses only pairs straddling a hyperplane — acceptable for a
-    prefilter; recall floor vs brute force is pinned by test_llm.
+
+    A single plane set misses pairs straddling any hyperplane — recall
+    p^k for per-plane agreement p.  Pass ``bands`` (see
+    :func:`banded_axis_planes`) for the OR-of-ANDs multi-band variant:
+    a pair is a candidate if it agrees on every plane of ANY band
+    (recall 1 - (1-p^k)^L), with candidates deduped by id pair before
+    the cosine evaluation, so each surviving pair is scored once.
+    Recall floors vs brute force are pinned by test_llm.
 
     The cap is applied via a broadcast join against the (tiny,
-    one-row-per-bucket) size table *before* the pair join, so an
+    one-row-per-(band,)bucket) size table *before* the pair join, so an
     oversized bucket never materializes its pair expansion.
     """
     from .similarity import cosine_similarity
 
     v = F.col(vec_col).cast("array<double>")
-    bucket = F.concat_ws(
-        "",
-        *[(F.element_at(v, d) >= 0).cast("int").cast("string") for d in sign_dims],
+
+    def _key(dims: tuple[int, ...]):
+        return F.concat_ws(
+            "",
+            *[(F.element_at(v, d) >= 0).cast("int").cast("string") for d in dims],
+        )
+
+    if bands is None:
+        bands = (tuple(sign_dims),)
+    keys = F.array(*[_key(b) for b in bands])
+    e = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), F.posexplode(keys).alias("band", "bucket")
     )
-    e = emb.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    bkey = ["band", "bucket"]
     if max_bucket is not None:
         ok = (
-            e.groupBy("bucket")
+            e.groupBy(*bkey)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") <= max_bucket)
-            .select("bucket")
+            .select(*bkey)
         )
-        e = e.join(F.broadcast(ok), "bucket")
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        e = e.join(F.broadcast(ok), bkey)
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), *bkey)
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), *bkey)
+    pairs = a.join(b, bkey).filter(F.col("id_a") < F.col("id_b"))
+    if len(bands) > 1:
+        # OR over bands: score each candidate pair once, not per band
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return (
         pairs.withColumn("cosine", F.round(sim, 6))

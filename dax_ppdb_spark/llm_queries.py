@@ -176,6 +176,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_banded_sql(planes_per_band: int = 4, n_bands: int = 8) -> str:
+    """Oracle for the OR-of-ANDs banded sign-LSH: per-band bucket
+    self-joins, DISTINCT candidate pairs, cosine scored once."""
+    from .llm.dedup import banded_axis_planes
+
+    keyed = "\n    UNION ALL ".join(
+        "SELECT vec_id AS id, {b} AS band, {key} AS bucket FROM embeddings".format(
+            b=b,
+            key=" || ".join(
+                f"CAST(CAST(embedding[{d}] >= 0 AS INT) AS VARCHAR)" for d in dims
+            ),
+        )
+        for b, dims in enumerate(banded_axis_planes(64, planes_per_band, n_bands))
+    )
+    return f"""
+WITH keyed AS (
+    {keyed}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keyed a JOIN keyed b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.id < b.id
+),
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand c
+JOIN e ea ON ea.id = c.id_a
+JOIN e eb ON eb.id = c.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+"""
+
+
+@register("dedup_embedding_banded", _emb_banded_sql())
+def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: OR-of-ANDs banded sign LSH
+    (4 planes x 8 bands) — recall 1-(1-p^4)^8 vs a single band's p^4,
+    with per-(band,bucket) joins bounding the fan-out."""
+    from .llm.dedup import banded_axis_planes
+
+    return embedding_neardup_pairs(
+        _read_spread(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        bands=banded_axis_planes(64, 4, 8),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -247,7 +247,11 @@ def test_embedding_neardup_recall_and_cap(spark):
     brute force, recall must not decrease with fewer planes (coarser
     buckets = more candidates), and the bucket cap must bound the pair
     expansion without losing everything."""
-    from dax_ppdb_spark.llm.dedup import axis_planes, embedding_neardup_pairs
+    from dax_ppdb_spark.llm.dedup import (
+        axis_planes,
+        banded_axis_planes,
+        embedding_neardup_pairs,
+    )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
@@ -275,7 +279,18 @@ def test_embedding_neardup_recall_and_cap(spark):
     fine = pairs(embedding_neardup_pairs(emb, threshold=0.3, sign_dims=axis_planes(64, 8)))
     assert coarse <= exact and fine <= exact  # prefilter never invents pairs
     assert fine <= coarse  # more planes only splits buckets
-    assert len(coarse) >= len(exact) // 2  # recall floor at 4 planes
+
+    # A single band misses pairs straddling any plane (recall ~ p^k);
+    # OR-over-bands is the recall knob: 1-(1-p^k)^L.  Floor pinned on
+    # the banded variant.
+    banded = pairs(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, bands=banded_axis_planes(64, 4, 8)
+        )
+    )
+    assert banded <= exact  # banding never invents pairs either
+    assert len(banded) > len(coarse)  # more bands = strictly more recall here
+    assert len(banded) >= len(exact) // 2  # recall floor at 4 planes x 8 bands
 
     capped = pairs(
         embedding_neardup_pairs(
