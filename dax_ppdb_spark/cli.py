@@ -17,18 +17,42 @@ schedulers, mirroring ``Trigger.AvailableNow`` semantics.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
 
+from .config import PpdbConfig, SparkPipelineConfig, pipeline_from_config
 from .ledger import Ledger
-from .pipeline.promote import Promoter
-from .pipeline.replicate import DirectoryApdbSource, Replicator
 from .pipeline.upload import ChunkUploader
 from .session import get_spark
 
 
+def _resolve_config(args: argparse.Namespace) -> SparkPipelineConfig:
+    """Merge a ``--config`` YAML file with explicit flags.
+
+    Flags the user actually passed (anything non-None on the
+    namespace) override the file, so a config can hold the durable
+    settings and a flag can tweak one run — the reference's
+    config-first CLI shape (``ppdb_config.py:40-65``).
+    """
+    if getattr(args, "config", None):
+        cfg = PpdbConfig.from_uri(args.config)
+        if not isinstance(cfg, SparkPipelineConfig):
+            raise TypeError(f"Unknown type of config object: {type(cfg)}")
+    else:
+        cfg = SparkPipelineConfig()
+    for f in dataclasses.fields(SparkPipelineConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    return cfg
+
+
 def _cmd_list_chunks(args: argparse.Namespace) -> int:
+    cfg = _resolve_config(args)
+    if not cfg.ledger:
+        raise SystemExit("list-chunks needs a ledger path (arg or config)")
     spark = get_spark("ppdb-list-chunks")
-    ledger = Ledger(spark, args.ledger)
+    ledger = Ledger(spark, cfg.ledger)
     rows = ledger.query_chunks(order_by="apdb_replica_chunk").collect()
     print("chunk_id\tstatus\tlast_update_time\tunique_id")
     for r in rows:
@@ -37,17 +61,33 @@ def _cmd_list_chunks(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_list_chunks_apdb(args: argparse.Namespace) -> int:
+    """APDB-side listing (S12's twin): every chunk the source export
+    area offers, in id order — no Spark session, no ledger.
+
+    Reference: ``scripts/replication_list_chunks_apdb.py:29-52``.
+    """
+    from .pipeline.replicate import DirectoryApdbSource
+
+    cfg = _resolve_config(args)
+    if not cfg.source:
+        raise SystemExit("list-chunks-apdb needs a source dir (arg or config)")
+    chunks = DirectoryApdbSource(cfg.source).list_chunks()
+    print("chunk_id\tlast_update_time\tunique_id")
+    for c in chunks:
+        print(f"{c.chunk_id}\t{c.last_update_time.isoformat()}\t{c.unique_id}")
+    print(f"total: {len(chunks)}")
+    return 0
+
+
 def _cmd_run(args: argparse.Namespace) -> int:
+    cfg = _resolve_config(args)
+    if not cfg.root or not cfg.source:
+        raise SystemExit("run needs --root and --source (flags or config)")
     spark = get_spark("ppdb-replication-run")
-    promoter = Promoter(spark, args.root)
-    rep = Replicator(
-        spark,
-        DirectoryApdbSource(args.source),
-        promoter.ledger,
-        min_wait_s=args.min_wait_time,
-        max_wait_s=args.max_wait_time,
-        update=args.update,
-    )
+    pipe = pipeline_from_config(spark, cfg)
+    promoter = pipe.promoter()
+    rep = pipe.replicator(ledger=promoter.ledger)
 
     # The replicator inserts the EXPORTED ledger row after stage_fn
     # returns; staging (which flips the row to STAGED) must therefore
@@ -61,27 +101,32 @@ def _cmd_run(args: argparse.Namespace) -> int:
         print(f"replicated: {[c.chunk_id for c in copied_chunks]}")
         if not args.loop:
             return 0
-        time.sleep(args.check_interval)
+        time.sleep(cfg.check_interval)
 
 
 def _cmd_upload(args: argparse.Namespace) -> int:
+    cfg = _resolve_config(args)
+    if not cfg.ledger or not cfg.export_root or not cfg.bucket:
+        raise SystemExit("upload-chunks needs --ledger, --export-root, --bucket")
     spark = get_spark("ppdb-upload-chunks")
-    ledger = Ledger(spark, args.ledger)
+    ledger = Ledger(spark, cfg.ledger)
     uploader = ChunkUploader(
-        ledger, args.export_root, args.bucket, exit_on_error=args.exit_on_error
+        ledger, cfg.export_root, cfg.bucket, exit_on_error=cfg.exit_on_error
     )
     while True:
         done = uploader.run_once()
         print(f"uploaded: {done}")
         if not args.loop:
             return 0
-        time.sleep(args.wait_interval)
+        time.sleep(cfg.wait_interval)
 
 
 def _cmd_promote(args: argparse.Namespace) -> int:
+    cfg = _resolve_config(args)
+    if not cfg.root:
+        raise SystemExit("promote needs --root (flag or config)")
     spark = get_spark("ppdb-promote")
-    promoter = Promoter(spark, args.root)
-    promoted = promoter.promote()
+    promoted = pipeline_from_config(spark, cfg).promoter().promote()
     print(f"promoted: {promoted}")
     return 0
 
@@ -90,9 +135,12 @@ def _cmd_create_datasets(args: argparse.Namespace) -> int:
     from .schema.ddl import DatasetBuilder
     from .schema.felis import load_schema
 
+    cfg = _resolve_config(args)
+    if not cfg.schema:
+        raise SystemExit("create-datasets needs --schema (flag or config)")
     spark = get_spark("ppdb-create-datasets")
-    DatasetBuilder(spark, load_schema(args.schema), prefix=args.prefix).build_all()
-    print(f"created datasets with prefix {args.prefix!r}")
+    DatasetBuilder(spark, load_schema(cfg.schema), prefix=cfg.prefix).build_all()
+    print(f"created datasets with prefix {cfg.prefix!r}")
     return 0
 
 
@@ -102,38 +150,48 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = parser.add_subparsers(title="subcommands", required=True, dest="cmd")
 
-    p = sub.add_parser("list-chunks", help="ordered ledger report (S12)")
-    p.add_argument("ledger", help="ledger table path")
-    p.set_defaults(func=_cmd_list_chunks)
+    def add(name: str, help: str, func) -> argparse.ArgumentParser:
+        p = sub.add_parser(name, help=help)
+        # Flags default to None so a --config file's values win unless
+        # the flag is explicitly passed (store_true flags included).
+        p.add_argument("-c", "--config", help="YAML config (implementation_type: spark)")
+        p.set_defaults(func=func)
+        return p
 
-    p = sub.add_parser("run", help="replicate new chunks from an APDB export area")
-    p.add_argument("--source", required=True, help="APDB chunk export directory")
-    p.add_argument("--root", required=True, help="PPDB warehouse root")
-    p.add_argument("--min-wait-time", type=float, default=300.0)
-    p.add_argument("--max-wait-time", type=float, default=900.0)
-    p.add_argument("--check-interval", type=float, default=360.0)
-    p.add_argument("--update", action="store_true",
+    p = add("list-chunks", "ordered ledger report (S12)", _cmd_list_chunks)
+    p.add_argument("ledger", nargs="?", help="ledger table path")
+
+    p = add(
+        "list-chunks-apdb",
+        "chunks available on the APDB/source side",
+        _cmd_list_chunks_apdb,
+    )
+    p.add_argument("--source", help="APDB chunk export directory")
+
+    p = add("run", "replicate new chunks from an APDB export area", _cmd_run)
+    p.add_argument("--source", help="APDB chunk export directory")
+    p.add_argument("--root", help="PPDB warehouse root")
+    p.add_argument("--min-wait-time", type=float, default=None)
+    p.add_argument("--max-wait-time", type=float, default=None)
+    p.add_argument("--check-interval", type=float, default=None)
+    p.add_argument("--update", action="store_true", default=None,
                    help="allow re-replication of chunks whose uuid changed")
     p.add_argument("--loop", action="store_true", help="poll continuously")
-    p.set_defaults(func=_cmd_run)
 
-    p = sub.add_parser("upload-chunks", help="upload EXPORTED chunks to the bucket")
-    p.add_argument("--ledger", required=True)
-    p.add_argument("--export-root", required=True)
-    p.add_argument("--bucket", required=True)
-    p.add_argument("--wait-interval", type=float, default=30.0)
-    p.add_argument("--exit-on-error", action="store_true")
+    p = add("upload-chunks", "upload EXPORTED chunks to the bucket", _cmd_upload)
+    p.add_argument("--ledger")
+    p.add_argument("--export-root")
+    p.add_argument("--bucket")
+    p.add_argument("--wait-interval", type=float, default=None)
+    p.add_argument("--exit-on-error", action="store_true", default=None)
     p.add_argument("--loop", action="store_true")
-    p.set_defaults(func=_cmd_upload)
 
-    p = sub.add_parser("promote", help="promote contiguous STAGED chunks")
-    p.add_argument("--root", required=True, help="PPDB warehouse root")
-    p.set_defaults(func=_cmd_promote)
+    p = add("promote", "promote contiguous STAGED chunks", _cmd_promote)
+    p.add_argument("--root", help="PPDB warehouse root")
 
-    p = sub.add_parser("create-datasets", help="build the 4-namespace catalog (D13)")
-    p.add_argument("--schema", required=True, help="Felis YAML path")
-    p.add_argument("--prefix", default="ppdb")
-    p.set_defaults(func=_cmd_create_datasets)
+    p = add("create-datasets", "build the 4-namespace catalog (D13)", _cmd_create_datasets)
+    p.add_argument("--schema", help="Felis YAML path")
+    p.add_argument("--prefix", default=None)
 
     return parser
 

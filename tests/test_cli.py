@@ -79,6 +79,66 @@ def test_upload_chunks_cmd(spark, tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "bucket" / "chunk_7" / "manifest.json"))
 
 
+def test_config_file_drives_run_and_lists(spark, tmp_path, capsys):
+    """Config-driven startup (ppdb_config.py:40-65, _factory.py:64-92):
+    one YAML names the whole pipeline; flags stay optional."""
+    import yaml
+
+    root = str(tmp_path / "ppdb")
+    source = str(tmp_path / "apdb")
+    df = spark.createDataFrame(
+        [(1, 100.0, None, 45.0, -30.0, 1)],
+        "diaObjectId LONG, validityStartMjdTai DOUBLE, validityEndMjdTai DOUBLE, "
+        "ra DOUBLE, dec DOUBLE, nDiaSources INT",
+    )
+    chunk_dir = store_chunk(spark, source, 4, {"DiaObject": df})
+    mpath = os.path.join(chunk_dir, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["created_at"] -= 3600
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    cfg_path = str(tmp_path / "ppdb.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {"implementation_type": "spark", "root": root, "source": source}, f
+        )
+
+    # APDB-side listing straight from the config (no ledger yet)
+    assert cli.main(["list-chunks-apdb", "--config", cfg_path]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[1].startswith("4\t") and "total: 1" in out
+
+    assert cli.main(["run", "--config", cfg_path]) == 0
+    assert "replicated: [4]" in capsys.readouterr().out
+    assert cli.main(["promote", "--config", cfg_path]) == 0
+    assert "promoted: [4]" in capsys.readouterr().out
+
+    # PPDB-side listing: flag overrides config (config has no ledger key)
+    ledger_path = os.path.join(root, "ledger")
+    assert cli.main(["list-chunks", ledger_path, "--config", cfg_path]) == 0
+    assert "total: 1" in capsys.readouterr().out
+
+
+def test_config_dispatch_errors(tmp_path):
+    from dax_ppdb_spark.config import PpdbConfig
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("root: /x\n")
+    with pytest.raises(LookupError, match="implementation_type"):
+        PpdbConfig.from_uri(str(p))
+    p.write_text("implementation_type: bigquery\nroot: /x\n")
+    with pytest.raises(TypeError, match="Unknown type name"):
+        PpdbConfig.from_uri(str(p))
+    p.write_text("implementation_type: spark\nno_such_key: 1\n")
+    with pytest.raises(TypeError, match="no_such_key"):
+        PpdbConfig.from_uri(str(p))
+    p.write_text("- just\n- a list\n")
+    with pytest.raises(TypeError, match="valid object"):
+        PpdbConfig.from_uri(str(p))
+
+
 def test_run_update_flag_rereplicates(spark, tmp_path, capsys):
     root = str(tmp_path / "ppdb")
     source = str(tmp_path / "apdb")
