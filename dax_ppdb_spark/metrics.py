@@ -39,6 +39,45 @@ def timer(stage: str, **tags):
         _LOG.info("%s took %.3fs %s", stage, dt, tag_s)
 
 
+# Pending Observations: attached to a plan, resolvable only after the
+# caller runs an action on the observed DataFrame (write/collect).
+_PENDING: deque[tuple[str, object, dict]] = deque(maxlen=256)
+
+
+def observe(df, stage: str, exprs: dict, **tags):
+    """Attach named aggregate metrics to a DataFrame's next action.
+
+    Spark's ``Observation`` computes the aggregates inside the same job
+    that materializes the plan — the analog of BigQuery's per-job
+    ``num_dml_affected_rows`` / bytes-processed stats the reference
+    logs (``query_runner.py:63-100``, ``updates_manager.py:242-271``),
+    with zero extra scans.  Call :func:`flush_observations` after the
+    action to move the values into the metrics buffer and the log.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, *[e.alias(name) for name, e in exprs.items()])
+    _PENDING.append((stage, obs, dict(tags)))
+    return out
+
+
+def flush_observations() -> list[dict]:
+    """Resolve every pending observation (the observed DataFrames must
+    have been acted on — ``Observation.get`` blocks otherwise) and log
+    them as ``kind="dml"`` entries.  Returns the new entries."""
+    out = []
+    while _PENDING:
+        stage, obs, tags = _PENDING.popleft()
+        vals = dict(obs.get)
+        entry = {"kind": "dml", "stage": stage, **vals, **tags}
+        _RECENT.append(entry)
+        tag_s = " ".join(f"{k}={v}" for k, v in {**vals, **tags}.items())
+        _LOG.info("%s dml %s", stage, tag_s)
+        out.append(dict(entry))
+    return out
+
+
 def log_rows(stage: str, n: int, **tags) -> None:
     """DML-stats logging (inserted/updated/deleted row counts)."""
     _RECENT.append({"kind": "rows", "stage": stage, "rows": n, **tags})

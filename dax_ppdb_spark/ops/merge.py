@@ -30,11 +30,16 @@ def merge_upsert(
     patch: DataFrame,
     keys: Sequence[str],
     broadcast_patch: bool = True,
+    observe_as: str | None = None,
 ) -> DataFrame:
     """D2: WHEN MATCHED UPDATE (all patch columns) / NOT MATCHED INSERT.
 
     Patch rows fully replace matching target rows; patch columns must
     be a (sub)set of target columns — missing ones keep target values.
+
+    ``observe_as`` attaches updated/inserted row counts to the next
+    action on the result (the reference's per-MERGE DML stats,
+    ``updates_manager.py:242-271``) — see ``metrics.observe``.
     """
     keys = list(keys)
     p = F.broadcast(patch) if broadcast_patch else patch
@@ -44,6 +49,21 @@ def merge_upsert(
     cond = [F.col(k) == F.col(f"__p_{k}") for k in keys]
     joined = target.join(p_pref, cond, "full_outer")
     matched_or_new = F.col(f"__p_{keys[0]}").isNotNull()
+    if observe_as:
+        from .. import metrics
+
+        tkey = F.col(keys[0])
+        pkey = F.col(f"__p_{keys[0]}")
+        joined = metrics.observe(
+            joined,
+            observe_as,
+            {
+                "rows": F.count(F.lit(1)),
+                "updated": F.count(F.when(tkey.isNotNull() & pkey.isNotNull(), 1)),
+                "inserted": F.count(F.when(tkey.isNull(), 1)),
+            },
+            op="merge_upsert",
+        )
     out_cols = []
     for c in target.columns:
         if c in patch.columns:
@@ -61,6 +81,7 @@ def merge_patch(
     keys: Sequence[str],
     set_cols: Sequence[str] | None = None,
     broadcast_patch: bool = True,
+    observe_as: str | None = None,
 ) -> DataFrame:
     """J2/J3: MERGE ... WHEN MATCHED THEN UPDATE SET (no insert branch).
 
@@ -81,6 +102,18 @@ def merge_patch(
     cond = [F.col(k) == F.col(f"__p_{k}") for k in keys]
     joined = target.join(p_pref, cond, "left")
     matched = F.col(f"__p_{keys[0]}").isNotNull()
+    if observe_as:
+        from .. import metrics
+
+        joined = metrics.observe(
+            joined,
+            observe_as,
+            {
+                "rows": F.count(F.lit(1)),
+                "updated": F.count(F.when(matched, 1)),
+            },
+            op="merge_patch",
+        )
     out_cols = []
     for c in target.columns:
         if c in set_cols:

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..io.table import ParquetTable
 from ..ledger import Ledger
-from ..metrics import timer
+from ..metrics import flush_observations, timer
 from ..ops.merge import merge_patch
 from ..ops.spatial import with_geo_point
 from ..ops.updates import TABLE_PATCHES, expand_updates, latest_updates, table_patch
@@ -249,8 +249,12 @@ class Promoter:
             buckets = self._buckets_of(patch, key_cols[0])
             target = self.promotion[t].read(self.spark)
             touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
-            merged = merge_patch(touched, patch, key_cols)
+            # observe_as rides the write job below: per-MERGE scanned/
+            # updated row counts land in the metrics log, the analog of
+            # the reference's DML stats (updates_manager.py:242-271).
+            merged = merge_patch(touched, patch, key_cols, observe_as=f"merge_{t}")
             self.promotion[t].replace_partitions(merged, OBJ_BUCKET, buckets)
+            flush_observations()
 
     def _swap_promotion_to_internal(self) -> None:
         """Step 4: atomic truncate-swap (zero-copy clone + pointer flip)."""

@@ -247,3 +247,16 @@ def test_public_snapshot_partition_prunes_sky_queries(spark, promoted):
     )
     assert "PartitionFilters" in plan
     assert "geo_cell" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_dml_metrics_logged(spark, promoted):
+    """Promotion's per-table MERGEs report row counts (the reference
+    logs DML affected-row stats per MERGE, updates_manager.py:242-271)."""
+    from dax_ppdb_spark import metrics
+
+    entries = metrics.recent("merge_DiaSource", kind="dml")
+    assert entries, "promotion should have recorded MERGE stats"
+    last = entries[-1]
+    assert last["op"] == "merge_patch"
+    # chunk 2's updates withdraw 1002 and reassign 1001 -> 2 updated rows
+    assert last["updated"] == 2 and last["rows"] >= 2

@@ -215,3 +215,29 @@ def test_topk_per_key_salted_matches_direct(spark):
     }
     assert salted == direct
     assert len([1 for k, _t in direct if k == 1]) == 3
+
+
+def test_merge_observation_counts(spark):
+    """DML stats ride the action that materializes the merge
+    (updates_manager.py:242-271 analog): scanned/updated/inserted
+    counts for a known batch, with no extra scan jobs."""
+    from dax_ppdb_spark import metrics
+    from dax_ppdb_spark.ops.merge import merge_patch, merge_upsert
+
+    metrics.clear()
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id LONG, v STRING"
+    )
+    patch = spark.createDataFrame([(2, "B"), (4, "D")], "id LONG, v STRING")
+    merged = merge_patch(target, patch, ["id"], observe_as="patch_stage")
+    merged.count()  # the action the observation rides
+    [entry] = metrics.flush_observations()
+    assert entry["stage"] == "patch_stage" and entry["op"] == "merge_patch"
+    assert entry["rows"] == 4 and entry["updated"] == 2
+    assert metrics.recent("patch_stage", kind="dml")
+
+    upsert_patch = spark.createDataFrame([(4, "DD"), (9, "Z")], "id LONG, v STRING")
+    up = merge_upsert(target, upsert_patch, ["id"], observe_as="upsert_stage")
+    up.count()
+    [entry] = metrics.flush_observations()
+    assert entry["updated"] == 1 and entry["inserted"] == 1 and entry["rows"] == 5
