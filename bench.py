@@ -41,6 +41,7 @@ HEADLINE = [
     "distinct_ids",
     "spatial_box",
     "cone_search",
+    "cone_search_sorted",
     "windowed_counts",
     "sessionize",
     "asof_attribution",
@@ -49,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_embedding_banded",
     "text_stats",
     "token_count_bpe",
     "doc_fingerprint",
@@ -75,6 +77,10 @@ def main() -> None:
     # Warm the JVM/codegen path once so timings measure the engine,
     # not first-query classloading.
     registry[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Build the geo-sorted materialization outside the timed region:
+    # it is the promotion write path's product (clustered storage), and
+    # cone_search_sorted benches the READ path against it.
+    driver_queries.ensure_sky_sorted(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()

@@ -15,6 +15,7 @@ hash-compares values after sorting columns by name):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -743,6 +744,80 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         coarse.filter(d2 <= 4.0)
         .select("o_orderkey", "ra", "dec", F.round(F.sqrt(d2), 6).alias("dist_deg"))
+    )
+
+
+def _sky_sorted_path(sf_dir: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(tempfile.gettempdir(), "dax_ppdb_sky_sorted", tag)
+
+
+def ensure_sky_sorted(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the geo-sorted sky layout the promotion write
+    path produces: partitioned by coarse Z-cell, sorted by ``geo_point``
+    within files — the layout whose row-group min/max stats make sky
+    predicates an actual storage-level skip (``promote.py`` step 5 /
+    BigQuery ``CLUSTER BY geo_point``, ``dataset_builder.py:250-253``).
+    """
+    from .ops.spatial import zorder_cell, zorder_index
+
+    path = _sky_sorted_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    sky = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 36000) / 100.0).alias("ra"),
+        ((F.col("o_custkey") % 18000) / 100.0 - 90.0).alias("dec"),
+    )
+    geo = sky.withColumn("geo_point", zorder_index(F.col("ra"), F.col("dec")))
+    geo = geo.withColumn("geo_cell", zorder_cell(F.col("geo_point"), level=4))
+    (
+        geo.repartitionByRange(16, "geo_point")
+        .sortWithinPartitions("geo_point")
+        .write.mode("overwrite")
+        .partitionBy("geo_cell")
+        .parquet(path)
+    )
+    return path
+
+
+@register("cone_search_sorted", _cone_search_sql())
+def q_cone_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cone search as it runs against the *stored* clustering: the
+    coarse cells become (a) partition pruning on ``geo_cell`` and (b)
+    ``geo_point`` range predicates pushed to the parquet scan, where
+    the in-file sort makes row-group min/max stats skip everything
+    outside the cone's bounding cells.  Same result set as
+    ``cone_search`` (the oracle is identical); only the access path
+    differs — this is the query shape the public snapshot serves.
+    """
+    from .ops.spatial import cells_for_box
+
+    path = ensure_sky_sorted(spark, sf_dir)
+    cells = sorted(cells_for_box(48.0, 52.0, -87.0, -83.0, level=8))
+    # Morton nesting: a level-8 cell is a contiguous geo_point range.
+    shift = 2 * (16 - 8)
+    ranges: list[list[int]] = []
+    for c in cells:
+        if ranges and c == ranges[-1][1] + 1:
+            ranges[-1][1] = c
+        else:
+            ranges.append([c, c])
+    pred = None
+    for lo, hi in ranges:
+        r = (F.col("geo_point") >= lo << shift) & (F.col("geo_point") < (hi + 1) << shift)
+        pred = r if pred is None else (pred | r)
+    part_cells = sorted({c >> 2 * (8 - 4) for c in cells})
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("geo_cell").isin(part_cells))
+        .filter(pred)
+    )
+    d2 = (F.col("ra") - 50.0) ** 2 + (F.col("dec") + 85.0) ** 2
+    return df.filter(d2 <= 4.0).select(
+        "o_orderkey", "ra", "dec", F.round(F.sqrt(d2), 6).alias("dist_deg")
     )
 
 

@@ -363,7 +363,7 @@ def embedding_neardup_pairs(
     one-row-per-(band,)bucket) size table *before* the pair join, so an
     oversized bucket never materializes its pair expansion.
     """
-    from .similarity import cosine_similarity
+    from .similarity import cosine_similarity, dot
 
     v = F.col(vec_col).cast("array<double>")
 
@@ -388,13 +388,42 @@ def embedding_neardup_pairs(
             .select(*bkey)
         )
         e = e.join(F.broadcast(ok), bkey)
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), *bkey)
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), *bkey)
-    pairs = a.join(b, bkey).filter(F.col("id_a") < F.col("id_b"))
     if len(bands) > 1:
-        # OR over bands: score each candidate pair once, not per band
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+        # OR over bands: candidate pairs are ids-only through the
+        # bucket join and the dedup shuffle — the (wide) vectors join
+        # back in afterwards, once per unique pair, so no 64-float
+        # payload rides the candidate expansion.  Squared norms are
+        # computed once per VECTOR, not per pair, and combined as
+        # dot/(sqrt(n2_a*n2_b)) — bit-identical to cosine_similarity's
+        # expression, at a third of the per-pair array work.
+        ids = e.select("id", *bkey)
+        cand = (
+            ids.select(F.col("id").alias("id_a"), *bkey)
+            .join(ids.select(F.col("id").alias("id_b"), *bkey), bkey)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        vecs = emb.select(
+            F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2")
+        )
+        pairs = cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n2").alias("n2_a")
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n2").alias("n2_b")
+            ),
+            "id_b",
+        )
+        sim = dot(F.col("v_a"), F.col("v_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    else:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), *bkey)
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), *bkey)
+        pairs = a.join(b, bkey).filter(F.col("id_a") < F.col("id_b"))
+        sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return (
         pairs.withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= threshold)

@@ -209,17 +209,21 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
 """
 
 
-@register("dedup_embedding_banded", _emb_banded_sql())
+@register("dedup_embedding_banded", _emb_banded_sql(6, 8))
 def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: OR-of-ANDs banded sign LSH
-    (4 planes x 8 bands) — recall 1-(1-p^4)^8 vs a single band's p^4,
-    with per-(band,bucket) joins bounding the fan-out."""
+    """Scale path for embedding near-dup: OR-of-ANDs banded sign LSH —
+    recall 1-(1-p^k)^L vs a single band's p^k, with per-(band,bucket)
+    joins bounding the fan-out.  Plane count follows the corpus-scaling
+    rule (k ~ log2(N/target_bucket_size), ``axis_planes`` docstring):
+    6 planes/band for these ~2k-vector tables; a 1e9-vector corpus
+    would use ~18, keeping per-bucket occupancy — and therefore the
+    candidate expansion — constant as N grows."""
     from .llm.dedup import banded_axis_planes
 
     return embedding_neardup_pairs(
         _read_spread(spark, sf_dir, "embeddings"),
         threshold=0.3,
-        bands=banded_axis_planes(64, 4, 8),
+        bands=banded_axis_planes(64, 6, 8),
     )
 
 

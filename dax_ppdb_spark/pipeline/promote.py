@@ -103,6 +103,15 @@ class Promoter:
     def _with_bucket(self, df: DataFrame, table: str) -> DataFrame:
         return df.withColumn(OBJ_BUCKET, self._bucket_expr(F.col(BUCKET_KEYS[table])))
 
+    def _id_sorted(self, df: DataFrame, table: str) -> DataFrame:
+        """Sort within write tasks by the MERGE key so every data file's
+        row groups carry tight min/max id stats — the search-index-on-id
+        analog (``dataset_builder.py:257-265``): point lookups and
+        batch MERGE probes skip row groups, not just bucket partitions.
+        Task-local sort, no shuffle.
+        """
+        return df.sortWithinPartitions(OBJ_BUCKET, BUCKET_KEYS[table])
+
     def _buckets_of(self, keys: DataFrame, key_col: str) -> list[int]:
         """Distinct buckets hit by a batch's keys — driver-side control
         data, one long per touched id range."""
@@ -196,16 +205,22 @@ class Promoter:
                 if add is not None:
                     cur_cols = set(self.promotion[t].read(self.spark).columns)
                     if set(add.columns) == cur_cols:
-                        self.promotion[t].append(add, partition_by=(OBJ_BUCKET,))
+                        self.promotion[t].append(
+                            self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
+                        )
                     else:
                         # Schema drift (new/dropped columns in a batch):
                         # fall back to a full rewrite — rare by design.
                         combined = self.promotion[t].read(self.spark).unionByName(
                             add, allowMissingColumns=True
                         )
-                        self.promotion[t].overwrite(combined, partition_by=(OBJ_BUCKET,))
+                        self.promotion[t].overwrite(
+                            self._id_sorted(combined, t), partition_by=(OBJ_BUCKET,)
+                        )
             elif add is not None:
-                self.promotion[t].overwrite(add, partition_by=(OBJ_BUCKET,))
+                self.promotion[t].overwrite(
+                    self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
+                )
 
     def _fill_validity_end(self, chunk_ids: list[int]) -> None:
         """Step 2: close open DiaObject intervals — touched buckets only.
@@ -224,7 +239,9 @@ class Promoter:
         target = self.promotion["DiaObject"].read(self.spark)
         touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
         filled = fill_validity_end(touched, ids)
-        self.promotion["DiaObject"].replace_partitions(filled, OBJ_BUCKET, buckets)
+        self.promotion["DiaObject"].replace_partitions(
+            self._id_sorted(filled, "DiaObject"), OBJ_BUCKET, buckets
+        )
 
     def _apply_updates(self, chunk_ids: list[int]) -> None:
         """Step 3: expand -> latest-only -> per-table bucket-pruned merge.
@@ -253,7 +270,9 @@ class Promoter:
             # updated row counts land in the metrics log, the analog of
             # the reference's DML stats (updates_manager.py:242-271).
             merged = merge_patch(touched, patch, key_cols, observe_as=f"merge_{t}")
-            self.promotion[t].replace_partitions(merged, OBJ_BUCKET, buckets)
+            self.promotion[t].replace_partitions(
+                self._id_sorted(merged, t), OBJ_BUCKET, buckets
+            )
             flush_observations()
 
     def _swap_promotion_to_internal(self) -> None:

@@ -260,3 +260,22 @@ def test_dml_metrics_logged(spark, promoted):
     assert last["op"] == "merge_patch"
     # chunk 2's updates withdraw 1002 and reassign 1001 -> 2 updated rows
     assert last["updated"] == 2 and last["rows"] >= 2
+
+
+def test_internal_files_sorted_by_merge_key(spark, promoted):
+    """Write path keeps every internal data file sorted by its MERGE
+    key (search-index analog, dataset_builder.py:257-265): row-group
+    min/max id stats stay tight, so id point lookups skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for t, key in (("DiaObject", "diaObjectId"), ("DiaSource", "diaSourceId")):
+        files = glob.glob(
+            os.path.join(promoted.root, "internal", t, "**", "*.parquet"),
+            recursive=True,
+        )
+        assert files
+        for f in files:
+            vals = pq.read_table(f, columns=[key]).column(key).to_pylist()
+            assert vals == sorted(vals), f"{f} not sorted by {key}"

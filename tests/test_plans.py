@@ -105,3 +105,13 @@ def test_multiway_join_broadcasts_all_dims(spark, sf_dir, registry):
     assert "SortMergeJoin" not in plan
     before_first_broadcast = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in before_first_broadcast
+
+
+def test_cone_search_sorted_prunes_storage(spark, sf_dir, registry):
+    """The stored-clustering cone search must show BOTH pruning layers:
+    partition pruning on the coarse geo_cell and geo_point range
+    predicates pushed into the parquet scan (row-group skipping)."""
+    plan = plan_of(registry["cone_search_sorted"](spark, sf_dir))
+    assert "PartitionFilters" in plan and "geo_cell" in plan
+    assert "GreaterThanOrEqual(geo_point" in plan
+    assert "LessThan(geo_point" in plan
