@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..io.table import ParquetTable
 from ..ledger import Ledger
-from ..metrics import flush_observations, timer
+from ..metrics import flush_observations, log_plan_metrics, timer
 from ..ops.merge import merge_patch
 from ..ops.spatial import with_geo_point
 from ..ops.updates import TABLE_PATCHES, expand_updates, latest_updates, table_patch
@@ -390,6 +390,9 @@ class Promoter:
             .sortWithinPartitions("geo_point")
         )
         self.public_diaobject.replace_partitions(replacement, "geo_cell", cells)
+        # bytes/rows actually touched by the incremental rewrite — the
+        # per-job cost line the reference logs (query_runner.py:63-100)
+        log_plan_metrics(replacement, "public_snapshot", cells=len(cells))
 
     def _delete_staged(self, chunk_ids: list[int]) -> None:
         """Step 6: partition drops on staging tables (D11)."""

@@ -279,3 +279,25 @@ def test_internal_files_sorted_by_merge_key(spark, promoted):
         for f in files:
             vals = pq.read_table(f, columns=[key]).column(key).to_pylist()
             assert vals == sorted(vals), f"{f} not sorted by {key}"
+
+
+def test_plan_metrics_report_job_cost(spark, tmp_path):
+    """plan_metrics totals scan bytes/files/rows and shuffle bytes from
+    the executed plan (query_runner.py:63-100 bytes-processed analog)."""
+    from dax_ppdb_spark import metrics
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()
+    vals = metrics.plan_metrics(df)
+    assert vals["bytes_scanned"] > 0 and vals["files_read"] >= 1
+    assert vals["rows_scanned"] == 1500
+    assert vals["shuffle_bytes_written"] > 0
+    assert vals["output_rows"] is not None
+
+    entry = metrics.log_plan_metrics(df, "unit_job", table="orders")
+    assert entry["stage"] == "unit_job" and entry["table"] == "orders"
+    assert metrics.recent("unit_job", kind="job")
