@@ -54,12 +54,18 @@ class DatasetBuilder:
     def database(self, dataset: str) -> str:
         return f"{self.prefix}_{dataset}"
 
-    def build_all(self, metadata_path: str | None = None) -> None:
+    def build_all(
+        self,
+        metadata_path: str | None = None,
+        configure_authorized_views: bool = False,
+    ) -> None:
         for ds in DATASET_TYPES:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.database(ds)}`")
         self._build_staging()
         self._build_internal()
         self._build_public()
+        if configure_authorized_views:
+            self.configure_authorized_views()
         if metadata_path is not None:
             # Creation-time version bookkeeping (_ppdb_sql_base.py:263-265).
             from .. import __version__ as code_version
@@ -108,6 +114,44 @@ class DatasetBuilder:
                 f"CREATE OR REPLACE VIEW `{db}`.`{t}` AS "
                 f"SELECT {cols} FROM `{internal}`.`{t}`"
             )
+
+    def authorized_views(self) -> list[str]:
+        """Current ``authorized_views`` grant entries on the internal
+        database (empty if never configured)."""
+        import re
+
+        rows = self.spark.sql(
+            f"DESCRIBE DATABASE EXTENDED `{self.database('internal')}`"
+        ).collect()
+        props = next(
+            (r.info_value for r in rows if r.info_name == "Properties"), ""
+        )
+        m = re.search(r"\(authorized_views,([^)]*)\)", props)
+        return [v for v in (m.group(1).split(";") if m else []) if v]
+
+    def configure_authorized_views(self) -> list[str]:
+        """Authorized-view analog: record, on the INTERNAL database,
+        which public views are granted to read through it.
+
+        Vanilla Spark has no IAM, so the grant surface is database
+        properties that a deployment's ACL layer (Ranger / catalog
+        grants) consumes; the bookkeeping mirrors the reference
+        (``dataset_builder.py:540-587``): managed entries (this tool's
+        public views) are replaced, any entries some other tool added
+        are preserved.
+        """
+        public = self.database("public")
+        managed = [f"{public}.{t}" for t in ("DiaSource", "DiaForcedSource")]
+        retained = [
+            e for e in self.authorized_views() if not e.startswith(public + ".")
+        ]
+        entries = retained + managed
+        joined = ";".join(entries)
+        self.spark.sql(
+            f"ALTER DATABASE `{self.database('internal')}` "
+            f"SET DBPROPERTIES ('authorized_views'='{joined}')"
+        )
+        return entries
 
     def drop_all(self) -> None:
         for ds in DATASET_TYPES:

@@ -150,3 +150,29 @@ def test_build_all_records_versions(spark, tmp_path):
         assert m.get("version:code")
     finally:
         builder.drop_all()
+
+
+def test_authorized_views_configured_and_preserved(spark):
+    """Grant bookkeeping mirrors dataset_builder.py:540-587: managed
+    public-view entries are (re)written on the internal database,
+    entries from other tools are preserved."""
+    builder = DatasetBuilder(spark, load_schema(SAMPLE), prefix="t_av")
+    try:
+        builder.build_all(configure_authorized_views=True)
+        assert builder.authorized_views() == [
+            "t_av_public.DiaSource",
+            "t_av_public.DiaForcedSource",
+        ]
+        # another tool adds its own grant + a stale managed-looking one
+        spark.sql(
+            "ALTER DATABASE t_av_internal SET DBPROPERTIES ('authorized_views'="
+            "'other_db.custom_view;t_av_public.Old')"
+        )
+        entries = builder.configure_authorized_views()
+        assert entries == [
+            "other_db.custom_view",
+            "t_av_public.DiaSource",
+            "t_av_public.DiaForcedSource",
+        ]
+    finally:
+        builder.drop_all()
