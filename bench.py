@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_banded",
     "text_stats",
+    "repetition_ratio",
+    "pii_redact",
     "token_count_bpe",
     "doc_fingerprint",
     "split_assign",

@@ -153,6 +153,54 @@ def language_id(text: Column) -> Column:
     )
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when the doc
+    has fewer than ``n`` tokens — guarded because Spark's ``sequence``
+    would otherwise produce a descending range)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Duplicated-n-gram fraction, the Gopher/RefinedWeb repetition
+    quality signal: 1 - distinct/total word n-grams (0.0 for docs too
+    short to have any).  Pure array expressions — codegen, no shuffle.
+    """
+    grams = ngrams(tokens(text), n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    )
+
+
+# Redaction order matters: earlier replacements must not leave text the
+# later patterns could mis-match (the [TAG] tokens are letter-only, so
+# they never match the digit-shaped patterns below).  Patterns stick to
+# RE2-and-Java-common syntax so Spark and the DuckDB oracle agree.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("PHONE", r"\+[0-9][0-9()\s.-]{7,}[0-9]"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, Column]:
+    """Mask emails / IPv4s / phone numbers; returns ``(redacted,
+    n_redacted)``.  Each pattern is counted on the text state it is
+    applied to, so a phone number inside an already-redacted email is
+    not double-counted.
+    """
+    cur = text
+    n = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"[{tag}]")
+    return cur, n.cast("long")
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint.
 

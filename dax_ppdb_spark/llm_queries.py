@@ -31,6 +31,8 @@ from .llm.text import (
     language_id,
     md5_long_sql,
     quality_metrics,
+    redact_pii,
+    repetition_ratio,
 )
 
 def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -244,6 +246,78 @@ SELECT doc_id,
            / greatest(length(text), 1) AS punct_ratio
 FROM documents
 """
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(toks) - 1),
+                                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+           END AS grams
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       END AS rep_ratio
+FROM g
+"""
+
+
+@register("repetition_ratio", _REPETITION_SQL)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-bigram fraction per doc (Gopher/RefinedWeb repetition
+    quality signal) — array expressions only, embarrassingly parallel."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_ratio(F.col("text"), n=2).alias("rep_ratio")
+    )
+
+
+def _pii_sql() -> str:
+    """Oracle twin of redact_pii over deterministically PII-augmented
+    text (the synthetic corpus has no natural PII)."""
+    from .llm.text import PII_PATTERNS
+
+    aug = (
+        "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1 (415) 555-01' ||"
+        " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||"
+        " ' at 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'"
+    )
+    cur, counts = aug, []
+    for tag, pat in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '[{tag}]', 'g')"
+    total = " + ".join(counts)
+    return (
+        f"SELECT doc_id, {cur} AS redacted, CAST({total} AS BIGINT) AS n_redacted "
+        "FROM documents"
+    )
+
+
+@register("pii_redact", _pii_sql())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4/phone masking with per-doc redaction counts — chained
+    regexp_replace, pure codegen.  PII spans are synthesized into the
+    text identically on both engines (the corpus has none naturally)."""
+    docs = _read_spread(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" at 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    redacted, n = redact_pii(aug)
+    return docs.select(
+        "doc_id", redacted.alias("redacted"), n.alias("n_redacted")
+    )
 
 
 @register("text_stats", _TEXT_STATS_SQL)

@@ -367,3 +367,38 @@ def test_decontamination_flags_leaked_docs(spark):
     out = {r.doc_id: r.n_hits for r in contaminated_docs(docs, bench, n=5).collect()}
     assert 1 in out and out[1] >= 1  # leaked doc flagged
     assert 2 not in out and 3 not in out
+
+
+def test_repetition_ratio_values(spark):
+    from dax_ppdb_spark.llm.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "all words here differ"), (3, "hi"), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.r for r in df.select("doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert out[1] == 0.5  # bigrams: {a b, b a} x2 -> 2 distinct of 4
+    assert out[2] == 0.0  # no repeated bigram
+    assert out[3] == 0.0 and out[4] == 0.0  # too short -> defined as 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from dax_ppdb_spark.llm.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.1 port"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "all three: a@b.co 10.0.0.7 +44 20 7946 0958 ."),
+            (5, "nothing here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    red, n = redact_pii(F.col("text"))
+    out = {r.doc_id: (r.red, r.n) for r in df.select("doc_id", red.alias("red"), n.alias("n")).collect()}
+    assert out[1] == ("mail [EMAIL] now", 1)
+    assert out[2] == ("server [IPV4] port", 1)
+    assert out[3] == ("call [PHONE] today", 1)
+    assert out[4] == ("all three: [EMAIL] [IPV4] [PHONE] .", 3)
+    assert out[5] == ("nothing here", 0)

@@ -28,6 +28,7 @@ from dax_ppdb_spark import driver_queries  # noqa: E402
 
 QUERIES = [
     "validity_fill",
+    "validity_fill_pruned",
     "latest_only",
     "merge_upsert",
     "merge_composite",
@@ -36,6 +37,8 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
+    "repetition_ratio",
+    "pii_redact",
     "token_count_bpe",
     "split_assign",
     "shard_pack",
