@@ -363,7 +363,7 @@ def embedding_neardup_pairs(
     one-row-per-(band,)bucket) size table *before* the pair join, so an
     oversized bucket never materializes its pair expansion.
     """
-    from .similarity import cosine_similarity, dot
+    from .similarity import dot
 
     v = F.col(vec_col).cast("array<double>")
 
@@ -376,56 +376,58 @@ def embedding_neardup_pairs(
     if bands is None:
         bands = (tuple(sign_dims),)
     keys = F.array(*[_key(b) for b in bands])
+    # One shuffle total — the same agg-and-expand shape as
+    # minhash_lsh_pairs (a self-join would shuffle twice and recompute
+    # the key lineage for both sides): group each (band, bucket) to a
+    # sorted (id, v, n2) array, expand in-bucket combinations, and
+    # score in place.  Squared norms ride along per VECTOR (not per
+    # pair); dot/(sqrt(n2_a*n2_b)) is bit-identical to
+    # cosine_similarity's expression at a third of the per-pair array
+    # work.  Only the tiny above-threshold result is deduped across
+    # bands.  Hot buckets expand quadratically in one task — that is
+    # what ``max_bucket`` (now a free size filter, no extra join)
+    # and corpus-scaled plane counts bound.
     e = emb.select(
-        F.col(id_col).alias("id"), v.alias("v"), F.posexplode(keys).alias("band", "bucket")
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        dot(v, v).alias("n2"),
+        F.posexplode(keys).alias("band", "bucket"),
     )
-    bkey = ["band", "bucket"]
+    grouped = (
+        e.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v", "n2"))).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
     if max_bucket is not None:
-        ok = (
-            e.groupBy(*bkey)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .select(*bkey)
+        grouped = grouped.filter(F.size("xs") <= max_bucket)
+
+    def _pair(x, y):
+        sim = dot(x["v"], y["v"]) / F.sqrt(x["n2"] * y["n2"])
+        return F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
         )
-        e = e.join(F.broadcast(ok), bkey)
-    if len(bands) > 1:
-        # OR over bands: candidate pairs are ids-only through the
-        # bucket join and the dedup shuffle — the (wide) vectors join
-        # back in afterwards, once per unique pair, so no 64-float
-        # payload rides the candidate expansion.  Squared norms are
-        # computed once per VECTOR, not per pair, and combined as
-        # dot/(sqrt(n2_a*n2_b)) — bit-identical to cosine_similarity's
-        # expression, at a third of the per-pair array work.
-        ids = e.select("id", *bkey)
-        cand = (
-            ids.select(F.col("id").alias("id_a"), *bkey)
-            .join(ids.select(F.col("id").alias("id_b"), *bkey), bkey)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+
+    out = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "xs",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                            lambda y: _pair(x, y),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        vecs = emb.select(
-            F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2")
-        )
-        pairs = cand.join(
-            vecs.select(
-                F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n2").alias("n2_a")
-            ),
-            "id_a",
-        ).join(
-            vecs.select(
-                F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n2").alias("n2_b")
-            ),
-            "id_b",
-        )
-        sim = dot(F.col("v_a"), F.col("v_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
-    else:
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), *bkey)
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), *bkey)
-        pairs = a.join(b, bkey).filter(F.col("id_a") < F.col("id_b"))
-        sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
-    return (
-        pairs.withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .filter(F.col("p.cosine") >= threshold)
+        .select("p.id_a", "p.id_b", "p.cosine")
     )
+    if len(bands) > 1:
+        # OR over bands: a pair surfaces once per agreeing band with an
+        # identical score — keep one.
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
