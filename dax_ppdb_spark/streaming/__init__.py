@@ -1,2 +1,6 @@
-from .chunks import stream_chunks, windowed_event_counts  # noqa: F401
+from .chunks import (  # noqa: F401
+    dedup_events_within_watermark,
+    stream_chunks,
+    windowed_event_counts,
+)
 from .stateful import running_event_totals  # noqa: F401

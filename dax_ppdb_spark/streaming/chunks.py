@@ -47,6 +47,32 @@ def stream_chunks(
     query.awaitTermination()
 
 
+def dedup_events_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "15 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    At-least-once sources (the reference's retried chunk copies,
+    ``chunk_uploader.py`` retry path) deliver duplicates; this keeps
+    the first occurrence of each key and drops re-deliveries arriving
+    within ``watermark_delay`` of the watermark.  Spark's
+    ``dropDuplicatesWithinWatermark`` expires each key's state once
+    the watermark passes it — state stays O(keys per delay window),
+    never O(stream) like a plain ``dropDuplicates`` on a stream would
+    be.  On a batch DataFrame it degrades to exact dedup on the keys
+    (first-in-batch semantics differ only on exact-duplicate rows),
+    preserving batch/stream parity for tests.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

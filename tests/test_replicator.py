@@ -234,3 +234,50 @@ def test_count_bounds_chunks_per_poll(spark, tmp_path, now):
     rep = Replicator(spark, DirectoryApdbSource(root), ledger)
     assert rep.replicate_once(lambda c: None, now=now, count=2) == [1, 2]
     assert rep.replicate_once(lambda c: None, now=now) == [3]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered keys are dropped
+    across micro-batches (at-least-once -> exactly-once per key) with
+    watermark-bounded state; batch form degrades to exact key dedup."""
+    import datetime as dt
+
+    from dax_ppdb_spark.streaming.chunks import dedup_events_within_watermark
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    t = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "event_id LONG, ts TIMESTAMP, v STRING"
+    spark.createDataFrame(
+        [(1, t, "first"), (2, t + dt.timedelta(minutes=1), "x"), (1, t, "dup-in-batch")],
+        schema,
+    ).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(
+        [(1, t, "redelivered"), (3, t + dt.timedelta(minutes=2), "y")], schema
+    ).write.mode("append").parquet(os.path.join(src, "b1"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(os.path.join(src, "b0")).schema
+    ).parquet(src + "/*")
+    out = dedup_events_within_watermark(stream, key_cols=("event_id",))
+    assert out.isStreaming
+    seen: list = []
+
+    def sink(bdf, bid):
+        seen.extend((r.event_id, r.v) for r in bdf.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(i for i, _ in seen)
+    assert ids == [1, 2, 3]  # each key exactly once across batches
+
+    # batch parity: same operator on a static frame dedups the keys
+    batch = spark.read.parquet(src + "/*")
+    got = dedup_events_within_watermark(batch, key_cols=("event_id",))
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
