@@ -56,6 +56,7 @@ HEADLINE = [
     "pii_redact",
     "token_count_bpe",
     "doc_fingerprint",
+    "doc_chunks",
     "split_assign",
     "stratified_sample",
     "shard_pack",

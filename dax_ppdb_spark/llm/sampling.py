@@ -114,3 +114,36 @@ def pack_shards(
     return df.withColumn(
         out_col, F.floor(prefix / F.lit(shard_tokens)).cast("long")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-
+    length prep step before tokenization/packing.
+
+    Output: (id, chunk_id, chunk_text, n_tokens), one row per window of
+    ``max_tokens`` whitespace tokens advancing by ``max_tokens -
+    overlap``; the final window may be shorter (it is never dropped —
+    tail loss is a real corpus-quality bug).  Empty docs produce no
+    rows.  Explode-shaped with per-row array ops only: no shuffle, no
+    UDF, scales with executors like every text operator here.
+    """
+    from .text import chunk_starts, tokens
+
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    t = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(chunk_starts(toks, max_tokens, overlap)).alias("__s")
+    ).filter(F.size("__toks") >= F.col("__s"))
+    n = F.least(F.col("__s") + F.lit(max_tokens - 1), F.size("__toks")) - F.col("__s") + F.lit(1)
+    return t.select(
+        F.col(id_col),
+        F.floor((F.col("__s") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), max_tokens)).alias("chunk_text"),
+        n.cast("long").alias("n_tokens"),
+    )

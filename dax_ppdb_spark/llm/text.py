@@ -201,6 +201,16 @@ def redact_pii(text: Column) -> tuple[Column, Column]:
     return cur, n.cast("long")
 
 
+def chunk_starts(toks: Column, max_tokens: int, overlap: int) -> Column:
+    """1-based window start positions for :func:`chunk_documents`:
+    1, 1+stride, 1+2*stride, ... while <= token count (a single start
+    for empty docs — callers filter those)."""
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("max_tokens must exceed overlap")
+    return F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint.
 

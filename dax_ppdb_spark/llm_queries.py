@@ -617,6 +617,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+_DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s
+    FROM t
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' ') AS chunk_text,
+       CAST(least(s + 63, len(toks)) - s + 1 AS BIGINT) AS n_tokens
+FROM st
+WHERE len(toks) >= s
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows advancing by 48
+    (16-token overlap), tail window kept — explode-shaped, no shuffle."""
+    from .llm.sampling import chunk_documents
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
 _SHARD_PACK_SQL = """
 SELECT doc_id, source,
        CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)

@@ -402,3 +402,23 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[3] == ("call [PHONE] today", 1)
     assert out[4] == ("all three: [EMAIL] [IPV4] [PHONE] .", 3)
     assert out[5] == ("nothing here", 0)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from dax_ppdb_spark.llm.sampling import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame([(1, toks), (2, ""), (3, "one two")],
+                               "doc_id LONG, text STRING")
+    out = chunk_documents(df, max_tokens=4, overlap=1)  # stride 3
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    assert rows[(1, 0)] == ("t1 t2 t3 t4", 4)
+    assert rows[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert rows[(1, 2)] == ("t7 t8 t9 t10", 4)
+    assert rows[(1, 3)] == ("t10", 1)  # tail kept, never dropped
+    assert (2, 0) not in rows  # empty doc -> no chunks
+    assert rows[(3, 0)] == ("one two", 2)
+    assert len(rows) == 5
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4).collect()
