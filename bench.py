@@ -45,6 +45,7 @@ HEADLINE = [
     "windowed_counts",
     "sessionize",
     "asof_attribution",
+    "range_join",
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1006,6 +1006,59 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_JOIN_SQL = """
+WITH bands AS (
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) - 10.0 AS lo,
+           CAST(p_retailprice AS DOUBLE) + 10.0 AS hi
+    FROM part WHERE p_size = 1
+),
+units AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit
+    FROM lineitem
+)
+SELECT u.l_orderkey, u.l_linenumber, b.p_partkey,
+       round(u.unit, 6) AS unit_price
+FROM units u JOIN bands b ON u.unit BETWEEN b.lo AND b.hi
+"""
+
+
+@register("range_join", _RANGE_JOIN_SQL)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join without a nested-loop plan: lineitem unit
+    prices against +-10 tolerance bands around part retail prices.
+
+    DuckDB's IEJoin handles the BETWEEN natively; Spark would pick
+    BroadcastNestedLoopJoin, so ``ops.ranges.point_in_interval_join``
+    buckets the price domain and hash-joins on the bucket id (plan
+    pinned nested-loop-free by test_plans).
+    """
+    from .ops.ranges import point_in_interval_join
+
+    part = _read(spark, sf_dir, "part")
+    bands = part.filter(F.col("p_size") == 1).select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("double") - 10.0).alias("lo"),
+        (F.col("p_retailprice").cast("double") + 10.0).alias("hi"),
+    )
+    units = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit"),
+    )
+    joined = point_in_interval_join(units, bands, "unit", "lo", "hi", width=20.0)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        F.round(F.col("unit"), 6).alias("unit_price"),
+    )
+
+
 _SNAPSHOT_ASOF_SQL = """
 WITH versioned AS (
     SELECT o_orderkey, o_custkey, o_orderdate AS validity_start,

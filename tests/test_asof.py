@@ -72,3 +72,29 @@ def test_bad_direction_raises(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], left_time="t", right_time="rt",
                   direction="sideways")
+
+
+def test_point_in_interval_join_semantics(spark):
+    """Closed-interval matching, multi-match fan-out, left unmatched
+    rows, and the width guard."""
+    import pytest
+
+    from dax_ppdb_spark.ops.ranges import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 99.0)], "pid LONG, x DOUBLE"
+    )
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 5.0, 6.0), (12, 10.0, 20.0)],
+        "iid LONG, lo DOUBLE, hi DOUBLE",
+    )
+    inner = {(r.pid, r.iid) for r in point_in_interval_join(points, ivals, "x", "lo", "hi", 4.0).collect()}
+    # x=5 in [0,10] and [5,6]; x=10 in [0,10] (closed) and [10,20]; x=99 nowhere
+    assert inner == {(1, 10), (1, 11), (2, 10), (2, 12)}
+
+    left = point_in_interval_join(points, ivals, "x", "lo", "hi", 4.0, how="left")
+    rows = [(r.pid, r.iid) for r in left.collect()]
+    assert (3, None) in rows and len(rows) == 5
+
+    with pytest.raises(ValueError):
+        point_in_interval_join(points, ivals, "x", "lo", "hi", 0.0)

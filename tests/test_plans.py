@@ -115,3 +115,13 @@ def test_cone_search_sorted_prunes_storage(spark, sf_dir, registry):
     assert "PartitionFilters" in plan and "geo_cell" in plan
     assert "GreaterThanOrEqual(geo_point" in plan
     assert "LessThan(geo_point" in plan
+
+
+def test_range_join_has_no_nested_loop(spark, sf_dir, registry):
+    """The bucketed range join must hash-join on the bucket id — a
+    BETWEEN theta-join would appear as BroadcastNestedLoopJoin and
+    do O(P x I) compares."""
+    plan = plan_of(registry["range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -48,6 +48,7 @@ QUERIES = [
     "windowed_counts",
     "sessionize",
     "asof_attribution",
+    "range_join",
     "overlap_violations",
     "snapshot_asof",
     "ann_topk_bruteforce",
