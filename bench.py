@@ -46,6 +46,7 @@ HEADLINE = [
     "sessionize",
     "asof_attribution",
     "range_join",
+    "crossmatch",
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",

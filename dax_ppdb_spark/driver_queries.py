@@ -1006,6 +1006,67 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSSMATCH_SQL = """
+WITH cat_a AS (
+    SELECT o_orderkey AS src_id,
+           (o_orderkey % 36000) / 100.0 AS src_ra,
+           (o_custkey % 18000) / 100.0 - 90.0 AS src_dec
+    FROM orders
+),
+cat_b AS (
+    SELECT c_custkey AS obj_id,
+           (c_custkey % 36000) / 100.0 + 0.001 AS obj_ra,
+           (c_custkey % 18000) / 100.0 - 90.0 + 0.001 AS obj_dec
+    FROM customer
+)
+SELECT a.src_id, b.obj_id,
+       round(sqrt((a.src_ra - b.obj_ra) * (a.src_ra - b.obj_ra)
+                  + (a.src_dec - b.obj_dec) * (a.src_dec - b.obj_dec)), 6)
+           AS dist_deg
+FROM cat_a a JOIN cat_b b
+  ON (a.src_ra - b.obj_ra) * (a.src_ra - b.obj_ra)
+     + (a.src_dec - b.obj_dec) * (a.src_dec - b.obj_dec) <= 0.25
+"""
+
+
+@register("crossmatch", _CROSSMATCH_SQL)
+def q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog crossmatch (DiaSource->DiaObject association shape):
+    source positions against object positions within 0.5 deg.
+
+    The oracle runs the quadratic distance theta-join; the Spark side
+    (``ops.spatial.crossmatch``) explodes sources into 3x3 Z-cell
+    neighborhoods and equi-joins on the cell id — the plan has no
+    nested loop (pinned by test_plans) and shuffles O(sources x 9 +
+    objects), never O(sources x objects).
+    """
+    from .ops.spatial import crossmatch
+
+    cat_a = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("src_id"),
+        ((F.col("o_orderkey") % 36000) / 100.0).alias("src_ra"),
+        ((F.col("o_custkey") % 18000) / 100.0 - 90.0).alias("src_dec"),
+    )
+    cat_b = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("obj_id"),
+        ((F.col("c_custkey") % 36000) / 100.0 + 0.001).alias("obj_ra"),
+        ((F.col("c_custkey") % 18000) / 100.0 - 90.0 + 0.001).alias("obj_dec"),
+    )
+    matched = crossmatch(
+        cat_a,
+        cat_b,
+        radius_deg=0.5,
+        level=8,
+        left_ra="src_ra",
+        left_dec="src_dec",
+        right_ra="obj_ra",
+        right_dec="obj_dec",
+    )
+    return matched.select(
+        "src_id", "obj_id", F.round(F.col("dist_deg"), 6).alias("dist_deg")
+    )
+
+
 _RANGE_JOIN_SQL = """
 WITH bands AS (
     SELECT p_partkey,

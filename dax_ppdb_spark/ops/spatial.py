@@ -19,8 +19,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def zorder_index(ra: Column, dec: Column, bits_per_axis: int = 16) -> Column:
-    """Morton-interleave quantized ra ([0,360)) and dec ([-90,90])."""
+def _quantize(ra: Column, dec: Column, bits_per_axis: int) -> tuple[Column, Column]:
+    """Grid coordinates: ra ([0,360)) and dec ([-90,90]) to integer
+    cells in [0, 2^bits)."""
     scale = (1 << bits_per_axis) - 1
     x = F.least(
         F.lit(scale), F.floor(ra / F.lit(360.0) * F.lit(scale + 1)).cast("long")
@@ -29,16 +30,29 @@ def zorder_index(ra: Column, dec: Column, bits_per_axis: int = 16) -> Column:
         F.lit(scale),
         F.floor((dec + F.lit(90.0)) / F.lit(180.0) * F.lit(scale + 1)).cast("long"),
     )
-    # Disjoint bit positions => addition is bitwise OR (PySpark's `|`
-    # on Columns is logical, not bitwise).
+    return x, y
+
+
+def _interleave(x: Column, y: Column, bits: int) -> Column:
+    """Morton-interleave two ``bits``-bit grid coordinates.
+
+    Disjoint bit positions => addition is bitwise OR (PySpark's `|`
+    on Columns is logical, not bitwise).
+    """
     out = F.lit(0).cast("long")
-    for i in range(bits_per_axis):
+    for i in range(bits):
         out = (
             out
             + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
             + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
         )
     return out
+
+
+def zorder_index(ra: Column, dec: Column, bits_per_axis: int = 16) -> Column:
+    """Morton-interleave quantized ra ([0,360)) and dec ([-90,90])."""
+    x, y = _quantize(ra, dec, bits_per_axis)
+    return _interleave(x, y, bits_per_axis)
 
 
 def with_geo_point(df, ra_col: str = "ra", dec_col: str = "dec", out_col: str = "geo_point"):
@@ -97,4 +111,68 @@ def cells_for_box(
         _morton(x, y, level)
         for x in range(x0, x1 + 1)
         for y in range(y0, y1 + 1)
+    )
+
+
+def crossmatch(
+    left,
+    right,
+    radius_deg: float,
+    level: int = 8,
+    left_ra: str = "ra",
+    left_dec: str = "dec",
+    right_ra: str = "ra",
+    right_dec: str = "dec",
+    bits_per_axis: int = 16,
+):
+    """Catalog-to-catalog neighbor match: every (left, right) pair
+    within ``radius_deg`` (planar small-angle distance) — the
+    source-to-object association shape of the reference's data model
+    (DiaSource -> DiaObject matching by position).
+
+    Scale shape: each left row explodes into the 3x3 grid-cell
+    neighborhood of its position; each right row carries its single
+    cell; an equi-join on the (cx, cy) pair replaces the quadratic
+    distance theta-join, and the exact radius refine runs only within
+    neighborhoods.  The join key is the raw grid pair — no Morton
+    interleave needed (that is a storage-sort concern, not a join
+    concern), which keeps the expression tree small enough for
+    whole-stage codegen.  Unclamped border neighbors simply never
+    match, so each (left, right) pair appears exactly once.  Requires
+    ``radius_deg`` <= one cell (360/2^level deg in ra, 180/2^level in
+    dec) so no true match can sit outside the neighborhood — asserted
+    here.  (No RA wraparound: planar treatment, same as the oracle.)
+
+    Columns keep their input names; ambiguous names must be renamed by
+    the caller.  Output adds ``dist_deg``.
+    """
+    cell_ra = 360.0 / (1 << level)
+    cell_dec = 180.0 / (1 << level)
+    if radius_deg > min(cell_ra, cell_dec):
+        raise ValueError(
+            f"radius {radius_deg} exceeds cell size at level {level}; raise level"
+        )
+    shift = bits_per_axis - level
+    lx, ly = _quantize(F.col(left_ra), F.col(left_dec), bits_per_axis)
+    l2 = (
+        left.withColumn("__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__cx", F.shiftright(lx, shift) + F.col("__dx"))
+        .withColumn("__cy", F.shiftright(ly, shift) + F.col("__dy"))
+        .drop("__dx", "__dy")
+    )
+    rx, ry = _quantize(F.col(right_ra), F.col(right_dec), bits_per_axis)
+    r2 = right.withColumn("__cx", F.shiftright(rx, shift)).withColumn(
+        "__cy", F.shiftright(ry, shift)
+    )
+    # plain multiplication, not pow(): bit-identical across engines,
+    # so the DuckDB oracle reproduces dist_deg exactly
+    dra = F.col(left_ra) - F.col(right_ra)
+    ddec = F.col(left_dec) - F.col(right_dec)
+    d2 = dra * dra + ddec * ddec
+    return (
+        l2.join(r2, ["__cx", "__cy"])
+        .filter(d2 <= F.lit(radius_deg * radius_deg))
+        .drop("__cx", "__cy")
+        .withColumn("dist_deg", F.sqrt(d2))
     )

@@ -125,3 +125,11 @@ def test_range_join_has_no_nested_loop(spark, sf_dir, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_crossmatch_is_hash_join(spark, sf_dir, registry):
+    """Crossmatch must equi-join on the grid pair, never nested-loop
+    over the catalogs."""
+    plan = plan_of(registry["crossmatch"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -110,3 +110,38 @@ def test_cells_for_box_property(spark):
             x = min(65535, int(ra / 360.0 * 65536)) >> (16 - level)
             y = min(65535, int((dec + 90.0) / 180.0 * 65536)) >> (16 - level)
             assert _morton(x, y, level) in cells
+
+
+def test_crossmatch_neighborhood_and_radius(spark):
+    """Matches across cell borders (neighbor explode), excludes beyond
+    radius, each pair exactly once, and the radius guard trips."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dax_ppdb_spark.ops.spatial import crossmatch
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, 200.0, 45.0), (3, 0.01, -89.9)],
+        "src_id LONG, src_ra DOUBLE, src_dec DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10.2, 0.1),    # ~0.22 deg from src 1 -> match
+            (102, 10.0, 0.9),    # 0.9 deg from src 1 -> no match at r=0.5
+            (103, 200.05, 45.05),  # near src 2 -> match
+            (104, 0.2, -89.8),   # near the dec/ra border, near src 3
+        ],
+        "obj_id LONG, obj_ra DOUBLE, obj_dec DOUBLE",
+    )
+    out = crossmatch(
+        left, right, radius_deg=0.5,
+        left_ra="src_ra", left_dec="src_dec",
+        right_ra="obj_ra", right_dec="obj_dec",
+    )
+    pairs = sorted((r.src_id, r.obj_id) for r in out.collect())
+    assert pairs == [(1, 101), (2, 103), (3, 104)]  # once each, no dups
+
+    with pytest.raises(ValueError, match="exceeds cell size"):
+        crossmatch(left, right, radius_deg=5.0,
+                   left_ra="src_ra", left_dec="src_dec",
+                   right_ra="obj_ra", right_dec="obj_dec")

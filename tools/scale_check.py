@@ -49,6 +49,7 @@ QUERIES = [
     "sessionize",
     "asof_attribution",
     "range_join",
+    "crossmatch",
     "overlap_violations",
     "snapshot_asof",
     "ann_topk_bruteforce",
