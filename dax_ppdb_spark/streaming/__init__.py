@@ -1,5 +1,6 @@
 from .chunks import (  # noqa: F401
     dedup_events_within_watermark,
+    session_event_counts,
     stream_chunks,
     windowed_event_counts,
 )

@@ -47,6 +47,30 @@ def stream_chunks(
     query.awaitTermination()
 
 
+def session_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "15 minutes",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based session aggregation via Spark's native
+    ``session_window`` — the streaming sibling of the batch
+    ``sessionize`` query (lag + cumsum windows): a session closes when
+    ``gap`` passes with no event, and on a stream the watermark decides
+    when a session can no longer grow and its state is emitted/evicted.
+    Works on batch DataFrames too (same operator, no state).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def dedup_events_within_watermark(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -281,3 +281,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     batch = spark.read.parquet(src + "/*")
     got = dedup_events_within_watermark(batch, key_cols=("event_id",))
     assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+
+def test_session_window_batch_stream_parity(spark, tmp_path):
+    """Native session_window sessions match on batch and stream: a >gap
+    quiet period splits sessions; watermark drains emit closed ones."""
+    import datetime as dt
+
+    from dax_ppdb_spark.streaming.chunks import session_event_counts
+
+    t = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t), (1, t + dt.timedelta(minutes=10)),            # session A (2 events)
+        (1, t + dt.timedelta(hours=2)),                        # session B (gap > 30m)
+        (2, t + dt.timedelta(minutes=5)),                      # session C
+    ]
+    schema = "user_id LONG, ts TIMESTAMP"
+    batch = spark.createDataFrame(rows, schema)
+    got_batch = {
+        (r.user_id, r.session.start.hour, r.n_events)
+        for r in session_event_counts(batch).collect()
+    }
+    assert got_batch == {(1, 0, 2), (1, 2, 1), (2, 0, 1)}
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    batch.write.parquet(os.path.join(src, "b0"))
+    stream = spark.readStream.schema(batch.schema).parquet(src + "/*")
+    agg = session_event_counts(stream)
+    assert agg.isStreaming
+    got: set = set()
+
+    def sink(bdf, bid):
+        got.update((r.user_id, r.session.start.hour, r.n_events) for r in bdf.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == got_batch
