@@ -133,3 +133,28 @@ def test_crossmatch_is_hash_join(spark, sf_dir, registry):
     plan = plan_of(registry["crossmatch"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must sort-merge join with
+    zero Exchange nodes — the write-once-shuffle-never contract that
+    makes repeated fact-to-fact joins viable at 100 TB."""
+    from dax_ppdb_spark.io.table import save_bucketed_table
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    save_bucketed_table(a, "t_bucket_a", "k", buckets=8)
+    save_bucketed_table(b, "t_bucket_b", "k", buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+            plan = plan_of(joined)
+            assert "Exchange" not in plan
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
