@@ -50,6 +50,7 @@ HEADLINE = [
     # LLM-data operators
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_verified",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_banded",

@@ -295,6 +295,46 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
+def verified_neardup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The full two-stage near-dup architecture in one operator:
+    MinHash+LSH *discovery* (sub-quadratic candidate generation), then
+    exact n-gram-Jaccard *verification* computed only for candidates.
+
+    This is the composition the 100-TB design intends — the quadratic
+    exact measure never touches non-candidate pairs, and LSH's false
+    positives never survive to the output.  False negatives are LSH's
+    recall (1-(1-j^r)^b); raise ``bands`` to tighten.  Output:
+    (doc_a, doc_b, jaccard >= threshold).
+    """
+    cand = minhash_lsh_pairs(
+        docs, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col,
+        max_bucket=max_bucket,
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("shs")
+    ).filter(F.size("shs") > 0)
+    joined = cand.join(
+        sh.select(F.col("id").alias("doc_a"), F.col("shs").alias("shs_a")), "doc_a"
+    ).join(sh.select(F.col("id").alias("doc_b"), F.col("shs").alias("shs_b")), "doc_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def axis_planes(dim: int, n_planes: int) -> tuple[int, ...]:
     """Evenly-spaced axis hyperplanes (1-based component indexes) —
     the deterministic sign-LSH family.  Scale ``n_planes`` with the

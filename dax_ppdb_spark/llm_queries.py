@@ -133,6 +133,39 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_read_spread(spark, sf_dir, "documents"), k=8, bands=4, n=3)
 
 
+def _verified_neardup_sql() -> str:
+    """Discovery + verify composed: the minhash candidate CTEs with an
+    exact shingle-set Jaccard computed only for candidate pairs."""
+    base = _minhash_band_sql().strip()
+    head, select = base.rsplit("SELECT DISTINCT", 1)
+    return f"""{head.rstrip()},
+cand AS (
+    SELECT DISTINCT{select}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+           AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.5
+"""
+
+
+@register("dedup_verified", _verified_neardup_sql())
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage near-dup pipeline as one query: LSH discovery,
+    exact Jaccard verification on candidates only (see
+    ``llm.dedup.verified_neardup_pairs``)."""
+    from .llm.dedup import verified_neardup_pairs
+
+    return verified_neardup_pairs(
+        _read_spread(spark, sf_dir, "documents"), k=8, bands=4, n=3, threshold=0.5
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     terms = []
     for b in range(bits):

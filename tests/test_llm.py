@@ -422,3 +422,32 @@ def test_chunk_documents_windows_and_tail(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4).collect()
+
+
+def test_verified_neardup_is_candidates_intersect_exact(spark):
+    """Composition contract: verified pairs == (LSH candidates) that
+    also pass the exact Jaccard threshold — no false positives survive,
+    and nothing outside the candidate set appears."""
+    from dax_ppdb_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        verified_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [
+        base,
+        base.replace("today", "tomorrow"),             # near-dup of 0
+        base.replace("quick brown", "slow green"),     # weaker overlap
+        "completely different words everywhere around here now",
+    ])
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in verified_neardup_pairs(docs).collect()}
+    assert got == (cand & exact)
+    assert (0, 1) in got
+    for r in verified_neardup_pairs(docs).collect():
+        assert r.jaccard >= 0.5
