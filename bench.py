@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_embedding_banded",
     "text_stats",
     "repetition_ratio",
+    "lm_score",
     "pii_redact",
     "token_count_bpe",
     "doc_fingerprint",

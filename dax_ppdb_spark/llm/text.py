@@ -224,3 +224,32 @@ def doc_fingerprint(text: Column) -> Column:
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return total % HASH_PRIME
+
+
+def unigram_logprob_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style LM quality score: average unigram log-probability of
+    a document under the corpus's own unigram distribution (real
+    pipelines use a KenLM 5-gram; the operator shape — fit a model
+    over the corpus, broadcast it, score per doc — is identical).
+
+    Two passes over the exploded tokens: one aggregation fits the
+    frequency table (vocabulary-sized, so the score join broadcasts),
+    one groupBy averages ``ln(count/total)`` per document.  Low scores
+    = rare-token-heavy documents (boilerplate, garbled text, wrong
+    language) — the usual "drop bottom X%" filter input.
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("z"))
+    scored = (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("n") / F.col("z")))
+    )
+    return scored.groupBy(id_col).agg(F.avg("lp").alias("avg_logprob"))

@@ -353,6 +353,25 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCORE_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS z FROM freq)
+SELECT tok.doc_id, AVG(ln(freq.n / tot.z)) AS avg_logprob
+FROM tok JOIN freq USING (t), tot
+GROUP BY tok.doc_id
+"""
+
+
+@register("lm_score", _LM_SCORE_SQL)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (CCNet shape: fit over the corpus,
+    broadcast, score per doc) — low scores flag rare-token-heavy docs."""
+    from .llm.text import unigram_logprob_score
+
+    return unigram_logprob_score(_read_spread(spark, sf_dir, "documents"))
+
+
 @register("text_stats", _TEXT_STATS_SQL)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: token count, avg token length,

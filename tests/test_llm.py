@@ -451,3 +451,19 @@ def test_verified_neardup_is_candidates_intersect_exact(spark):
     assert (0, 1) in got
     for r in verified_neardup_pairs(docs).collect():
         assert r.jaccard >= 0.5
+
+
+def test_unigram_logprob_orders_docs_by_rarity(spark):
+    import math
+
+    from dax_ppdb_spark.llm.text import unigram_logprob_score
+
+    docs = _docs(spark, [
+        "common common common common",   # all high-frequency tokens
+        "common rareword",               # one rare token drags it down
+    ])
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(docs).collect()}
+    assert out[0] > out[1]
+    # corpus: common x5, rareword x1 -> p(common)=5/6
+    assert math.isclose(out[0], math.log(5 / 6), rel_tol=1e-12)
+    assert math.isclose(out[1], (math.log(5 / 6) + math.log(1 / 6)) / 2, rel_tol=1e-12)

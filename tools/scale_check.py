@@ -38,6 +38,7 @@ QUERIES = [
     "dedup_simhash",
     "text_stats",
     "repetition_ratio",
+    "lm_score",
     "pii_redact",
     "token_count_bpe",
     "split_assign",
