@@ -27,6 +27,7 @@ HEADLINE = [
     "snapshot_asof",
     "overlap_violations",
     "latest_only",
+    "topk_per_key",
     "rank_versions",
     "merge_upsert",
     "merge_composite",

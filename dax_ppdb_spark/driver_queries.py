@@ -1067,6 +1067,38 @@ def q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("topk_per_key", _TOPK_SQL)
+def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded top-k per key: top-3 orders per customer via the
+    salted two-phase plan (per-(key,salt) top-k first, exact window
+    over <= salt_buckets*k survivors) — identical results to the
+    direct window, with hot-key window partitions bounded regardless
+    of input skew (the one skew AQE cannot split)."""
+    from .ops.latest import topk_per_key
+
+    orders = _read(spark, sf_dir, "orders")
+    return topk_per_key(
+        orders.select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price")
+        ),
+        ["o_custkey"],
+        ["price", "o_orderkey"],
+        k=3,
+        salt_buckets=8,
+    ).select("o_orderkey", "o_custkey", "price")
+
+
 _RANGE_JOIN_SQL = """
 WITH bands AS (
     SELECT p_partkey,

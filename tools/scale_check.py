@@ -51,6 +51,8 @@ QUERIES = [
     "asof_attribution",
     "range_join",
     "crossmatch",
+    "dedup_verified",
+    "doc_chunks",
     "overlap_violations",
     "snapshot_asof",
     "ann_topk_bruteforce",
