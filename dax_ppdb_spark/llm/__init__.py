@@ -9,6 +9,8 @@ quadratic self-joins, broadcast-able small sides, and Pandas-UDF
 """
 
 from .dedup import (  # noqa: F401
+    banded_axis_planes,
+    contaminated_docs,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -16,8 +18,10 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    verified_neardup_pairs,
 )
 from .sampling import (  # noqa: F401
+    chunk_documents,
     hash_split,
     pack_shards,
     stratified_sample,
@@ -32,6 +36,9 @@ from .similarity import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     bpe_token_count,
+    redact_pii,
+    repetition_ratio,
+    unigram_logprob_score,
     bpe_tokens,
     doc_fingerprint,
     language_id,

@@ -1,4 +1,5 @@
-from .latest import latest_only  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .latest import latest_only, latest_only_agg, topk_per_key  # noqa: F401
 from .merge import merge_patch, merge_upsert  # noqa: F401
 from .updates import (  # noqa: F401
     apply_update_patches,
@@ -7,4 +8,6 @@ from .updates import (  # noqa: F401
     latest_updates,
     validate_update_targets,
 )
-from .validity import fill_validity_end, rank_versions  # noqa: F401
+from .ranges import point_in_interval_join  # noqa: F401
+from .spatial import crossmatch, with_geo_point, zorder_cell, zorder_index  # noqa: F401
+from .validity import fill_validity_end, overlap_violations, rank_versions, valid_at  # noqa: F401
