@@ -143,6 +143,16 @@ def log_plan_metrics(df, stage: str, **tags) -> dict:
     return dict(entry)
 
 
+def drop_pending() -> int:
+    """Discard unresolved observations (their DataFrame's action never
+    ran — e.g. a failed write).  ``Observation.get`` blocks until an
+    action completes, so a failure path must drop instead of flush or
+    the next flush would hang.  Returns the number dropped."""
+    n = len(_PENDING)
+    _PENDING.clear()
+    return n
+
+
 def log_rows(stage: str, n: int, **tags) -> None:
     """DML-stats logging (inserted/updated/deleted row counts)."""
     _RECENT.append({"kind": "rows", "stage": stage, "rows": n, **tags})

@@ -401,6 +401,11 @@ class Promoter:
         self.staging_updates.delete_partitions(CHUNK_COLUMN, chunk_ids)
 
     def _cleanup(self) -> None:
-        """Finally: drop promotion workspace (chunk_promoter.py:336-348)."""
+        """Finally: drop promotion workspace (chunk_promoter.py:336-348)
+        and any DML observations whose write never completed (flushing
+        those would block forever)."""
+        from ..metrics import drop_pending
+
         for t in DIA_TABLES:
             self.promotion[t].drop()
+        drop_pending()

@@ -301,3 +301,16 @@ def test_plan_metrics_report_job_cost(spark, tmp_path):
     entry = metrics.log_plan_metrics(df, "unit_job", table="orders")
     assert entry["stage"] == "unit_job" and entry["table"] == "orders"
     assert metrics.recent("unit_job", kind="job")
+
+
+def test_drop_pending_prevents_flush_hang(spark):
+    """An observed DataFrame whose action never ran must be droppable:
+    flush would block forever on it (Observation.get blocks)."""
+    from dax_ppdb_spark import metrics
+    from dax_ppdb_spark.ops.merge import merge_patch
+
+    t = spark.createDataFrame([(1, "a")], "id LONG, v STRING")
+    p = spark.createDataFrame([(1, "A")], "id LONG, v STRING")
+    merge_patch(t, p, ["id"], observe_as="never_run")  # no action
+    assert metrics.drop_pending() == 1
+    assert metrics.flush_observations() == []  # returns, no hang
