@@ -10,6 +10,7 @@ environment rather than Spark's legacy default of 200.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -33,6 +34,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep catalog artifacts (saveAsTable warehouses) out of the cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "dax_ppdb_warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()
 
