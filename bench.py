@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_verified",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_banded",

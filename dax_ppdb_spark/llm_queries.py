@@ -166,6 +166,63 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_sql() -> str:
+    """Cluster assignment for every document: near-dup pairs grouped
+    into components via a recursive min-label walk (DuckDB), singleton
+    docs assigned to themselves."""
+    pairs = _verified_neardup_sql().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS cluster_id,
+       COALESCE(cc.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
+@register("dedup_clusters", _dedup_clusters_sql())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup deliverable: verified near-dup pairs grouped into
+    transitive clusters (``ops.graph.connected_components``, the
+    large-star/small-star MapReduce algorithm), every document assigned
+    a cluster id, representative = smallest doc_id per cluster.
+
+    The oracle replays the clustering as a DuckDB recursive CTE —
+    feasible at sf0.01, while the Spark side's O(log n) star rounds are
+    the shape that survives a 100-TB corpus (the oracle's reachability
+    walk is quadratic in component size).
+    """
+    from .llm.dedup import verified_neardup_pairs
+    from .ops.graph import connected_components
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    # Plain left join: the component map can be a large fraction of the
+    # corpus (dup-heavy crawls), so don't force a broadcast — AQE picks
+    # one at runtime when the map is actually small.
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     terms = []
     for b in range(bits):

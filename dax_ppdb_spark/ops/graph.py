@@ -1,0 +1,150 @@
+"""Distributed connected components — the graph operator Spark core
+lacks (GraphFrames lives outside the base distribution).
+
+Near-duplicate *pairs* are only half of a dedup pipeline: to actually
+drop duplicates you must group pairs into clusters and keep one
+representative per cluster.  Transitive closure is a graph problem, and
+at corpus scale the graph (one node per document, one edge per
+candidate pair) does not fit on the driver.
+
+The implementation is the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): each round is two shuffle-bounded DataFrame
+aggregations that monotonically re-wire edges toward each component's
+minimum node id, converging in O(log n) rounds on any graph shape —
+unlike plain min-label propagation, whose round count is the graph
+*diameter* (a 1M-doc chain of pairwise near-dups would need 1M
+propagation rounds but only ~20 star rounds).
+
+Scale notes:
+- Per round the edge set only shrinks or re-targets; shuffle volume is
+  O(|E|) per round with map-side combine on the groupBys.
+- The convergence probe is a driver-side count comparison (two longs
+  per round), not a data collect.
+- Hot nodes (a boilerplate document near-dup to millions) concentrate
+  into one group key; that is ordinary agg skew — AQE splits it, and
+  upstream `max_bucket` caps in the LSH stage bound it structurally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute ``df`` and truncate its lineage.
+
+    Each star round references its input DataFrame 2-4 times (the
+    neighborhood-min join), so carrying lineage across rounds grows the
+    logical plan *exponentially* — by round ~10 the driver OOMs just
+    materializing the plan tree.  Checkpointing resets the plan to a
+    scan of the materialized blocks, keeping every round's plan O(1).
+    Uses the reliable checkpoint dir when the caller configured one
+    (survives executor loss on a real cluster); local checkpoint
+    otherwise (fine for local mode and fault-free runs).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both orientations of each edge, self-loops dropped."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to the minimum of u's
+    closed neighborhood: emit (v, m) for v in N(u), v > u, where
+    m = min(N(u) + {u}).  Neighborhoods are undirected, so the input
+    is symmetrized here regardless of its orientation."""
+    sym = _symmetric(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large->small, then connect every smaller
+    neighbor (and u itself) to the minimum: for u with smaller
+    neighbors N, m = min(N), emit (u, m) and (v, m) for v in N-{m}."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    to_u = mins.select(F.col("src"), F.col("m").alias("dst"))
+    to_v = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return to_u.unionByName(to_v).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Component assignment for every node appearing in ``edges``.
+
+    Returns ``(node, component)`` where ``component`` is the smallest
+    node id in the node's connected component.  Isolated nodes never
+    appear in an edge list, so callers join the result back to their
+    entity table and ``coalesce`` to the node's own id.
+
+    Deterministic: output depends only on the edge *set*.  Raises if
+    the star rounds have not converged after ``max_iterations`` (at
+    O(log n) convergence, 30 rounds covers any realistic graph).
+    """
+    # Canonical large->small orientation; the loop state is always the
+    # small-star output in this same orientation, so successive-state
+    # equality is a valid fixpoint test.
+    cur = _materialize(
+        edges.select(
+            F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cur_cnt = cur.count()
+    converged = False
+    for _ in range(max_iterations):
+        nxt = _materialize(_small_star(_large_star(cur)))
+        nxt_cnt = nxt.count()
+        if nxt_cnt == cur_cnt and nxt.exceptAll(cur).isEmpty():
+            converged = True
+            break
+        cur, cur_cnt = nxt, nxt_cnt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # Fixpoint edges are stars oriented child->root; each child's only
+    # neighbor is its root, and each root's neighbors are all larger.
+    # ``cur`` is checkpointed, so this reads materialized blocks, not
+    # the iteration lineage.
+    sym = _symmetric(cur)
+    return sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("component")
+    ).select(F.col("src").alias("node"), "component")

@@ -1,0 +1,62 @@
+"""connected_components vs a brute-force union-find, on adversarial
+graph shapes: a long chain (diameter >> O(log n) rounds — the case that
+breaks plain label propagation), a star hub, random blobs, self-loops,
+and duplicate/reversed edges."""
+
+from __future__ import annotations
+
+import random
+
+from dax_ppdb_spark.ops.graph import connected_components
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    random.seed(7)
+    edges = [(i, i + 1) for i in range(120)]          # chain: diameter 120
+    edges += [(1000, 1000 + i) for i in range(1, 40)]  # star
+    for base in (2000, 3000):                          # random blobs
+        nodes = list(range(base, base + 60))
+        edges += [
+            (random.choice(nodes), random.choice(nodes)) for _ in range(90)
+        ]
+    edges += [(5, 5), (0, 1), (1, 0)]                  # loops + dups
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_connected_components_deterministic_under_shuffle(spark):
+    edges = [(3, 1), (1, 2), (9, 8), (8, 7), (2, 3)]
+    a = connected_components(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()
+    b = connected_components(
+        spark.createDataFrame(list(reversed(edges)), "src long, dst long")
+        .repartition(3)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = dict(map(tuple, a))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
