@@ -1328,3 +1328,53 @@ def q_intersect_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return orders.intersect(good)
+
+
+_DISTINCT_SKETCH_SQL = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+    FROM events
+),
+r AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+),
+s AS (
+    SELECT event_type, COUNT(*) AS n, MAX(h) AS kth
+    FROM r WHERE rn <= 64 GROUP BY event_type
+),
+ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact,
+       ROUND(CASE WHEN s.n < 64 THEN CAST(s.n AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / s.kth END, 6) AS est_distinct
+FROM ex JOIN s USING (event_type)
+"""
+
+
+@register("distinct_sketch", _DISTINCT_SKETCH_SQL)
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type, next to the exact count.
+
+    The sketch (``ops.sketches``) is the *mergeable* counterpart of
+    ``approx_count_distinct``: a transparent array<long> column you can
+    store per day-partition and merge per month, so the 100-TB rollup
+    never re-reads raw events.  The oracle replays the identical
+    md5-window hash in DuckDB, so the estimate matches bit-for-bit.
+    """
+    from .ops.sketches import kmv_estimate, kmv_sketch
+
+    events = _read_events(spark, sf_dir)
+    sk = kmv_sketch(events, ["event_type"], "user_id", k=64)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(kmv_estimate(F.col("kmv"), k=64), 6).alias("est_distinct"),
+    )
