@@ -55,9 +55,15 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
-    """Both orientations of each edge, self-loops dropped."""
+    """Both orientations of each edge.
+
+    Precondition (held by every call site): ``edges`` is distinct and
+    canonically oriented ``src > dst`` — so the union of the two
+    orientations is already duplicate- and self-loop-free, and no
+    distinct shuffle is needed here.
+    """
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    return edges.unionByName(rev)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -69,12 +75,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # No trailing distinct: the small-star stage that always follows
+    # canonicalizes + distincts first thing, so deduping here would be
+    # a redundant shuffle of the same rows.
     return (
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -120,6 +128,22 @@ def connected_components(
     # Canonical large->small orientation; the loop state is always the
     # small-star output in this same orientation, so successive-state
     # equality is a valid fixpoint test.
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        """(count, order-insensitive checksum) in ONE job over the
+        already-materialized blocks — the cheap per-round convergence
+        probe.  Matching fingerprints are *confirmed* with an exact
+        set comparison before declaring a fixpoint, so a checksum
+        collision can cost one wasted comparison but never a wrong
+        answer."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # XOR, not SUM: order-insensitive like sum but cannot
+            # overflow under ANSI arithmetic (edge rows are distinct,
+            # so no two rows cancel each other).
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
     cur = _materialize(
         edges.select(
             F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
@@ -127,15 +151,15 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    cur_cnt = cur.count()
+    cur_fp = _fingerprint(cur)
     converged = False
     for _ in range(max_iterations):
         nxt = _materialize(_small_star(_large_star(cur)))
-        nxt_cnt = nxt.count()
-        if nxt_cnt == cur_cnt and nxt.exceptAll(cur).isEmpty():
+        nxt_fp = _fingerprint(nxt)
+        if nxt_fp == cur_fp and nxt.exceptAll(cur).isEmpty():
             converged = True
             break
-        cur, cur_cnt = nxt, nxt_cnt
+        cur, cur_fp = nxt, nxt_fp
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
