@@ -641,6 +641,38 @@ def q_updates_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_patch(target, patch, ["user_id"])
 
 
+_UPDATE_VALIDATE_SQL = """
+SELECT DISTINCT e.user_id
+FROM events e
+WHERE e.user_id % 7 = 0
+  AND NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 != 0
+  )
+"""
+
+
+@register("update_validate", _UPDATE_VALIDATE_SQL)
+def q_update_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 rowcount==1 validation as a checkable query: the missing-key
+    report that :func:`ops.updates.assert_update_targets` raises on.
+
+    Events (``user_id % 7 == 0``) stand in for an update batch;
+    customers with ``c_custkey % 3 != 0`` are the surviving target
+    rows, so every update aimed at a deleted-or-absent customer
+    surfaces.  The reference errors per-statement on ``rowcount != 1``
+    (sql/_ppdb_sql.py:347-350); the distributed form is one broadcast
+    anti-join producing all violations at once.
+    """
+    from .ops.updates import validate_update_targets
+
+    updates = _read_events(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    target = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    ).select(F.col("c_custkey").alias("user_id"))
+    return validate_update_targets(target, updates, ("user_id",))
+
+
 def _zorder_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
     """DuckDB twin of ``ops.spatial.zorder_index`` (bit interleave)."""
     terms = []
@@ -871,6 +903,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated to the tail so every never-yet-verified operator family —
 # ANN, multimodal, sampling, curation — sits inside the window.
 _VERIFY_TAIL = (
+    "spatial_box",
     "validity_fill_pruned",
     "rank_versions",
     "replication_diff",

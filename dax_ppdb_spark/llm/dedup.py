@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 
 from .text import md5_long, tokens
 
+# Default-on skew guards.  At corpus scale a single degenerate key — a
+# boilerplate shingle, an all-zeros embedding bucket, an LSH band key
+# shared by empty documents — expands O(|bucket|^2) pairs inside ONE
+# task and detonates the stage.  1000 caps that worst case at ~500k
+# pairs per key (~tens of MB, well inside an executor) while being far
+# above any honest near-dup cluster; pass ``None`` explicitly to
+# disable for small exhaustive runs.
+DEFAULT_MAX_BUCKET = 1000
+DEFAULT_MAX_DOC_FREQ = 1000
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the
@@ -67,7 +77,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, via an
     inverted-index self-join (only pairs sharing >=1 shingle are
@@ -162,7 +172,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on any LSH band.
 
@@ -303,7 +313,7 @@ def verified_neardup_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The full two-stage near-dup architecture in one operator:
     MinHash+LSH *discovery* (sub-quadratic candidate generation), then
@@ -319,17 +329,30 @@ def verified_neardup_pairs(
         docs, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col,
         max_bucket=max_bucket,
     )
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("shs")
-    ).filter(F.size("shs") > 0)
+    # Attach the RAW text to each candidate pair and shingle after the
+    # join, so the O(corpus) shingle computation runs exactly once (in
+    # the LSH discovery lineage) and the verify stage's shingle work is
+    # O(candidates).  The earlier shape — joining two pre-shingled
+    # copies of the corpus — recomputed full-corpus shingles twice more
+    # per run (Spark re-executes diverged lineage branches; there is no
+    # implicit caching).  The candidate side is small (LSH-pruned and
+    # bucket-capped), so AQE converts both joins to broadcasts of the
+    # pair table; the corpus is scanned, never shuffled.
+    txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     joined = cand.join(
-        sh.select(F.col("id").alias("doc_a"), F.col("shs").alias("shs_a")), "doc_a"
-    ).join(sh.select(F.col("id").alias("doc_b"), F.col("shs").alias("shs_b")), "doc_b")
+        txt.select(F.col("id").alias("doc_a"), F.col("txt").alias("txt_a")), "doc_a"
+    ).join(txt.select(F.col("id").alias("doc_b"), F.col("txt").alias("txt_b")), "doc_b")
+    pair_sh = joined.select(
+        "doc_a",
+        "doc_b",
+        shingles(F.col("txt_a"), n).alias("shs_a"),
+        shingles(F.col("txt_b"), n).alias("shs_b"),
+    )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
     jac = inter.cast("double") / union
     return (
-        joined.withColumn("jaccard", jac)
+        pair_sh.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -377,7 +400,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sign_dims: tuple[int, ...] = axis_planes(64, 4),
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     bands: tuple[tuple[int, ...], ...] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.

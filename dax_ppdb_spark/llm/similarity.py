@@ -96,22 +96,36 @@ def kmeans_centroids(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations on DataFrames — the real IVF
     coarse quantizer (``sign_bucket`` is the model-free stand-in).
 
+    ``sample_mod`` trains the quantizer on a deterministic hash sample
+    of the corpus: rows with ``md5_long(id) % sample_mod == 0`` (a
+    1/sample_mod systematic sample, engine-replayable — unlike
+    ``DataFrame.sample``, whose per-partition RNG depends on the
+    physical split layout).  Centroid quality needs only a
+    statistically representative sample, so at 100 TB each Lloyd
+    iteration scans GBs instead of the full corpus; assignment of the
+    full corpus happens once, outside this function.
+
     Deterministic by construction: init = the ``n_clusters`` lowest-id
-    vectors, fixed iteration count, first-wins tie-break on assignment,
-    and centroids rounded to 6 decimals each update so float partial-
-    aggregation ulp noise cannot flip assignments between runs.  Each
-    iteration is one assignment pass (centroids inlined as literals —
-    no join, no shuffle) plus one element-wise mean (posexplode +
-    groupBy over n_clusters*dim cells).  Only ``n_clusters * dim``
-    floats ever reach the driver.
+    training vectors, fixed iteration count, first-wins tie-break on
+    assignment, and centroids rounded to 6 decimals each update so
+    float partial-aggregation ulp noise cannot flip assignments
+    between runs.  Each iteration is one assignment pass (centroids
+    inlined as literals — no join, no shuffle) plus one element-wise
+    mean (posexplode + groupBy over n_clusters*dim cells).  Only
+    ``n_clusters * dim`` floats ever reach the driver.
     """
+    from .text import md5_long
+
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if sample_mod is not None:
+        c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
     cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
     for _ in range(iters):
         assigned = c.select(nearest_centroid(F.col("v"), cents).alias("cid"), "v")
@@ -139,14 +153,17 @@ def topk_kmeans(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF top-k with learned (k-means) centroids: train the coarse
-    quantizer, assign corpus and queries to their nearest centroid,
-    probe only the query's cell.  Same output shape as the other top-k
-    variants.  At scale: train on a sample, write the corpus
-    partitioned by ``cid``, and probes become partition-pruned reads.
+    quantizer (on a deterministic hash sample when ``sample_mod`` is
+    set — see :func:`kmeans_centroids`), assign corpus and queries to
+    their nearest centroid, probe only the query's cell.  Same output
+    shape as the other top-k variants.  At scale: train on a sample,
+    write the corpus partitioned by ``cid``, and probes become
+    partition-pruned reads.
     """
-    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col)
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

@@ -230,26 +230,41 @@ def unigram_logprob_score(
     docs,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_count: int = 2,
 ):
     """CCNet-style LM quality score: average unigram log-probability of
     a document under the corpus's own unigram distribution (real
     pipelines use a KenLM 5-gram; the operator shape — fit a model
     over the corpus, broadcast it, score per doc — is identical).
 
+    Tokens seen fewer than ``min_count`` times collapse into a single
+    OOV bucket scored at the bucket's pooled probability
+    ``n_oov / total`` — CCNet's min-count prune.  This is what makes
+    the broadcast scale-safe: the raw vocabulary of a 100 TB corpus is
+    1e8+ entries and mostly hapax legomena (Zipf), so the pruned model
+    is orders of magnitude smaller than the raw frequency table that
+    an unpruned broadcast would ship to every executor.  Pass
+    ``min_count=1`` to disable (exact per-token probabilities).
+
     Two passes over the exploded tokens: one aggregation fits the
-    frequency table (vocabulary-sized, so the score join broadcasts),
-    one groupBy averages ``ln(count/total)`` per document.  Low scores
-    = rare-token-heavy documents (boilerplate, garbled text, wrong
+    model (pruned-vocabulary-sized, so the score join broadcasts), one
+    groupBy averages ``ln(p)`` per document.  Low scores =
+    rare-token-heavy documents (boilerplate, garbled text, wrong
     language) — the usual "drop bottom X%" filter input.
     """
     from pyspark.sql import functions as F
 
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    kept = freq.filter(F.col("n") >= min_count)
+    # Both model-side tables are tiny: kept is the pruned vocab, oov /
+    # total are one row each (0-row oov when nothing was pruned).
+    oov = freq.filter(F.col("n") < min_count).agg(F.sum("n").alias("n_oov"))
     total = freq.agg(F.sum("n").alias("z"))
     scored = (
-        tok.join(F.broadcast(freq), "t")
+        tok.join(F.broadcast(kept), "t", "left")
+        .crossJoin(F.broadcast(oov))
         .crossJoin(F.broadcast(total))
-        .withColumn("lp", F.log(F.col("n") / F.col("z")))
+        .withColumn("lp", F.log(F.coalesce(F.col("n"), F.col("n_oov")) / F.col("z")))
     )
     return scored.groupBy(id_col).agg(F.avg("lp").alias("avg_logprob"))

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from .driver_queries import _read, register
 from .llm.dedup import (
+    DEFAULT_MAX_BUCKET,
+    DEFAULT_MAX_DOC_FREQ,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -80,7 +82,13 @@ WITH sh AS (
     SELECT doc_id, {_SHINGLES3} AS shs FROM documents
     WHERE len({_TOKS}) >= 3
 ),
-inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+inv0 AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+-- default-on stop-shingle cap (mirrors llm.dedup.DEFAULT_MAX_DOC_FREQ)
+inv AS (
+    SELECT inv0.* FROM inv0
+    JOIN (SELECT shingle FROM inv0 GROUP BY shingle
+          HAVING COUNT(*) <= {DEFAULT_MAX_DOC_FREQ}) ok USING (shingle)
+),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS n_inter
@@ -117,8 +125,14 @@ WITH sh AS (
     WHERE len({_TOKS}) >= 3
 ),
 sig AS (SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shs) > 0),
-banded AS (
+banded0 AS (
     {bands}
+),
+-- default-on hot-bucket cap (mirrors llm.dedup.DEFAULT_MAX_BUCKET)
+banded AS (
+    SELECT banded0.* FROM banded0
+    JOIN (SELECT band, key FROM banded0 GROUP BY band, key
+          HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}) ok USING (band, key)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band, key)
@@ -242,14 +256,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
 
 
-_EMB_NEARDUP_SQL = """
-WITH e AS (
+_EMB_NEARDUP_SQL = f"""
+WITH e0 AS (
     SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
            CAST(CAST(embedding[1] >= 0 AS INT) AS VARCHAR) ||
            CAST(CAST(embedding[17] >= 0 AS INT) AS VARCHAR) ||
            CAST(CAST(embedding[33] >= 0 AS INT) AS VARCHAR) ||
            CAST(CAST(embedding[49] >= 0 AS INT) AS VARCHAR) AS bucket
     FROM embeddings
+),
+-- default-on hot-bucket cap (mirrors llm.dedup.DEFAULT_MAX_BUCKET)
+e AS (
+    SELECT e0.* FROM e0
+    JOIN (SELECT bucket FROM e0 GROUP BY bucket
+          HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}) ok USING (bucket)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -283,8 +303,14 @@ def _emb_banded_sql(planes_per_band: int = 4, n_bands: int = 8) -> str:
         for b, dims in enumerate(banded_axis_planes(64, planes_per_band, n_bands))
     )
     return f"""
-WITH keyed AS (
+WITH keyed0 AS (
     {keyed}
+),
+-- default-on hot-bucket cap (mirrors llm.dedup.DEFAULT_MAX_BUCKET)
+keyed AS (
+    SELECT keyed0.* FROM keyed0
+    JOIN (SELECT band, bucket FROM keyed0 GROUP BY band, bucket
+          HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}) ok USING (band, bucket)
 ),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -413,9 +439,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_SCORE_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
 freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+-- min-count prune to an OOV bucket (mirrors unigram_logprob_score)
+kept AS (SELECT t, n FROM freq WHERE n >= 2),
+oov AS (SELECT SUM(n) AS n_oov FROM freq WHERE n < 2),
 tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS z FROM freq)
-SELECT tok.doc_id, AVG(ln(freq.n / tot.z)) AS avg_logprob
-FROM tok JOIN freq USING (t), tot
+SELECT tok.doc_id, AVG(ln(COALESCE(kept.n, oov.n_oov) / tot.z)) AS avg_logprob
+FROM tok LEFT JOIN kept USING (t), oov, tot
 GROUP BY tok.doc_id
 """
 
@@ -856,12 +885,16 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5) -> str:
+def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5,
+                sample_mod: int | None = None) -> str:
     """Replay the deterministic Lloyd training as chained CTEs: init =
     lowest-id vectors, per-iteration argmin assignment (lowest-cid tie
     break, matching Spark's ``array_position`` first-wins) and a
     round-6 element-wise mean (kills partial-agg ulp noise on both
-    engines), then the final bucketed top-k probe."""
+    engines), then the final bucketed top-k probe.  With
+    ``sample_mod``, training CTEs see only the md5 hash sample
+    (mirroring ``kmeans_centroids``); the final assignment still
+    covers the full corpus."""
 
     def dist2(vcol: str, ccol: str) -> str:
         return (
@@ -869,22 +902,28 @@ def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5) -> str:
             f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])))"
         )
 
+    tr_filter = (
+        f"WHERE {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {sample_mod} = 0"
+        if sample_mod is not None
+        else ""
+    )
     sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tr AS (SELECT vec_id, v FROM e {tr_filter}),
 c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
-    FROM e ORDER BY vec_id LIMIT {n_clusters}
+    FROM tr ORDER BY vec_id LIMIT {n_clusters}
 )"""
     prev = "c0"
     for it in range(1, iters + 1):
         sql += f""",
 a{it} AS (
     SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, {prev}.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dist2('e.v', prev + '.c')},
+        SELECT tr.vec_id, tr.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY tr.vec_id
+                                  ORDER BY {dist2('tr.v', prev + '.c')},
                                            {prev}.cid) AS rn
-        FROM e CROSS JOIN {prev}
+        FROM tr CROSS JOIN {prev}
     ) WHERE rn = 1
 ),
 m{it} AS (
@@ -924,17 +963,21 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
     return sql
 
 
-@register("ann_topk_kmeans", _kmeans_sql())
+@register("ann_topk_kmeans", _kmeans_sql(sample_mod=2))
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a learned k-means coarse quantizer (3 Lloyd
-    iterations, deterministic init/tie-breaks/rounding).  The training
-    loop is fully deterministic, so the oracle replays the identical
-    iterations as chained SQL CTEs — a real value-checked row, not a
-    rows-only pass."""
+    iterations, deterministic init/tie-breaks/rounding), trained on a
+    1/2 md5-hash sample of the corpus — the 100-TB shape, where Lloyd
+    passes scan a sample and only the final assignment sees every
+    vector.  The training loop is fully deterministic, so the oracle
+    replays the identical sampled iterations as chained SQL CTEs — a
+    real value-checked row, not a rows-only pass."""
     from .llm.similarity import topk_kmeans
 
     emb = _read_spread(spark, sf_dir, "embeddings")
-    return topk_kmeans(emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8)
+    return topk_kmeans(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8, sample_mod=2
+    )
 
 
 _SHINGLES5 = (

@@ -7,6 +7,7 @@ from .updates import (  # noqa: F401
     build_patch,
     expand_updates,
     latest_updates,
+    assert_update_targets,
     validate_update_targets,
 )
 from .ranges import point_in_interval_join  # noqa: F401

@@ -234,3 +234,24 @@ def validate_update_targets(
     return F.broadcast(patch_keys.select(*key_cols).distinct()).join(
         target.select(*key_cols).distinct(), list(key_cols), "left_anti"
     )
+
+
+def assert_update_targets(
+    target: DataFrame,
+    patch_keys: DataFrame,
+    key_cols: tuple[str, ...],
+    sample: int = 10,
+) -> None:
+    """Hard-error form of :func:`validate_update_targets`: raise if any
+    patch key has no target row, echoing the reference's ``rowcount !=
+    1`` ValueError (``sql/_ppdb_sql.py:347-350``).  The error message
+    carries up to ``sample`` offending keys; the check itself is one
+    distributed anti-join + ``take`` — never a full collect.
+    """
+    missing = validate_update_targets(target, patch_keys, key_cols).take(sample + 1)
+    if missing:
+        shown = ", ".join(str(tuple(r)) for r in missing[:sample])
+        more = " (and more)" if len(missing) > sample else ""
+        raise ValueError(
+            f"update targets missing for keys {key_cols}: {shown}{more}"
+        )

@@ -467,3 +467,74 @@ def test_unigram_logprob_orders_docs_by_rarity(spark):
     # corpus: common x5, rareword x1 -> p(common)=5/6
     assert math.isclose(out[0], math.log(5 / 6), rel_tol=1e-12)
     assert math.isclose(out[1], (math.log(5 / 6) + math.log(1 / 6)) / 2, rel_tol=1e-12)
+
+
+def test_skew_caps_degenerate_corpus_completes(spark):
+    """Default-on skew caps: a corpus where every doc is identical
+    boilerplate puts ALL docs in one shingle/band/bucket.  With the cap
+    active the degenerate key is dropped outright (O(cap^2) bounded),
+    the queries complete, and exact dedup still collapses the corpus.
+    """
+    n = 40
+    docs = _docs(spark, ["the same boilerplate text repeated everywhere always"] * n)
+
+    # cap below the bucket size -> the hot key is dropped, zero pairs
+    assert minhash_lsh_pairs(docs, max_bucket=n - 1).count() == 0
+    assert ngram_jaccard_pairs(docs, max_doc_freq=n - 1).count() == 0
+    # cap above -> full quadratic expansion within the single bucket
+    assert minhash_lsh_pairs(docs, max_bucket=n).count() == n * (n - 1) // 2
+    # exact dedup (the right tool for identical docs) still collapses
+    row = exact_dedup(docs).collect()
+    assert len(row) == 1 and row[0].n_docs == n
+
+
+def test_embedding_cap_drops_degenerate_bucket(spark):
+    from dax_ppdb_spark.llm.dedup import embedding_neardup_pairs
+
+    n = 20
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(n)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assert embedding_neardup_pairs(emb, threshold=0.9, max_bucket=n - 1).count() == 0
+    assert (
+        embedding_neardup_pairs(emb, threshold=0.9, max_bucket=n).count()
+        == n * (n - 1) // 2
+    )
+
+
+def test_unigram_logprob_oov_bucket_pools_rare_tokens(spark):
+    import math
+
+    from dax_ppdb_spark.llm.text import unigram_logprob_score
+
+    # corpus: common x4, rare1 x1, rare2 x1 -> Z=6; with min_count=2
+    # both rare tokens pool into one OOV bucket with n_oov=2.
+    docs = _docs(spark, ["common common common common", "rare1 rare2"])
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(docs).collect()}
+    assert math.isclose(out[0], math.log(4 / 6), rel_tol=1e-12)
+    assert math.isclose(out[1], math.log(2 / 6), rel_tol=1e-12)
+    # min_count=1 disables the prune: exact hapax probabilities
+    exact = {
+        r.doc_id: r.avg_logprob
+        for r in unigram_logprob_score(docs, min_count=1).collect()
+    }
+    assert math.isclose(exact[1], math.log(1 / 6), rel_tol=1e-12)
+
+
+def test_kmeans_sampled_training_deterministic(spark):
+    from dax_ppdb_spark.llm.similarity import kmeans_centroids, topk_kmeans
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    full = kmeans_centroids(emb, n_clusters=4, iters=2)
+    half_a = kmeans_centroids(emb, n_clusters=4, iters=2, sample_mod=2)
+    half_b = kmeans_centroids(emb, n_clusters=4, iters=2, sample_mod=2)
+    assert half_a == half_b          # hash sample -> bit-identical reruns
+    assert len(half_a) == 4 and all(len(c) == 8 for c in half_a)
+    assert half_a != full            # the sample actually changed training
+    out = topk_kmeans(emb, emb.filter("vec_id < 3"), k=3, n_clusters=4, sample_mod=2)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in rows)

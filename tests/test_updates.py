@@ -241,3 +241,22 @@ def test_merge_observation_counts(spark):
     up.count()
     [entry] = metrics.flush_observations()
     assert entry["updated"] == 1 and entry["inserted"] == 1 and entry["rows"] == 5
+
+
+def test_assert_update_targets_raises_on_missing(spark):
+    """The reference's rowcount==1 hard error (sql/_ppdb_sql.py:347-350):
+    a patch aimed at an absent record must raise, valid batches pass."""
+    import pytest as _pytest
+
+    from dax_ppdb_spark.ops.updates import assert_update_targets
+
+    latest = latest_updates(expand_updates(_raw_updates(spark)))
+    patch = build_patch(latest, "DiaSource")
+    good_target = spark.createDataFrame(
+        [(100001,), (100002,), (100003,)], "diaSourceId LONG"
+    )
+    assert_update_targets(good_target, patch, ("diaSourceId",))  # no raise
+
+    bad_target = spark.createDataFrame([(100001,)], "diaSourceId LONG")
+    with _pytest.raises(ValueError, match="100002"):
+        assert_update_targets(bad_target, patch, ("diaSourceId",))
