@@ -84,8 +84,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = driver_queries.queries()
     names = [n for n in HEADLINE if n in registry]
-    # Warm the JVM/codegen path once so timings measure the engine,
-    # not first-query classloading.
+    # Warm the JVM so timings measure the engine, not JIT compilation:
+    # run every headline query once against the tiny sf0.001 tables
+    # (different files, so the timed run gets no page-cache benefit
+    # beyond its own warmup query).  First-evaluation of a complex
+    # expression tree (higher-order folds, window parses) costs 2-3x
+    # its steady-state time purely in JVM warmup — measured: cold
+    # minhash LSH 10.7s vs 3.2s steady-state on identical data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        driver_queries.ensure_sky_sorted(spark, warm_dir)
+        for name in names:
+            try:
+                registry[name](spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run will surface errors
     registry[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # Build the geo-sorted materialization outside the timed region:
     # it is the promotion write path's product (clustered storage), and
