@@ -455,58 +455,56 @@ def embedding_neardup_pairs(
     if bands is None:
         bands = (tuple(sign_dims),)
     keys = F.array(*[_key(b) for b in bands])
-    # One shuffle total — the same agg-and-expand shape as
-    # minhash_lsh_pairs (a self-join would shuffle twice and recompute
-    # the key lineage for both sides): group each (band, bucket) to a
-    # sorted (id, v, n2) array, expand in-bucket combinations, and
-    # score in place.  Squared norms ride along per VECTOR (not per
-    # pair); dot/(sqrt(n2_a*n2_b)) is bit-identical to
-    # cosine_similarity's expression at a third of the per-pair array
-    # work.  Only the tiny above-threshold result is deduped across
-    # bands.  Hot buckets expand quadratically in one task — that is
-    # what ``max_bucket`` (now a free size filter, no extra join)
-    # and corpus-scaled plane counts bound.
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        dot(v, v).alias("n2"),
-        F.posexplode(keys).alias("band", "bucket"),
-    )
+    # Candidate generation shuffles IDs ONLY — the same agg-and-expand
+    # shape as minhash_lsh_pairs, but the 64-double vectors never ride
+    # the (band x corpus) shuffle and each distinct pair is scored
+    # exactly once (the previous shape shuffled full vectors per band
+    # and computed the cosine once per agreeing band before deduping).
+    # Hot buckets expand quadratically in one task — that is what
+    # ``max_bucket`` (a free size filter before the expansion) and
+    # corpus-scaled plane counts bound.
+    e = emb.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bucket"))
     grouped = (
         e.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "v", "n2"))).alias("xs"))
-        .filter(F.size("xs") > 1)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     if max_bucket is not None:
-        grouped = grouped.filter(F.size("xs") <= max_bucket)
-
-    def _pair(x, y):
-        sim = dot(x["v"], y["v"]) / F.sqrt(x["n2"] * y["n2"])
-        return F.struct(
-            x["id"].alias("id_a"),
-            y["id"].alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
-        )
-
-    out = (
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    cand = (
         grouped.select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        "xs",
+                        "ids",
                         lambda x, i: F.transform(
-                            F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                            lambda y: _pair(x, y),
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .filter(F.col("p.cosine") >= threshold)
-        .select("p.id_a", "p.id_b", "p.cosine")
+        .select("p.id_a", "p.id_b")
     )
     if len(bands) > 1:
-        # OR over bands: a pair surfaces once per agreeing band with an
-        # identical score — keep one.
-        out = out.dropDuplicates(["id_a", "id_b"])
-    return out
+        # OR over bands: a pair is a candidate once per agreeing band.
+        cand = cand.distinct()
+    # Score once per candidate: attach both vectors (with squared
+    # norms computed per VECTOR, a third of the per-pair array work)
+    # via two joins that AQE turns into broadcasts of the small
+    # candidate side — the corpus is scanned, never shuffled.
+    ev = emb.select(F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2"))
+    joined = cand.join(
+        ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
+        "id_a",
+    ).join(
+        ev.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("n2b")),
+        "id_b",
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("n2a") * F.col("n2b")), 6)
+    return (
+        joined.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

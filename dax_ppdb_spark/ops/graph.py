@@ -35,7 +35,7 @@ __all__ = ["connected_components"]
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Compute ``df`` and truncate its lineage.
+    """Arrange for ``df`` to be computed once and its lineage truncated.
 
     Each star round references its input DataFrame 2-4 times (the
     neighborhood-min join), so carrying lineage across rounds grows the
@@ -43,15 +43,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     materializing the plan tree.  Checkpointing resets the plan to a
     scan of the materialized blocks, keeping every round's plan O(1).
     Uses the reliable checkpoint dir when the caller configured one
-    (survives executor loss on a real cluster); local checkpoint
-    otherwise (fine for local mode and fault-free runs).
+    (survives executor loss on a real cluster; eager, since a lazy
+    reliable checkpoint recomputes the RDD in a second job); local
+    checkpoint otherwise, LAZY so the caller's immediately-following
+    fingerprint action materializes the blocks in the same Spark job —
+    one job per round instead of two.
     """
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
-    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=False)
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -144,6 +147,20 @@ def connected_components(
         ).collect()[0]
         return int(row["c"]), int(row["h"])
 
+    # The candidate-pair graphs this feeds on are usually TINY relative
+    # to the corpus (LSH-capped near-dup edges).  Once the measured
+    # edge count — already on the driver from the fingerprint probe, no
+    # data collected — fits comfortably in one task, squeeze the loop
+    # state to a single partition: every star round is 3-4 shuffle
+    # stages, and at 32 inherited partitions each stage pays ~32 task
+    # launches for microscopic splits.  Same decision AQE makes between
+    # stages; doing it on the loop state makes EVERY later round cheap.
+    # Big graphs (count above the threshold) keep full parallelism.
+    one_task_edges = 100_000
+
+    def _squeeze(df: DataFrame, count: int) -> DataFrame:
+        return df.coalesce(1) if count <= one_task_edges else df
+
     cur = _materialize(
         edges.select(
             F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
@@ -152,6 +169,13 @@ def connected_components(
         .distinct()
     )
     cur_fp = _fingerprint(cur)
+    if cur_fp[0] == 0:
+        # No edges at all: every node is isolated; return the empty
+        # mapping without paying any star rounds.
+        return cur.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        )
+    cur = _squeeze(cur, cur_fp[0])
     converged = False
     for _ in range(max_iterations):
         nxt = _materialize(_small_star(_large_star(cur)))
@@ -159,7 +183,7 @@ def connected_components(
         if nxt_fp == cur_fp and nxt.exceptAll(cur).isEmpty():
             converged = True
             break
-        cur, cur_fp = nxt, nxt_fp
+        cur, cur_fp = _squeeze(nxt, nxt_fp[0]), nxt_fp
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"

@@ -114,6 +114,38 @@ def cells_for_box(
     )
 
 
+def cell_cover_bounds(
+    ra_min: float,
+    ra_max: float,
+    dec_min: float,
+    dec_max: float,
+    level: int,
+) -> tuple[float, float, float, float]:
+    """Driver-side: the cell-aligned bounding box of
+    :func:`cells_for_box`'s cover — (ra_lo, ra_hi, dec_lo, dec_hi) with
+    inclusive lo / exclusive hi.
+
+    Every row whose cell is in the cover lies inside these bounds, so
+    they form a SUPERSET pre-filter for the cell IN-list: cheap
+    per-row comparisons that discard the bulk of an unsorted scan
+    before the (much wider) bit-interleave + set-membership expression
+    runs on the survivors.  On the geo-sorted layout the same skip
+    happens in storage via row-group stats; this is the compute-side
+    twin for un-clustered inputs.
+    """
+    scale = 1 << level
+    x0 = max(0, min(scale - 1, int(ra_min / 360.0 * scale)))
+    x1 = max(0, min(scale - 1, int(ra_max / 360.0 * scale)))
+    y0 = max(0, min(scale - 1, int((dec_min + 90.0) / 180.0 * scale)))
+    y1 = max(0, min(scale - 1, int((dec_max + 90.0) / 180.0 * scale)))
+    return (
+        x0 * 360.0 / scale,
+        (x1 + 1) * 360.0 / scale,
+        y0 * 180.0 / scale - 90.0,
+        (y1 + 1) * 180.0 / scale - 90.0,
+    )
+
+
 def crossmatch(
     left,
     right,
