@@ -911,6 +911,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated to the tail so every never-yet-verified operator family —
 # ANN, multimodal, sampling, curation — sits inside the window.
 _VERIFY_TAIL = (
+    "rollup_revenue",
     "spatial_box",
     "validity_fill_pruned",
     "rank_versions",

@@ -165,34 +165,27 @@ def minhash_signature(sh: Column, k: int = 8) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def banded_minhash_keys(
     docs: DataFrame,
     k: int = 8,
     bands: int = 4,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs agreeing on any LSH band.
+    """(doc_id, band, key) LSH band keys for every doc with >=1 shingle.
 
-    With k=8, bands=4 (rows r=2): P(candidate) = 1-(1-j^2)^4 — docs
-    with Jaccard 0.8 are caught with ~97% probability.  Returns
-    distinct (doc_a < doc_b) pairs; feed to ``ngram_jaccard_pairs``
-    semantics for exact verification when needed.
+    The shared discovery primitive: self-join form
+    (:func:`minhash_lsh_pairs`) groups it per (band, key); the
+    incremental form (:func:`incremental_neardup_pairs`) equi-joins a
+    new batch's keys against a corpus's.  Signature via explode ->
+    flat-column hash -> min-aggregate (see ``minhash_lsh_pairs`` scale
+    notes — this keeps the md5 + window parses inside
+    WholeStageCodegen instead of the interpreted lambda path).
     """
-    rows_per_band = k // bands
-
     from .text import hex_window_long
 
-    # Signature via explode -> flat-column hash -> min-aggregate, NOT a
-    # higher-order array fold.  Lambda expressions (transform/aggregate/
-    # zip_with) are evaluated by Spark's *interpreted* expression path —
-    # measured ~500µs/shingle for the k-family fold at sf0.1 (3.9 s for
-    # 250k shingles on 32 cores) — while the exploded shape keeps every
-    # hash inside WholeStageCodegen and the min-agg combines map-side,
-    # so the extra shuffle carries only k longs per doc.  Same values,
-    # same oracle: min over identical per-shingle hash families.
+    rows_per_band = k // bands
     exploded = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -217,9 +210,36 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_keys).alias("bk")).select(
+    return sig.select("doc_id", F.explode(band_keys).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on any LSH band.
+
+    With k=8, bands=4 (rows r=2): P(candidate) = 1-(1-j^2)^4 — docs
+    with Jaccard 0.8 are caught with ~97% probability.  Returns
+    distinct (doc_a < doc_b) pairs; feed to ``ngram_jaccard_pairs``
+    semantics for exact verification when needed.
+    """
+    # Signature via explode -> flat-column hash -> min-aggregate, NOT a
+    # higher-order array fold.  Lambda expressions (transform/aggregate/
+    # zip_with) are evaluated by Spark's *interpreted* expression path —
+    # measured ~500µs/shingle for the k-family fold at sf0.1 (3.9 s for
+    # 250k shingles on 32 cores) — while the exploded shape keeps every
+    # hash inside WholeStageCodegen and the min-agg combines map-side,
+    # so the extra shuffle carries only k longs per doc.  Same values,
+    # same oracle: min over identical per-shingle hash families.
+    banded = banded_minhash_keys(docs, k, bands, n, text_col, id_col)
     # One aggregation instead of a self-join: a self-join would
     # recompute the whole signature lineage for both sides (2x the
     # hashing cost) and shuffle twice; grouping to a sorted id array
@@ -251,6 +271,70 @@ def minhash_lsh_pairs(
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental dedup: near-duplicates of a NEW batch against an
+    EXISTING corpus — the shape every rolling crawl-ingest pipeline
+    runs (dedup today's batch against everything already kept), where
+    re-running the full self-join would redo O(corpus) work per batch.
+
+    Discovery is an equi-join of the batch's LSH band keys against the
+    corpus's: shuffle O(batch x bands) + one pass banding the corpus
+    (at scale the corpus keys are precomputed once and stored, making
+    each batch O(batch)).  ``max_bucket`` drops corpus-side degenerate
+    buckets exactly like the self-join form.  Verification attaches
+    raw text to the (small) candidate set and computes exact
+    shingle-set Jaccard per pair — same two-stage architecture as
+    :func:`verified_neardup_pairs`.
+
+    Output: (new_id, corpus_id, jaccard >= threshold); new docs absent
+    from the output are novel and safe to append.
+    """
+    bn = banded_minhash_keys(new_docs, k, bands, n, text_col, id_col).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    bc = banded_minhash_keys(corpus, k, bands, n, text_col, id_col)
+    grouped = bc.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    cand = (
+        bn.join(grouped, ["band", "key"])
+        .select("new_id", F.explode("ids").alias("corpus_id"))
+        .distinct()
+    )
+    txt_new = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("txt_a")
+    )
+    txt_old = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("txt_b")
+    )
+    joined = cand.join(txt_new, "new_id").join(txt_old, "corpus_id")
+    pair_sh = joined.select(
+        "new_id",
+        "corpus_id",
+        shingles(F.col("txt_a"), n).alias("shs_a"),
+        shingles(F.col("txt_b"), n).alias("shs_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        pair_sh.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

@@ -180,6 +180,49 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_sql() -> str:
+    """Oracle for incremental (batch-vs-corpus) near-dup: band keys
+    from the shared minhash CTEs, batch/corpus split on doc_id % 4,
+    corpus-side buckets capped, exact Jaccard on candidates."""
+    base = _minhash_band_sql().strip()
+    head, _ = base.rsplit("SELECT DISTINCT", 1)
+    return f"""{head.rstrip().rstrip(',')},
+bn AS (SELECT doc_id AS new_id, band, key FROM banded0 WHERE doc_id % 4 = 0),
+bc AS (SELECT doc_id AS corpus_id, band, key FROM banded0 WHERE doc_id % 4 != 0),
+ok AS (SELECT band, key FROM bc GROUP BY band, key
+       HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+cand AS (
+    SELECT DISTINCT bn.new_id, bc.corpus_id
+    FROM bn JOIN bc USING (band, key) JOIN ok USING (band, key)
+)
+SELECT c.new_id, c.corpus_id,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+           AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.new_id
+JOIN sh sb ON sb.doc_id = c.corpus_id
+WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.5
+"""
+
+
+@register("dedup_incremental", _incremental_sql())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's batch (doc_id % 4 == 0) LSH-joined
+    against the standing corpus, exact-verified on candidates — the
+    rolling crawl-ingest shape where each batch costs O(batch), not
+    O(corpus^2) (see ``llm.dedup.incremental_neardup_pairs``)."""
+    from .llm.dedup import incremental_neardup_pairs
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        k=8, bands=4, n=3, threshold=0.5,
+    )
+
+
 def _dedup_clusters_sql() -> str:
     """Cluster assignment for every document: near-dup pairs grouped
     into components via a recursive min-label walk (DuckDB), singleton

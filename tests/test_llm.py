@@ -538,3 +538,26 @@ def test_kmeans_sampled_training_deterministic(spark):
     rows = out.collect()
     assert {r.query_id for r in rows} == {0, 1, 2}
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_incremental_neardup_batch_vs_corpus(spark):
+    from dax_ppdb_spark.llm.dedup import incremental_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [base,
+                           "completely different words everywhere around here now"])
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tomorrow")),   # near-dup of corpus 0
+            (11, base.replace("today", "tomorrow")),   # identical to 10 (in-batch dup)
+            (12, "a wholly novel document about something else entirely ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = incremental_neardup_pairs(new, corpus).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in out}
+    # both near-dup batch docs hit corpus doc 0; the novel doc is absent,
+    # and in-batch duplicates (10,11) are NOT reported — batch-internal
+    # dedup is the self-join operator's job.
+    assert pairs == {(10, 0), (11, 0)}
+    assert all(r.jaccard >= 0.5 for r in out)
