@@ -10,9 +10,11 @@ quadratic self-joins, broadcast-able small sides, and Pandas-UDF
 
 from .dedup import (  # noqa: F401
     banded_axis_planes,
+    banded_minhash_keys,
     contaminated_docs,
     embedding_neardup_pairs,
     exact_dedup,
+    incremental_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,

@@ -322,7 +322,12 @@ def incremental_neardup_pairs(
     txt_old = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(text_col).alias("txt_b")
     )
-    joined = cand.join(txt_new, "new_id").join(txt_old, "corpus_id")
+    # Explicit broadcast of the pair side on both joins (see
+    # verified_neardup_pairs): without the hint Spark may broadcast the
+    # corpus text table instead.
+    joined = F.broadcast(F.broadcast(cand).join(txt_new, "new_id")).join(
+        txt_old, "corpus_id"
+    )
     pair_sh = joined.select(
         "new_id",
         "corpus_id",
@@ -436,11 +441,17 @@ def verified_neardup_pairs(
     # copies of the corpus — recomputed full-corpus shingles twice more
     # per run (Spark re-executes diverged lineage branches; there is no
     # implicit caching).  The candidate side is small (LSH-pruned and
-    # bucket-capped), so AQE converts both joins to broadcasts of the
-    # pair table; the corpus is scanned, never shuffled.
+    # bucket-capped) and carries the EXPLICIT broadcast hint on both
+    # joins: left to its own statistics Spark picked BuildRight on the
+    # second join — broadcasting the full corpus text table — because
+    # the post-agg pair side has no size estimate.  With the hints the
+    # corpus is scanned, never shuffled, never broadcast.
     txt = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-    joined = cand.join(
-        txt.select(F.col("id").alias("doc_a"), F.col("txt").alias("txt_a")), "doc_a"
+    joined = F.broadcast(
+        F.broadcast(cand).join(
+            txt.select(F.col("id").alias("doc_a"), F.col("txt").alias("txt_a")),
+            "doc_a",
+        )
     ).join(txt.select(F.col("id").alias("doc_b"), F.col("txt").alias("txt_b")), "doc_b")
     pair_sh = joined.select(
         "doc_a",
@@ -576,12 +587,16 @@ def embedding_neardup_pairs(
         cand = cand.distinct()
     # Score once per candidate: attach both vectors (with squared
     # norms computed per VECTOR, a third of the per-pair array work)
-    # via two joins that AQE turns into broadcasts of the small
-    # candidate side — the corpus is scanned, never shuffled.
+    # via two joins with EXPLICIT broadcast hints on the small
+    # candidate side (Spark has no size estimate for the post-agg pair
+    # table and can pick the corpus as build side without them) — the
+    # corpus is scanned, never shuffled, never broadcast.
     ev = emb.select(F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2"))
-    joined = cand.join(
-        ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
-        "id_a",
+    joined = F.broadcast(
+        F.broadcast(cand).join(
+            ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
+            "id_a",
+        )
     ).join(
         ev.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("n2b")),
         "id_b",

@@ -52,6 +52,9 @@ QUERIES = [
     "range_join",
     "crossmatch",
     "dedup_verified",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_embedding_banded",
     "doc_chunks",
     "overlap_violations",
     "snapshot_asof",
@@ -79,6 +82,36 @@ def scale_table(spark, src: str, dst: str, table: str, n: int) -> None:
         p = df
         if col is not None and i > 0:
             p = p.withColumn(col, F.col(col) + F.lit(i * shift))
+        if table == "documents" and i > 0:
+            # Replica texts must NOT be near-dups of the base copy,
+            # or the dedup operators' TRUE output grows ~n^2 (every
+            # doc gains n-1 identical twins) and the probe measures
+            # output blow-up, not plan scaling.  Tagging every token
+            # with the replica id changes every shingle while keeping
+            # token counts and doc structure — 10x independent data.
+            p = p.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}"),
+            )
+        if table == "embeddings" and i > 0:
+            # Same for vectors: a replica-dependent diagonal +/-1
+            # transform (orthogonal!) preserves every within-replica
+            # dot product and norm exactly while scrambling
+            # cross-replica cosines AND sign-bucket keys — so bucket
+            # occupancy stays flat as replicas multiply.  The mask is
+            # md5-derived per replica (literal array), so no two
+            # replicas share a flip pattern.
+            import hashlib
+
+            dim = p.select(F.size("embedding").alias("d")).first()["d"]
+            digest = b""
+            while len(digest) * 8 < dim:
+                digest += hashlib.md5(f"replica-{i}-{len(digest)}".encode()).digest()
+            bits = [(digest[j // 8] >> (j % 8)) & 1 for j in range(dim)]
+            mask = F.array(*[F.lit(-1.0 if b else 1.0) for b in bits])
+            p = p.withColumn(
+                "embedding", F.zip_with("embedding", mask, lambda x, s: x * s)
+            )
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
@@ -120,6 +153,32 @@ def main() -> None:
             g = big[name] / max(base[name], 1e-9)
             flag = "  <-- superlinear" if g > n * 1.3 else ""
             print(f"{name:26s} {base[name]:8.2f} {big[name]:8.2f} {g:7.1f}x{flag}")
+        # dedup_embedding_banded pins its plane count for the DuckDB
+        # oracle, but sign-LSH bucket count is 2^planes — FIXED as data
+        # grows, so occupancy and the in-bucket pair expansion scale
+        # n and n^2.  The documented remedy is the corpus-scaling rule
+        # (planes ~ log2(N / target_bucket_size)); this probe applies
+        # it at 10x (10 planes/band, stride-7 axis reuse across bands
+        # since disjoint axes cap at dim/bands) to show the quadratic
+        # term is a parameter choice, not a plan property.
+        from dax_ppdb_spark.llm.dedup import embedding_neardup_pairs
+
+        scaled_bands = tuple(
+            tuple((b * 8 + i * 7) % 64 + 1 for i in range(10)) for b in range(8)
+        )
+        emb = spark.read.parquet(f"{tmp}/embeddings.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        t0 = time.time()
+        embedding_neardup_pairs(emb, threshold=0.3, bands=scaled_bands).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        scaled = time.time() - t0
+        g = scaled / max(base["dedup_embedding_banded"], 1e-9)
+        print(
+            f"{'  ^ scaled-planes@10x':26s} {base['dedup_embedding_banded']:8.2f}"
+            f" {scaled:8.2f} {g:7.1f}x  (corpus-scaling rule applied)"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
