@@ -311,8 +311,11 @@ def incremental_neardup_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # The BATCH side is the small one by design — broadcast it; the
+    # corpus bucket table streams out of its own aggregation (at scale
+    # it is precomputed and stored, never reshuffled per batch).
     cand = (
-        bn.join(grouped, ["band", "key"])
+        F.broadcast(bn).join(grouped, ["band", "key"])
         .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )
@@ -587,16 +590,16 @@ def embedding_neardup_pairs(
         cand = cand.distinct()
     # Score once per candidate: attach both vectors (with squared
     # norms computed per VECTOR, a third of the per-pair array work)
-    # via two joins with EXPLICIT broadcast hints on the small
-    # candidate side (Spark has no size estimate for the post-agg pair
-    # table and can pick the corpus as build side without them) — the
-    # corpus is scanned, never shuffled, never broadcast.
+    # via two joins whose strategy is left to AQE's runtime sizes —
+    # unlike the text-LSH verify stage, the embedding candidate set is
+    # quadratic in bucket occupancy, so an unconditional broadcast
+    # hint here OOMs the moment the plane count lags the corpus
+    # (measured: 25M candidates at 10x sf0.1 with 2k-tuned planes).
+    # AQE broadcasts whichever side is actually small at runtime.
     ev = emb.select(F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2"))
-    joined = F.broadcast(
-        F.broadcast(cand).join(
-            ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
-            "id_a",
-        )
+    joined = cand.join(
+        ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
+        "id_a",
     ).join(
         ev.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n2").alias("n2b")),
         "id_b",
