@@ -257,14 +257,17 @@ def unigram_logprob_score(
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     kept = freq.filter(F.col("n") >= min_count)
-    # Both model-side tables are tiny: kept is the pruned vocab, oov /
-    # total are one row each (0-row oov when nothing was pruned).
-    oov = freq.filter(F.col("n") < min_count).agg(F.sum("n").alias("n_oov"))
-    total = freq.agg(F.sum("n").alias("z"))
+    # Model-side tables are tiny: kept is the pruned vocab; the OOV
+    # mass and the normalizer come out of ONE single-row aggregate
+    # (n_oov is NULL when nothing was pruned — coalesce only reaches
+    # it for tokens missing from kept, which then cannot happen).
+    totals = freq.agg(
+        F.sum("n").alias("z"),
+        F.sum(F.when(F.col("n") < min_count, F.col("n"))).alias("n_oov"),
+    )
     scored = (
         tok.join(F.broadcast(kept), "t", "left")
-        .crossJoin(F.broadcast(oov))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(totals))
         .withColumn("lp", F.log(F.coalesce(F.col("n"), F.col("n_oov")) / F.col("z")))
     )
     return scored.groupBy(id_col).agg(F.avg("lp").alias("avg_logprob"))
