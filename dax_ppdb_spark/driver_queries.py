@@ -789,7 +789,7 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse predicate prunes parquet row groups before a single exact
     distance is evaluated (the BigQuery geo-clustering access path).
     """
-    from .ops.spatial import cell_cover_bounds, cells_for_box, zorder_cell, zorder_index
+    from .ops.spatial import cell_cover_predicate, cells_for_box, zorder_cell, zorder_index
 
     cells = cells_for_box(48.0, 52.0, -87.0, -83.0, level=8)
     sky = _read(spark, sf_dir, "orders").select(
@@ -798,12 +798,12 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_custkey") % 18000) / 100.0 - 90.0).alias("dec"),
     )
     # Cheap cell-aligned box first (a strict superset of the IN-list,
-    # so the result set is untouched): the 64-term interleave + set
-    # probe then runs on ~0.1% of rows instead of the full scan.
-    ra_lo, ra_hi, dec_lo, dec_hi = cell_cover_bounds(48.0, 52.0, -87.0, -83.0, level=8)
+    # so the result set is untouched — including at the ra=360/dec=90
+    # domain edge, where the predicate turns inclusive to mirror the
+    # quantizer's clamp): the 64-term interleave + set probe then runs
+    # on ~0.1% of rows instead of the full scan.
     boxed = sky.filter(
-        (F.col("ra") >= ra_lo) & (F.col("ra") < ra_hi)
-        & (F.col("dec") >= dec_lo) & (F.col("dec") < dec_hi)
+        cell_cover_predicate(F.col("ra"), F.col("dec"), 48.0, 52.0, -87.0, -83.0, 8)
     )
     coarse = boxed.withColumn(
         "cell", zorder_cell(zorder_index(F.col("ra"), F.col("dec")), level=8)

@@ -311,11 +311,16 @@ def incremental_neardup_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
-    # The BATCH side is the small one by design — broadcast it; the
-    # corpus bucket table streams out of its own aggregation (at scale
-    # it is precomputed and stored, never reshuffled per batch).
+    # Batch-vs-corpus band-key join strategy is left to AQE: the batch
+    # is USUALLY the small side, but nothing bounds it (a caller may
+    # pass a quarter-corpus "batch"), and an unconditional broadcast
+    # of its band-key table is exactly the OOM hazard the embedding
+    # variant removed in favor of runtime sizes.  AQE broadcasts
+    # whichever side is actually small; the corpus bucket table still
+    # streams out of its own aggregation (at scale it is precomputed
+    # and stored, never reshuffled per batch).
     cand = (
-        F.broadcast(bn).join(grouped, ["band", "key"])
+        bn.join(grouped, ["band", "key"])
         .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )

@@ -246,16 +246,32 @@ def unigram_logprob_score(
     an unpruned broadcast would ship to every executor.  Pass
     ``min_count=1`` to disable (exact per-token probabilities).
 
-    Two passes over the exploded tokens: one aggregation fits the
-    model (pruned-vocabulary-sized, so the score join broadcasts), one
-    groupBy averages ``ln(p)`` per document.  Low scores =
-    rare-token-heavy documents (boilerplate, garbled text, wrong
-    language) — the usual "drop bottom X%" filter input.
+    One pass over the exploded tokens: the corpus is tokenized ONCE
+    into a per-(doc, token) count relation whose lineage is truncated
+    (``localCheckpoint``), and both the model fit (vocab frequencies,
+    OOV mass, normalizer) and the per-doc scoring read that
+    materialized relation — the earlier shape re-exploded the full
+    corpus once per branch (Spark re-executes diverged lineage), which
+    at 10x data made this the third-worst-growing query.  The count
+    aggregation also shrinks the score join from token *instances* to
+    distinct (doc, token) pairs; the per-doc average is re-weighted by
+    the counts (``sum(c * ln p) / sum(c)`` == the instance average).
+    Low scores = rare-token-heavy documents (boilerplate, garbled
+    text, wrong language) — the usual "drop bottom X%" filter input.
     """
     from pyspark.sql import functions as F
 
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # Lazy localCheckpoint: the broadcast-side job (kept/totals) is the
+    # first to run and materializes the blocks; the scoring job then
+    # reads them — one tokenize+shuffle total.  (On a cluster with a
+    # reliable checkpoint dir configured, swap for .checkpoint().)
+    dtok = (
+        tok.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    freq = dtok.groupBy("t").agg(F.sum("c").alias("n"))
     kept = freq.filter(F.col("n") >= min_count)
     # Model-side tables are tiny: kept is the pruned vocab; the OOV
     # mass and the normalizer come out of ONE single-row aggregate
@@ -266,8 +282,10 @@ def unigram_logprob_score(
         F.sum(F.when(F.col("n") < min_count, F.col("n"))).alias("n_oov"),
     )
     scored = (
-        tok.join(F.broadcast(kept), "t", "left")
+        dtok.join(F.broadcast(kept), "t", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn("lp", F.log(F.coalesce(F.col("n"), F.col("n_oov")) / F.col("z")))
     )
-    return scored.groupBy(id_col).agg(F.avg("lp").alias("avg_logprob"))
+    return scored.groupBy(id_col).agg(
+        (F.sum(F.col("c") * F.col("lp")) / F.sum("c")).alias("avg_logprob")
+    )

@@ -924,20 +924,26 @@ FROM deduped
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation pipeline: quality filter -> exact dedup (keep
     min doc_id per text) -> deterministic split assignment, composed
-    from the individual operators.  One shuffle (the dedup groupBy);
-    quality scoring and splitting are map-side."""
+    from the individual operators.  ONE shuffle total (the dedup's
+    hash partition on md5(text)) and ONE pass over the text: the
+    min-id-per-text keep rule is a window aggregate over that
+    partitioning, not a groupBy + semi-join back — the join shape made
+    Spark re-execute the quality-scoring (tokenize-heavy) lineage once
+    per branch.  Quality scoring and splitting are map-side."""
+    from pyspark.sql import Window
+
     from .llm.sampling import hash_split
 
     docs = _read_spread(spark, sf_dir, "documents")
     quality = docs.withColumn(
         "quality_score", quality_metrics(F.col("text"))["quality_score"]
     ).filter(F.col("quality_score") >= 0.4)
-    keep = (
-        quality.groupBy(F.md5("text").alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = Window.partitionBy(F.md5("text"))
+    deduped = (
+        quality.withColumn("__keep", F.min("doc_id").over(w) == F.col("doc_id"))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
-    deduped = quality.join(keep, "doc_id", "left_semi")
     return hash_split(deduped).select(
         "doc_id", "lang", F.round("quality_score", 6).alias("quality_score"), "split"
     )

@@ -190,7 +190,11 @@ def connected_components(
             old_parts = conf.get("spark.sql.shuffle.partitions")
         except Exception:
             old_parts = None
-        conf.set("spark.sql.shuffle.partitions", "4")
+        # Only narrow the conf when the old value was readable — if the
+        # read threw, the finally below could never restore it and the
+        # session would be left at 4 shuffle partitions for good.
+        if old_parts is not None:
+            conf.set("spark.sql.shuffle.partitions", "4")
     converged = False
     try:
         for _ in range(max_iterations):

@@ -114,35 +114,46 @@ def cells_for_box(
     )
 
 
-def cell_cover_bounds(
+def cell_cover_predicate(
+    ra: Column,
+    dec: Column,
     ra_min: float,
     ra_max: float,
     dec_min: float,
     dec_max: float,
     level: int,
-) -> tuple[float, float, float, float]:
-    """Driver-side: the cell-aligned bounding box of
-    :func:`cells_for_box`'s cover — (ra_lo, ra_hi, dec_lo, dec_hi) with
-    inclusive lo / exclusive hi.
+) -> Column:
+    """Driver-side: a cheap per-row predicate for the cell-aligned
+    bounding box of :func:`cells_for_box`'s cover.
 
-    Every row whose cell is in the cover lies inside these bounds, so
-    they form a SUPERSET pre-filter for the cell IN-list: cheap
-    per-row comparisons that discard the bulk of an unsorted scan
-    before the (much wider) bit-interleave + set-membership expression
-    runs on the survivors.  On the geo-sorted layout the same skip
-    happens in storage via row-group stats; this is the compute-side
-    twin for un-clustered inputs.
+    Every row whose cell is in the cover satisfies this predicate, so
+    it is a strict SUPERSET pre-filter for the cell IN-list: cheap
+    comparisons that discard the bulk of an unsorted scan before the
+    (much wider) bit-interleave + set-membership expression runs on
+    the survivors.  On the geo-sorted layout the same skip happens in
+    storage via row-group stats; this is the compute-side twin for
+    un-clustered inputs.
+
+    Upper bounds are exclusive EXCEPT when the cover reaches the last
+    cell of an axis: ``_quantize`` clamps the domain maxima (ra=360,
+    dec=90) INTO that cell, so an exclusive comparison there would
+    drop a row whose cell is in the cover — the comparison turns
+    inclusive exactly when the quantizer's clamp applies.
     """
     scale = 1 << level
     x0 = max(0, min(scale - 1, int(ra_min / 360.0 * scale)))
     x1 = max(0, min(scale - 1, int(ra_max / 360.0 * scale)))
     y0 = max(0, min(scale - 1, int((dec_min + 90.0) / 180.0 * scale)))
     y1 = max(0, min(scale - 1, int((dec_max + 90.0) / 180.0 * scale)))
+    ra_hi = (x1 + 1) * 360.0 / scale
+    dec_hi = (y1 + 1) * 180.0 / scale - 90.0
+    ra_upper = ra <= ra_hi if x1 == scale - 1 else ra < ra_hi
+    dec_upper = dec <= dec_hi if y1 == scale - 1 else dec < dec_hi
     return (
-        x0 * 360.0 / scale,
-        (x1 + 1) * 360.0 / scale,
-        y0 * 180.0 / scale - 90.0,
-        (y1 + 1) * 180.0 / scale - 90.0,
+        (ra >= x0 * 360.0 / scale)
+        & ra_upper
+        & (dec >= y0 * 180.0 / scale - 90.0)
+        & dec_upper
     )
 
 

@@ -160,6 +160,36 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir, registry):
+    """The as-of join is a union-merge window: both sides shuffle ONCE
+    on the key and the nearest right row rides a last(ignorenulls)
+    frame.  A Join node (the old equi-join + max_by shape) would mean
+    per-key candidate pairs materialize again — the plan that grew
+    5.7x under 10x data."""
+    plan = plan_of(registry["asof_attribution"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_lm_score_tokenizes_corpus_once(spark, sf_dir, registry):
+    """Model fit and per-doc scoring must share ONE materialized
+    (doc, token, count) relation: a Generate (explode) node in the
+    final plan means a branch re-tokenizes the corpus — the diverged
+    lineage Spark re-executes per branch."""
+    plan = plan_of(registry["lm_score"](spark, sf_dir))
+    assert "Generate" not in plan
+    assert "ExistingRDD" in plan  # the shared checkpointed token relation
+
+
+def test_corpus_curate_single_shuffle_no_join(spark, sf_dir, registry):
+    """The curation composition dedups via min-over-window on the
+    md5(text) partitioning — one shuffle, no join-back, and the
+    tokenize-heavy quality lineage evaluated once."""
+    plan = plan_of(registry["corpus_curate"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
     """The text verify-stage joins must broadcast the (small,
     LSH-sparse) candidate side, never the corpus text table: without
@@ -168,8 +198,24 @@ def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
     wall-clock at 10x sf0.1).  The embedding variant is deliberately
     NOT pinned: its candidate set is quadratic in bucket occupancy,
     so the strategy is left to AQE's runtime sizes (a forced
-    broadcast OOMs when the plane count lags the corpus)."""
+    broadcast OOMs when the plane count lags the corpus).  The
+    incremental form's batch-vs-corpus band-key DISCOVERY join is
+    also optimizer-chosen (an unconditional batch broadcast was an
+    OOM hazard for large batches), so only the id-keyed verify joins
+    are pinned here."""
+    verify_keys = ("doc_a", "doc_b", "new_id", "corpus_id")
     for name in ("dedup_verified", "dedup_incremental"):
-        plan = plan_of(registry[name](spark, sf_dir))
-        assert "BuildRight" not in plan, f"{name} broadcasts the corpus side"
-        assert plan.count("BroadcastHashJoin") >= 2, f"{name} lost its broadcast joins"
+        df = registry[name](spark, sf_dir)
+        simple = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        pinned = 0
+        for line in simple.splitlines():
+            if "BroadcastHashJoin" in line and any(
+                f"[{k}#" in line for k in verify_keys
+            ):
+                assert "BuildLeft" in line, f"{name} broadcasts the corpus side: {line}"
+                pinned += 1
+        assert pinned >= 2, f"{name} lost its verify-stage broadcast joins"

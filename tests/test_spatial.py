@@ -145,3 +145,39 @@ def test_crossmatch_neighborhood_and_radius(spark):
         crossmatch(left, right, radius_deg=5.0,
                    left_ra="src_ra", left_dec="src_dec",
                    right_ra="obj_ra", right_dec="obj_dec")
+
+
+def test_cell_cover_predicate_includes_domain_edge(spark):
+    """The cover pre-filter must stay a strict superset of the cell
+    IN-list at the domain maxima: _quantize clamps ra=360 / dec=90
+    into the LAST cell, so the predicate's upper bound turns inclusive
+    there instead of silently dropping a covered row."""
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.ops.spatial import (
+        cell_cover_predicate,
+        cells_for_box,
+        zorder_cell,
+        zorder_index,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 360.0, 90.0), (2, 359.9, 89.9), (3, 350.0, 80.0)],
+        "id LONG, ra DOUBLE, dec DOUBLE",
+    )
+    cells = cells_for_box(358.0, 360.0, 88.0, 90.0, level=8)
+    in_cover = rows.withColumn(
+        "cell", zorder_cell(zorder_index(F.col("ra"), F.col("dec")), level=8)
+    ).filter(F.col("cell").isin(cells))
+    pred = rows.filter(
+        cell_cover_predicate(F.col("ra"), F.col("dec"), 358.0, 360.0, 88.0, 90.0, 8)
+    )
+    assert {r.id for r in in_cover.collect()} == {1, 2}
+    # superset property: everything the IN-list keeps, the box keeps
+    assert {r.id for r in pred.collect()} >= {1, 2}
+    # interior boxes keep exclusive upper bounds (no over-matching a
+    # whole extra cell row/column)
+    interior = rows.filter(
+        cell_cover_predicate(F.col("ra"), F.col("dec"), 340.0, 352.0, 70.0, 82.0, 8)
+    )
+    assert {r.id for r in interior.collect()} == {3}
