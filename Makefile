@@ -1,15 +1,23 @@
 # Developer / pre-snapshot gates.  `make check` is the full gate run
 # before every end-of-round commit: the Spark-vs-DuckDB oracle
-# selfcheck against the REAL testdata (catches physical-schema drift
-# in regenerated parquet — the round-2 failure mode), the unit suite,
-# and a bench smoke that proves bench.py exits 0 and prints its JSON.
+# selfcheck against the REAL testdata — ALL 67 registered queries,
+# superset of the external driver's 50-query window (catches
+# physical-schema drift in regenerated parquet — the round-2 failure
+# mode — AND regressions in rotation-tailed queries), the unit suite,
+# a bench smoke that proves bench.py exits 0 and prints its JSON, and
+# the scale-growth gate for the historically superlinear plans.
 
 SF_SMALL ?= /root/testdata/sf0.01
+SF_BENCH ?= /root/testdata/sf0.1
 PYTEST ?= python -m pytest
+# bench.py's JSON must appear AND bench.py itself must exit 0 — without
+# pipefail, grep's success would mask a crash after the JSON printed.
+SHELL := /bin/bash
+.SHELLFLAGS := -o pipefail -c
 
-.PHONY: check selfcheck test bench-smoke bench
+.PHONY: check selfcheck test bench-smoke bench scale-smoke
 
-check: selfcheck test bench-smoke
+check: selfcheck test bench-smoke scale-smoke
 
 selfcheck:
 	python tools/selfcheck.py $(SF_SMALL)
@@ -22,3 +30,6 @@ bench-smoke:
 
 bench:
 	python bench.py 2>&1 | grep -o '{"metric".*}'
+
+scale-smoke:
+	python tools/scale_smoke.py 4 $(SF_BENCH)

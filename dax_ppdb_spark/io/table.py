@@ -24,10 +24,30 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed between this writer's snapshot of the
+    pointer and its own commit; the losing write was discarded."""
+
+
 class ParquetTable:
-    """A versioned parquet table rooted at ``path``."""
+    """A versioned parquet table rooted at ``path``.
+
+    Writer model: the pointer commit is a compare-and-swap — each
+    mutating operation snapshots the current version BEFORE writing
+    its new version directory and commits only if the pointer is still
+    that snapshot (checked under an exclusive file lock).  A second
+    promoter racing the same table therefore fails LOUDLY with
+    :class:`ConcurrentWriteError` (its orphan version directory is
+    removed) instead of silently overwriting the winner's commit.
+    The lock is ``flock`` on a sibling file — right for the local/
+    POSIX filesystems this runs on; an object-store deployment swaps
+    the CAS for a conditional PUT (same contract, the pointer write is
+    the only operation needing it).  ``append`` writes into the
+    current version in place and remains single-writer by contract.
+    """
 
     CURRENT = "_CURRENT"
+    LOCK = "_COMMIT_LOCK"
 
     def __init__(self, path: str) -> None:
         self.path = path
@@ -51,11 +71,26 @@ class ParquetTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def _commit(self, version: str) -> None:
-        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer())  # atomic on POSIX
+    def _commit(self, version: str, expected: str | None) -> None:
+        """CAS pointer flip: commit ``version`` iff the pointer still
+        names ``expected``; on a lost race, drop the orphan version
+        and raise."""
+        import fcntl
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, self.LOCK), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            current = self.current_version()
+            if current != expected:
+                shutil.rmtree(os.path.join(self.path, version), ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{self.path}: pointer moved {expected!r} -> {current!r} "
+                    "during this write; a concurrent promoter committed first"
+                )
+            tmp = self._pointer() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, self._pointer())  # atomic on POSIX
 
     # -- operations ---------------------------------------------------------
 
@@ -65,16 +100,22 @@ class ParquetTable:
             raise FileNotFoundError(f"table has no committed version: {self.path}")
         return spark.read.parquet(d)
 
-    def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
-        """D9: atomic truncate-swap — write new version, flip pointer."""
+    def _write_version(
+        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> str:
         os.makedirs(self.path, exist_ok=True)
         version = f"_v{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.path, version))
+        return version
+
+    def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        """D9: atomic truncate-swap — write new version, CAS the pointer."""
         old = self.current_version()
-        self._commit(version)
+        version = self._write_version(df, partition_by)
+        self._commit(version, expected=old)
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 
@@ -95,11 +136,11 @@ class ParquetTable:
         if src is None:
             raise FileNotFoundError(f"clone source empty: {other.path}")
         os.makedirs(self.path, exist_ok=True)
+        old = self.current_version()
         version = f"_v{uuid.uuid4().hex}"
         dst = os.path.join(self.path, version)
         shutil.copytree(src, dst, copy_function=os.link)
-        old = self.current_version()
-        self._commit(version)
+        self._commit(version, expected=old)
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 
@@ -119,7 +160,8 @@ class ParquetTable:
         touched slice, never the table.  ``df`` must contain only rows
         whose ``partition_col`` falls in ``values``.
         """
-        d = self.data_dir()
+        old = self.current_version()
+        d = os.path.join(self.path, old) if old else None
         if d is None:
             self.overwrite(df, (partition_col,))
             return
@@ -144,8 +186,7 @@ class ParquetTable:
         for name in written:
             shutil.move(os.path.join(tmp, name), os.path.join(dst, name))
         shutil.rmtree(tmp, ignore_errors=True)
-        old = self.current_version()
-        self._commit(version)
+        self._commit(version, expected=old)
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 

@@ -76,3 +76,41 @@ def test_replace_partitions_filter_prunes_partitions(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "k" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_interleaved_promoters_loser_raises(spark, tmp_path):
+    """Two promoters racing one table: the writer whose pointer
+    snapshot went stale must fail LOUDLY (ConcurrentWriteError), its
+    orphan version must be cleaned up, and the winner's commit must
+    survive untouched."""
+    import pytest
+
+    from dax_ppdb_spark.io.table import ConcurrentWriteError
+
+    t_a = _mk(spark, tmp_path, [(0, "base")])
+    t_b = ParquetTable(t_a.path)
+
+    df_a = spark.createDataFrame([(1, "from_a")], "k INT, v STRING")
+    df_b = spark.createDataFrame([(2, "from_b")], "k INT, v STRING")
+
+    # Interleave: while A is writing its new version (after snapshotting
+    # the pointer), B completes a full overwrite and wins the commit.
+    orig_write = ParquetTable._write_version
+
+    def write_with_intruder(self, df, partition_by=()):
+        version = orig_write(self, df, partition_by)
+        if self is t_a:  # the intruder (t_b) writes un-intruded
+            t_b.overwrite(df_b)
+        return version
+
+    ParquetTable._write_version = write_with_intruder
+    try:
+        with pytest.raises(ConcurrentWriteError, match="concurrent promoter"):
+            t_a.overwrite(df_a)
+    finally:
+        ParquetTable._write_version = orig_write
+
+    # B's commit survives; A's orphan version directory was removed.
+    assert _content(spark, t_a) == {(2, "from_b")}
+    versions = [d for d in os.listdir(t_a.path) if d.startswith("_v")]
+    assert versions == [t_a.current_version()]
