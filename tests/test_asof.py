@@ -98,3 +98,35 @@ def test_point_in_interval_join_semantics(spark):
 
     with pytest.raises(ValueError):
         point_in_interval_join(points, ivals, "x", "lo", "hi", 0.0)
+
+
+def test_point_in_interval_auto_width_matches_explicit(spark):
+    """width=None derives a positive bucket width from the interval
+    spans; the RESULT is width-independent (only the plan changes),
+    including for degenerate all-point intervals."""
+    from dax_ppdb_spark.ops.ranges import auto_bucket_width, point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 99.0)], "pid LONG, x DOUBLE"
+    )
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 5.0, 6.0), (12, 10.0, 20.0)],
+        "iid LONG, lo DOUBLE, hi DOUBLE",
+    )
+    expect = {(r.pid, r.iid) for r in point_in_interval_join(
+        points, ivals, "x", "lo", "hi", 4.0).collect()}
+    auto = {(r.pid, r.iid) for r in point_in_interval_join(
+        points, ivals, "x", "lo", "hi").collect()}
+    assert auto == expect
+
+    w = auto_bucket_width(ivals, "lo", "hi")
+    assert w > 0
+
+    # all-point intervals: median span 0 -> p99/1.0 fallback, join still works
+    pts_only = spark.createDataFrame(
+        [(20, 5.0, 5.0), (21, 99.0, 99.0)], "iid LONG, lo DOUBLE, hi DOUBLE"
+    )
+    assert auto_bucket_width(pts_only, "lo", "hi") > 0
+    got = {(r.pid, r.iid) for r in point_in_interval_join(
+        points, pts_only, "x", "lo", "hi").collect()}
+    assert got == {(1, 20), (3, 21)}

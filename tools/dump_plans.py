@@ -39,11 +39,14 @@ ANNOTATED = {
         " exchange on user_id."
     ),
     "asof_attribution": (
-        "As-of join (no native Spark ASOF): key equi-join with the"
-        " range predicate pushed into the join condition, then a"
-        " max_by reduction per left row — one shuffle, partial"
-        " aggregation, left-outer completion via broadcast-sized id"
-        " join."
+        "As-of join (no native Spark ASOF): union-merge window — both"
+        " sides union into one keyed timeline, ONE hash exchange on"
+        " user_id, one sort, and last(ignorenulls) over an unbounded-"
+        "preceding frame carries the nearest purchase to each click."
+        " No Join node anywhere: per-key cost is linear in events,"
+        " where the old equi-join + max_by shape materialized every"
+        " (click, earlier-purchase) candidate pair and grew 5.7x under"
+        " 10x data."
     ),
     "overlap_violations": (
         "Interval-overlap invariant check: one running-max window pass"
@@ -71,6 +74,23 @@ ANNOTATED = {
         " shuffle groups (band, bucket), combinations expand and score"
         " inside the projection (per-vector norms precomputed), and"
         " only the above-threshold pairs are deduped across bands."
+        " The plane count is corpus-derived (auto_bands: planes ~"
+        " log2(N/target_bucket_size)), so bucket occupancy — and the"
+        " quadratic in-bucket expansion — stays flat as N grows."
+    ),
+    "lm_score": (
+        "Unigram LM scoring: the corpus tokenizes ONCE into a"
+        " checkpointed (doc, token, count) relation; the vocab fit"
+        " (pruned, broadcast) and the per-doc scoring both read the"
+        " materialized blocks — the plan shows ExistingRDD scans and"
+        " zero Generate nodes, i.e. no branch re-explodes the corpus."
+    ),
+    "corpus_curate": (
+        "Curation composition: quality score (map-side), exact dedup"
+        " as min-doc-id-per-md5(text) over ONE window partitioning —"
+        " no groupBy + join-back, so the tokenize-heavy quality"
+        " lineage evaluates once — then the salted-hash split"
+        " assignment, also map-side. One shuffle total."
     ),
     "cone_search_sorted": (
         "Cone search against the stored clustering: the coarse cells"
