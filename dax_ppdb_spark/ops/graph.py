@@ -111,11 +111,60 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return to_u.unionByName(to_v).distinct()
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Single-task min-root union-find over a one-partition edge set.
+
+    The hybrid fast path for graphs the size probe measured as tiny
+    (the usual case: LSH-capped near-dup edges are a sliver of the
+    corpus): the star loop would pay ~log(n) rounds of 3-4 shuffle
+    stages each plus a driver convergence probe per round, all to
+    converge a graph that fits ONE task.  Instead the edges coalesce
+    to one partition and a union-find runs inside a single
+    ``mapInPandas`` job — same (node, min-id component) output, same
+    determinism (depends only on the edge set), one job instead of
+    ~10.  This is the same local-vs-distributed switch AQE makes for
+    joins, applied to the iterative operator; graphs above the
+    threshold never take this path.
+    """
+    import pandas as pd
+
+    def find_all(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-id root so the final label IS the component min
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]},
+            dtype="int64",
+        )
+
+    return edges.coalesce(1).mapInPandas(find_all, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``edges``.
 
@@ -123,6 +172,12 @@ def connected_components(
     node id in the node's connected component.  Isolated nodes never
     appear in an edge list, so callers join the result back to their
     entity table and ``coalesce`` to the node's own id.
+
+    Hybrid execution: the deduped edge count (measured by the same
+    one-job fingerprint probe the loop uses) picks the strategy —
+    at or below ``local_threshold`` edges, a single-task union-find
+    (:func:`_local_components`, one job); above it, the
+    large-star/small-star rounds.  Both produce identical output.
 
     Deterministic: output depends only on the edge *set*.  Raises if
     the star rounds have not converged after ``max_iterations`` (at
@@ -175,6 +230,8 @@ def connected_components(
         return cur.select(
             F.col("src").alias("node"), F.col("dst").alias("component")
         )
+    if cur_fp[0] <= local_threshold:
+        return _local_components(cur)
     cur = _squeeze(cur, cur_fp[0])
     # Same metadata-driven sizing for the rounds' SHUFFLES: each star
     # round is 4-5 shuffle stages, and on a small graph 32-partition

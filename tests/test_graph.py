@@ -60,3 +60,23 @@ def test_connected_components_deterministic_under_shuffle(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     got = dict(map(tuple, a))
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_star_rounds_match_local_union_find(spark):
+    """Both execution strategies — the single-task union-find fast
+    path (default for small graphs) and the large/small-star rounds
+    (local_threshold=0 forces them) — must produce identical
+    components on the same adversarial graph."""
+    random.seed(11)
+    edges = [(i, i + 1) for i in range(80)]
+    edges += [(500, 500 + i) for i in range(1, 30)]
+    nodes = list(range(900, 960))
+    edges += [(random.choice(nodes), random.choice(nodes)) for _ in range(80)]
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    stars = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == stars == _union_find(edges)

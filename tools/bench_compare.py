@@ -30,6 +30,9 @@ def main() -> None:
     md = "--md" in sys.argv
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Lazily-resolved oracles (size-derived SQL) must see the same
+    # corpus the DuckDB views below read.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = [n for n in HEADLINE if n in queries and n in oracles]
