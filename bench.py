@@ -68,6 +68,9 @@ HEADLINE = [
     "stratified_sample",
     "shard_pack",
     "corpus_curate",
+    "gopher_quality",
+    "top_ngrams",
+    "dedup_keep_best",
     "quality_quantiles",
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -942,10 +942,15 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-4 tail: 17 long-stable queries, all green in CORRECTNESS_r03
+# Round-4 tail: 20 long-stable queries, all green in CORRECTNESS_r03
 # (and r1), none touched by round-4 changes.  The round-3 tail (the 17
-# queries with no r3 row) is back in the head.
+# queries with no r3 row) is back in the head, as are the three
+# queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best
+# — never verified, so never tailed).
 _VERIFY_TAIL = (
+    "pii_redact",
+    "doc_fingerprint",
+    "lang_id",
     "validity_fill",
     "latest_only",
     "merge_upsert",

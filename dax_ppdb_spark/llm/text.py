@@ -128,6 +128,52 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the published heuristics most pretraining pipelines start from),
+    as pure Column expressions: word-count bounds, mean-word-length
+    band, symbol-to-word ratio, alphabetic-word fraction, and required
+    stopword presence.  ``keep`` is the conjunction.
+
+    All map-side codegen — at 100 TB this is a zero-shuffle scan
+    filter, the cheapest possible first stage of a curation funnel.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len = non_space.cast("double") / safe_n
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = n_symbols.cast("double") / safe_n
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = alpha_words.cast("double") / safe_n
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_kinds = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stops)
+    )
+    ok_words = (n >= 50) & (n <= 100_000)
+    ok_mean_len = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    ok_symbols = symbol_ratio < 0.1
+    ok_alpha = alpha_ratio >= 0.8
+    ok_stop = n_stop_kinds >= 2
+    return {
+        "n_words": n,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "n_stop_kinds": n_stop_kinds,
+        "ok_words": ok_words,
+        "ok_mean_len": ok_mean_len,
+        "ok_symbols": ok_symbols,
+        "ok_alpha": ok_alpha,
+        "ok_stop": ok_stop,
+        "keep": ok_words & ok_mean_len & ok_symbols & ok_alpha & ok_stop,
+    }
+
+
 def language_id(text: Column) -> Column:
     """N-gram/stopword-heuristic language ID.
 

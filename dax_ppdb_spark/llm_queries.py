@@ -1095,6 +1095,154 @@ FROM scored
 """
 
 
+_GOPHER_STOP_LIST = "'the','be','to','of','and','that','have','with'"
+
+_GOPHER_SQL = f"""
+WITH m AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_words,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest(len({_TOKS}), 1) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+               / greatest(len({_TOKS}), 1) AS symbol_ratio,
+           CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))
+                AS DOUBLE) / greatest(len({_TOKS}), 1) AS alpha_ratio,
+           len(list_intersect(list_distinct(list_transform({_TOKS}, t -> lower(t))),
+                              [{_GOPHER_STOP_LIST}])) AS n_stop_kinds
+    FROM documents
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       n_stop_kinds,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
+        AND n_stop_kinds >= 2) AS keep
+FROM m
+"""
+
+
+@register("gopher_quality", _GOPHER_SQL)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 heuristics): per-doc
+    rule signals and the conjunction ``keep`` flag — a zero-shuffle
+    map-side scan filter, the first stage of a 100 TB curation funnel."""
+    from .llm.text import gopher_flags
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    g = gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(g["alpha_ratio"], 6).alias("alpha_ratio"),
+        g["n_stop_kinds"].alias("n_stop_kinds"),
+        g["keep"].alias("keep"),
+    )
+
+
+_TOP_NGRAMS_SQL = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+        AS gram
+    FROM t WHERE len(toks) >= 2
+)
+SELECT gram, COUNT(*) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 100
+"""
+
+
+@register("top_ngrams", _TOP_NGRAMS_SQL)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams (tokenizer-training / boilerplate-
+    spotting statistic).  Explode -> hash-agg with map-side combine ->
+    global top-k, which Spark plans as TakeOrderedAndProject: each
+    partition keeps only its local top-100, so the driver merges
+    O(partitions x k) rows no matter the corpus size — the distributed
+    top-k shape, never a global sort."""
+    from .llm.text import ngrams, tokens
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(ngrams(tokens(F.col("text")), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(100)
+    )
+
+
+def _keep_best_sql() -> str:
+    """Oracle for the best-of-cluster representative: the dedup-cluster
+    recursive CTEs plus the quality blend, argmax per cluster."""
+    base = _dedup_clusters_sql().strip()
+    head, _ = base.rsplit("SELECT d.doc_id,", 1)
+    quality = f"""least(len({_TOKS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1)) * 0.3
+           + 1.0 / (1.0 + (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)) * 10.0) * 0.3"""
+    return f"""{head.rstrip().rstrip(',')},
+assigned AS (
+    SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster_id,
+           {quality} AS q
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT cluster_id, doc_id AS rep_id, n_docs, round(q, 6) AS best_quality
+FROM (
+    SELECT cluster_id, doc_id, q,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+    FROM assigned
+) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", _keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention policy real dedup pipelines actually apply: per
+    near-dup cluster, keep the HIGHEST-QUALITY member (not the lowest
+    id) — composition of the two-stage near-dup pairs, the hybrid
+    connected components, and the quality blend.  One extra shuffle
+    beyond dedup_clusters (the per-cluster window); representative =
+    argmax(quality, tie -> min doc_id)."""
+    from pyspark.sql import Window
+
+    from .llm.dedup import verified_neardup_pairs
+    from .ops.graph import connected_components
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    scored = docs.withColumn(
+        "q", quality_metrics(F.col("text"))["quality_score"]
+    )
+    assigned = scored.join(comp, scored["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id"), "q"
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = assigned.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("q"), "doc_id"))
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_id"),
+        "n_docs",
+        F.round("q", 6).alias("best_quality"),
+    )
+
+
 @register("quality_quantiles", _QUALITY_QUANTILES_SQL)
 def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles of the quality score — how the

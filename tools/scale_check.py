@@ -56,6 +56,8 @@ QUERIES = [
     "dedup_incremental",
     "dedup_embedding_banded",
     "doc_chunks",
+    "gopher_quality",
+    "top_ngrams",
     "overlap_violations",
     "snapshot_asof",
     "ann_topk_bruteforce",
