@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Long-running driver sessions (bench/replication daemons) run
+        # hundreds of jobs; executor-side shuffle files and broadcast
+        # blocks are only reclaimed when the DRIVER garbage-collects,
+        # and an 8g driver under low allocation pressure can go the
+        # default 30min without a full GC — measured as 2-4x tail
+        # latency on late queries in a 50-query bench session.  A
+        # 1-minute periodic GC bounds that accumulation.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # keep catalog artifacts (saveAsTable warehouses) out of the cwd
