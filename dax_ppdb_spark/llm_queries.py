@@ -397,9 +397,15 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping per-bucket occupancy, and therefore the candidate
     expansion, constant as N grows.  This closed the one measured
     superlinear plan in the repo (20.2x time under 10x data with a
-    fixed plane count; 1.3x with the rule)."""
+    fixed plane count; 1.3x with the rule).
+
+    The corpus count feeds the rule from the RAW scan (one skinny
+    count job over the source files), not the repartitioned relation —
+    counting after the spread would pay the round-robin shuffle just
+    to size the planes."""
+    n = _read(spark, sf_dir, "embeddings").count()
     return embedding_neardup_pairs(
-        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3
+        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3, corpus_count=n
     )
 
 
