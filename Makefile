@@ -1,6 +1,6 @@
 # Developer / pre-snapshot gates.  `make check` is the full gate run
 # before every end-of-round commit: the Spark-vs-DuckDB oracle
-# selfcheck against the REAL testdata — ALL 67 registered queries,
+# selfcheck against the REAL testdata — the FULL query registry,
 # superset of the external driver's 50-query window (catches
 # physical-schema drift in regenerated parquet — the round-2 failure
 # mode — AND regressions in rotation-tailed queries), the unit suite,

@@ -49,26 +49,26 @@ _PG_EPOCH_US = 946_684_800_000_000
 
 
 def _encoder(dtype: DataType):
-    """bytes-encoder for one non-null field value (big-endian)."""
+    """bytes-encoder for one non-null Python field value (big-endian).
+
+    Values arrive via ``pyarrow`` ``as_py()`` — exact for every type
+    (timestamps are pre-cast to int64 µs in the batch loop)."""
     if isinstance(dtype, (ByteType, ShortType)):
-        return lambda v: struct.pack(">h", int(v))
+        return lambda v: struct.pack(">h", v)
     if isinstance(dtype, IntegerType):
-        return lambda v: struct.pack(">i", int(v))
-    if isinstance(dtype, LongType):
-        return lambda v: struct.pack(">q", int(v))
+        return lambda v: struct.pack(">i", v)
+    if isinstance(dtype, (LongType, TimestampType)):
+        return lambda v: struct.pack(">q", v)
     if isinstance(dtype, FloatType):
-        return lambda v: struct.pack(">f", float(v))
+        return lambda v: struct.pack(">f", v)
     if isinstance(dtype, DoubleType):
-        return lambda v: struct.pack(">d", float(v))
+        return lambda v: struct.pack(">d", v)
     if isinstance(dtype, BooleanType):
         return lambda v: b"\x01" if v else b"\x00"
     if isinstance(dtype, StringType):
-        return lambda v: str(v).encode("utf-8")
+        return lambda v: v.encode("utf-8")
     if isinstance(dtype, BinaryType):
         return lambda v: bytes(v)
-    if isinstance(dtype, TimestampType):
-        # pre-viewed to int64 ns in the batch loop; PG wants epoch-2000 µs
-        return lambda v: struct.pack(">q", int(v) // 1000 - _PG_EPOCH_US)
     raise TypeError(f"PGCOPY sink does not support column type {dtype}")
 
 
@@ -78,44 +78,48 @@ def pg_copy_tuples(df: DataFrame) -> DataFrame:
     own to feed any transport (files below, or a JDBC/psycopg COPY
     writer on a cluster with DB access).
 
-    Arrow-batched ``mapInPandas``: null masks and the fixed per-column
-    encoders are resolved once per batch; only the final per-row
-    concatenation is a Python loop (the same per-tuple work a
-    single-node encoder pays, here spread across executors).
+    ``mapInArrow``, NOT ``mapInPandas``: the pandas conversion turns a
+    nullable int64 column into float64, silently rounding any value
+    above 2^53 — fatal for full-range 64-bit ids/hashes.  Arrow record
+    batches keep every value exact; nullity comes from the validity
+    scalar and timestamps pre-cast to int64 epoch µs, so the per-row
+    loop only concatenates already-exact payloads.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     schema: StructType = df.schema
-    cols = [f.name for f in schema.fields]
     encs = [_encoder(f.dataType) for f in schema.fields]
-    nfields = struct.pack(">h", len(cols))
+    is_ts = [isinstance(f.dataType, TimestampType) for f in schema.fields]
+    nfields = struct.pack(">h", len(schema.fields))
     null_field = struct.pack(">i", -1)
 
-    is_ts = [isinstance(f.dataType, TimestampType) for f in schema.fields]
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            series = [pdf[c] for c in cols]
-            masks = [s.isna().to_numpy() for s in series]
-            # timestamps view as int64 ns (vectorized); NaT slots are
-            # masked before the encoder ever sees them
-            values = [
-                s.to_numpy(dtype="datetime64[ns]").view("int64") if ts else s.to_numpy()
-                for s, ts in zip(series, is_ts)
-            ]
+    def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            cols = []
+            for j in range(batch.num_columns):
+                arr = batch.column(j)
+                if is_ts[j]:
+                    # timestamp[us] -> int64 unix µs -> epoch-2000 µs
+                    arr = pa.compute.subtract(
+                        arr.cast(pa.int64()), pa.scalar(_PG_EPOCH_US, pa.int64())
+                    )
+                cols.append(arr)
             out = []
-            for i in range(len(pdf)):
+            for i in range(batch.num_rows):
                 parts = [nfields]
-                for mask, vals, enc in zip(masks, values, encs):
-                    if mask[i]:
+                for arr, enc in zip(cols, encs):
+                    s = arr[i]
+                    if not s.is_valid:
                         parts.append(null_field)
                     else:
-                        payload = enc(vals[i])
+                        payload = enc(s.as_py())
                         parts.append(struct.pack(">i", len(payload)) + payload)
                 out.append(b"".join(parts))
-            yield pd.DataFrame({"pg_tuple": out})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, pa.binary())], names=["pg_tuple"]
+            )
 
-    return df.mapInPandas(encode, "pg_tuple binary")
+    return df.mapInArrow(encode, "pg_tuple binary")
 
 
 def write_pg_copy(df: DataFrame, out_dir: str) -> int:
@@ -125,29 +129,41 @@ def write_pg_copy(df: DataFrame, out_dir: str) -> int:
     Each ``part-NNNNN.pgcopy`` carries its own header and trailer, so
     ingest is ``for f in parts: COPY t FROM f WITH (FORMAT binary)`` —
     embarrassingly parallel, matching how the reference splits bulk
-    loads per chunk.  Executors write directly to ``out_dir`` (shared
-    filesystem or mount; an object-store deployment swaps the file
-    open for a multipart upload).  Empty partitions write no file.
+    loads per chunk.  Executors write to a per-attempt temp name and
+    ``os.replace`` into place only after the trailer lands, so a
+    retried or speculative duplicate task attempt can never interleave
+    bytes into a reader-visible file — the last completed attempt
+    wins, atomically (same commit discipline as ``table.py``).  On an
+    object store, swap the file open for a multipart upload (which has
+    the same complete-or-absent property).  Empty partitions write no
+    file.
     """
+    import uuid as _uuid
+
     os.makedirs(out_dir, exist_ok=True)
     encoded = pg_copy_tuples(df)
 
     def dump(index: int, it):
         path = os.path.join(out_dir, f"part-{index:05d}.pgcopy")
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
         n = 0
         f = None
         try:
             for row in it:
                 if f is None:
-                    f = open(path, "wb")
+                    f = open(tmp, "wb")
                     f.write(PGCOPY_HEADER)
                 f.write(row.pg_tuple)
                 n += 1
             if f is not None:
                 f.write(PGCOPY_TRAILER)
+                f.close()
+                f = None
+                os.replace(tmp, path)
         finally:
             if f is not None:
                 f.close()
+                os.unlink(tmp)
         return iter([n] if n else [])
 
     counts = encoded.rdd.mapPartitionsWithIndex(dump).collect()

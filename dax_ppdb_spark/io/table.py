@@ -175,14 +175,26 @@ class ParquetTable:
         }
         skip = written | {f"{partition_col}={v}" for v in values}
         os.makedirs(dst)
-        for name in os.listdir(d):
-            src = os.path.join(d, name)
-            if name in skip:
-                continue
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(dst, name), copy_function=os.link)
-            else:
-                os.link(src, os.path.join(dst, name))
+        try:
+            for name in os.listdir(d):
+                src = os.path.join(d, name)
+                if name in skip:
+                    continue
+                if os.path.isdir(src):
+                    shutil.copytree(src, os.path.join(dst, name), copy_function=os.link)
+                else:
+                    os.link(src, os.path.join(dst, name))
+        except OSError as e:
+            # The snapshot version vanished mid-copy: a concurrent
+            # writer committed and removed it.  Surface the documented
+            # loser contract (cleaned up, loud) instead of a raw
+            # FileNotFoundError with orphan directories left behind.
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.path}: version {old!r} disappeared during "
+                "replace_partitions; a concurrent promoter committed first"
+            ) from e
         for name in written:
             shutil.move(os.path.join(tmp, name), os.path.join(dst, name))
         shutil.rmtree(tmp, ignore_errors=True)

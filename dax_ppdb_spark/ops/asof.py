@@ -102,7 +102,15 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias(lpack),
         F.lit(None).cast(r_struct_t).alias(rpack),
     )
-    r_side = r.select(
+    # SQL join semantics for NULLs, which the window shape would
+    # otherwise lose (Window.partitionBy groups NULL keys together;
+    # a NULL time sorts first instead of failing the range predicate):
+    # right rows with a NULL key or NULL time can never be the match
+    # of any left row, so they are dropped before the union …
+    r_valid = F.col(rt).isNotNull()
+    for k in on:
+        r_valid = r_valid & F.col(k).isNotNull()
+    r_side = r.filter(r_valid).select(
         *[F.col(c) for c in on],
         F.col(rt).alias(t),
         F.lit(0).alias(kind),
@@ -128,7 +136,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     nearest = F.last(rpack, ignorenulls=True).over(w)
-    picked = merged.withColumn(att, nearest).filter(F.col(kind) == 1)
+    # … and a left row with a NULL key or NULL time keeps its row but
+    # never attaches a match (an equi-join's NULL key / a range
+    # predicate's NULL time both evaluate to no-match).
+    l_valid = F.col(t).isNotNull()
+    for k in on:
+        l_valid = l_valid & F.col(k).isNotNull()
+    picked = merged.withColumn(att, F.when(l_valid, nearest)).filter(
+        F.col(kind) == 1
+    )
 
     if tolerance is not None:
         within = (

@@ -125,8 +125,14 @@ def _local_components(edges: DataFrame) -> DataFrame:
     ~10.  This is the same local-vs-distributed switch AQE makes for
     joins, applied to the iterative operator; graphs above the
     threshold never take this path.
+
+    Type-preserving like the star path: node ids may be any orderable
+    type (long doc ids, string content hashes) — the output schema
+    mirrors the edge column type and values are never coerced.
     """
     import pandas as pd
+
+    node_type = edges.schema["src"].dataType.simpleString()
 
     def find_all(batches):
         parent: dict = {}
@@ -140,8 +146,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
             return r
 
         for pdf in batches:
-            for a, b in zip(pdf["src"], pdf["dst"]):
-                a, b = int(a), int(b)
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -151,12 +156,11 @@ def _local_components(edges: DataFrame) -> DataFrame:
                         ra, rb = rb, ra
                     parent[rb] = ra
         nodes = sorted(parent)
-        yield pd.DataFrame(
-            {"node": nodes, "component": [find(n) for n in nodes]},
-            dtype="int64",
-        )
+        yield pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
 
-    return edges.coalesce(1).mapInPandas(find_all, "node long, component long")
+    return edges.coalesce(1).mapInPandas(
+        find_all, f"node {node_type}, component {node_type}"
+    )
 
 
 def connected_components(

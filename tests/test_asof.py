@@ -130,3 +130,24 @@ def test_point_in_interval_auto_width_matches_explicit(spark):
     got = {(r.pid, r.iid) for r in point_in_interval_join(
         points, pts_only, "x", "lo", "hi").collect()}
     assert got == {(1, 20), (3, 21)}
+
+
+def test_null_keys_and_times_never_match(spark):
+    """SQL join semantics under the union-merge window shape: NULL
+    keys do not match each other, a NULL left time attaches nothing,
+    and NULL-key/NULL-time right rows are never anyone's match."""
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "a", None), (3, "a", 100)],
+        "id LONG, k STRING, t LONG",
+    )
+    right = spark.createDataFrame(
+        [(None, 90, "r_nullkey"), ("a", None, "r_nulltime"), ("a", 50, "r_ok")],
+        "k STRING, rt LONG, tag STRING",
+    )
+    out = {r.id: r.tag for r in asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt").collect()}
+    assert out == {1: None, 2: None, 3: "r_ok"}
+    fwd = {r.id: r.tag for r in asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        direction="forward").collect()}
+    assert fwd == {1: None, 2: None, 3: None}

@@ -80,3 +80,18 @@ def test_star_rounds_match_local_union_find(spark):
         for r in connected_components(df, local_threshold=0).collect()
     }
     assert local == stars == _union_find(edges)
+
+
+def test_connected_components_string_ids(spark):
+    """Both strategies must handle non-integer node ids (content-hash
+    ids are common in dedup graphs); output schema mirrors the input
+    type."""
+    edges = [("h3", "h1"), ("h1", "h2"), ("zz", "zy")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    stars = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    expect = {"h1": "h1", "h2": "h1", "h3": "h1", "zy": "zy", "zz": "zy"}
+    assert local == stars == expect

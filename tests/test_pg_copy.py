@@ -80,3 +80,19 @@ def test_each_partition_is_standalone_stream(spark, tmp_path):
         assert raw.startswith(PGCOPY_HEADER) and raw.endswith(PGCOPY_TRAILER)
         total.extend(read_pg_copy(os.path.join(out, f), df.schema))
     assert sorted(r[0] for r in total) == list(range(100))
+
+
+def test_full_range_int64_with_nulls_exact(spark, tmp_path):
+    """The encoder must keep full-range 64-bit values exact even when
+    the column is nullable — the pandas path silently converted such a
+    column to float64 and rounded everything past 2^53 (this repo's
+    ids are xxhash64 outputs, i.e. full-range)."""
+    big = (1 << 53) + 1  # not representable in float64
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, -(1 << 62) - 7)], "id INT, v LONG"
+    )
+    out = str(tmp_path / "big")
+    write_pg_copy(df.repartition(1), out)
+    (path,) = [os.path.join(out, f) for f in os.listdir(out)]
+    rows = sorted(read_pg_copy(path, df.schema))
+    assert rows == [(1, big), (2, None), (3, -(1 << 62) - 7)]

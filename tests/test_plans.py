@@ -71,10 +71,12 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, registry):
             # the multimodal codec path (inherently Python) and the
             # connected-components local fast path (single-task
             # union-find, fires only under the measured size
-            # threshold; the distributed star rounds are pure SQL).
-            assert name.startswith("multimodal") or name == "dedup_clusters", (
-                f"{name} uses Pandas evaluation outside the allowed paths"
-            )
+            # threshold; the distributed star rounds are pure SQL) —
+            # which both cluster-consuming queries inherit.
+            assert name.startswith("multimodal") or name in (
+                "dedup_clusters",
+                "dedup_keep_best",
+            ), f"{name} uses Pandas evaluation outside the allowed paths"
 
 
 def test_validity_fill_single_window_exchange(spark, sf_dir, registry):
