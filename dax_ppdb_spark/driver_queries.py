@@ -943,15 +943,17 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-4 tail: 20 long-stable queries, all green in CORRECTNESS_r03
+# Round-4 tail: 22 long-stable queries, all green in CORRECTNESS_r03
 # (and r1), none touched by round-4 changes.  The round-3 tail (the 17
-# queries with no r3 row) is back in the head, as are the three
-# queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best
-# — never verified, so never tailed).
+# queries with no r3 row) is back in the head, as are the five
+# queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best,
+# asof_tolerance, asof_forward — never verified, so never tailed).
 _VERIFY_TAIL = (
     "pii_redact",
     "doc_fingerprint",
     "lang_id",
+    "stratified_sample",
+    "shard_pack",
     "validity_fill",
     "latest_only",
     "merge_upsert",
@@ -1129,6 +1131,95 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         clicks, purchases, on=["user_id"], left_time="ts_us", right_time="p_ts_us"
+    )
+
+
+_ASOF_TOLERANCE_SQL = """
+WITH clicks AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN p_ts_us >= ts_us - 3600000000 THEN p_ts_us END AS p_ts_us,
+       CASE WHEN p_ts_us >= ts_us - 3600000000 THEN p_value END AS p_value
+FROM j
+"""
+
+
+@register("asof_tolerance", _ASOF_TOLERANCE_SQL)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: attribute each click to the most
+    recent prior purchase ONLY if it happened within the last hour —
+    the attribution-window shape ad pipelines use.  Same union-merge
+    window plan as ``asof_attribution``; the tolerance is a post-
+    attach bound (nearest-at-or-before is always the within-tolerance
+    winner, so semantics equal filter-then-nearest).  The oracle
+    replays it as native ASOF + the same bound."""
+    from .ops.asof import asof_join
+
+    events = _read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts_us",
+        right_time="p_ts_us", tolerance=3_600_000_000,
+    )
+
+
+_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us, n.p_ts_us, n.p_value
+FROM clicks c LEFT JOIN LATERAL (
+    SELECT p.p_ts_us, p.p_value
+    FROM purchases p
+    WHERE p.user_id = c.user_id AND p.p_ts_us >= c.ts_us
+    ORDER BY p.p_ts_us LIMIT 1
+) n ON TRUE
+"""
+
+
+@register("asof_forward", _ASOF_FORWARD_SQL)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click paired with the user's NEXT purchase
+    at-or-after it (conversion-lag measurement).  Same single-shuffle
+    union-merge window, scanned time-descending; oracle via LATERAL
+    nearest-row lookup."""
+    from .ops.asof import asof_join
+
+    events = _read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts_us",
+        right_time="p_ts_us", direction="forward",
     )
 
 
