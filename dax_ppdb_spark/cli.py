@@ -131,6 +131,22 @@ def _cmd_promote(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_pgcopy(args: argparse.Namespace) -> int:
+    """S8: dump a parquet table (or any table directory) as PGCOPY
+    binary part files for parallel ``COPY ... WITH (FORMAT binary)``
+    ingest — the reference's ``pg_dump`` bulk path, distributed
+    (``sql/pg_dump.py:53-109``)."""
+    from .io.pg_copy import write_pg_copy
+
+    spark = get_spark("ppdb-export-pgcopy")
+    df = spark.read.parquet(args.table)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    n = write_pg_copy(df, args.out)
+    print(f"wrote {n} PGCOPY part files to {args.out}")
+    return 0
+
+
 def _cmd_create_datasets(args: argparse.Namespace) -> int:
     from .schema.ddl import DatasetBuilder
     from .schema.felis import load_schema
@@ -188,6 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = add("promote", "promote contiguous STAGED chunks", _cmd_promote)
     p.add_argument("--root", help="PPDB warehouse root")
+
+    p = add("export-pgcopy", "dump a table as PGCOPY binary part files (S8)", _cmd_export_pgcopy)
+    p.add_argument("table", help="parquet table path")
+    p.add_argument("out", help="output directory for part-*.pgcopy")
+    p.add_argument("--columns", help="comma-separated column subset", default=None)
 
     p = add("create-datasets", "build the 4-namespace catalog (D13)", _cmd_create_datasets)
     p.add_argument("--schema", help="Felis YAML path")

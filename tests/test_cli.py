@@ -168,3 +168,26 @@ def test_run_update_flag_rereplicates(spark, tmp_path, capsys):
         cli.main(["run", "--source", source, "--root", root])
     assert cli.main(["run", "--source", source, "--root", root, "--update"]) == 0
     assert "replicated: [1]" in capsys.readouterr().out
+
+
+def test_export_pgcopy_command(spark, tmp_path):
+    """S8 surfaced via CLI: dump a parquet table to PGCOPY part files
+    with a column subset, decode one back."""
+    from dax_ppdb_spark.cli import main
+    from dax_ppdb_spark.io.pg_copy import read_pg_copy
+
+    src = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", 2.5)], "id LONG, s STRING, v DOUBLE"
+    ).write.parquet(src)
+    out = str(tmp_path / "pgout")
+    assert main(["export-pgcopy", src, out, "--columns", "id,s"]) == 0
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".pgcopy")]
+    assert files
+    rows = []
+    schema = spark.createDataFrame([(1, "x")], "id LONG, s STRING").schema
+    for f in files:
+        rows += read_pg_copy(os.path.join(out, f), schema)
+    assert sorted(rows) == [(1, "x"), (2, "y")]
