@@ -137,9 +137,16 @@ def _cmd_export_pgcopy(args: argparse.Namespace) -> int:
     ingest — the reference's ``pg_dump`` bulk path, distributed
     (``sql/pg_dump.py:53-109``)."""
     from .io.pg_copy import write_pg_copy
+    from .io.table import ParquetTable
 
     spark = get_spark("ppdb-export-pgcopy")
-    df = spark.read.parquet(args.table)
+    # Managed warehouse tables keep their data behind a _CURRENT
+    # pointer in _v<hex> subdirectories (underscore paths are invisible
+    # to Spark's reader) — resolve the committed version; plain parquet
+    # directories pass through untouched.
+    managed = ParquetTable(args.table)
+    path = managed.data_dir() if managed.exists() else args.table
+    df = spark.read.parquet(path)
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
     n = write_pg_copy(df, args.out)

@@ -8,8 +8,9 @@ The Spark analog keeps the same wire contract but distributes the
 encoding: every partition becomes ONE standalone, self-delimiting
 PGCOPY stream (header + tuples + trailer), so a 1000-executor job
 yields 1000 files that ingest in parallel with one ``COPY`` each — the
-encode (the CPU-heavy half) runs where the data is, Arrow-batched via
-``mapInPandas``; no driver funnel.
+encode (the CPU-heavy half) runs where the data is, over Arrow record
+batches via ``mapInArrow`` (NOT pandas — see ``pg_copy_tuples``); no
+driver funnel.
 
 Format (public, PostgreSQL docs "COPY ... WITH BINARY"): 19-byte
 signature ``PGCOPY\\n\\377\\r\\n\\0`` + int32 flags + int32 header
@@ -81,11 +82,14 @@ def pg_copy_tuples(df: DataFrame) -> DataFrame:
     ``mapInArrow``, NOT ``mapInPandas``: the pandas conversion turns a
     nullable int64 column into float64, silently rounding any value
     above 2^53 — fatal for full-range 64-bit ids/hashes.  Arrow record
-    batches keep every value exact; nullity comes from the validity
-    scalar and timestamps pre-cast to int64 epoch µs, so the per-row
-    loop only concatenates already-exact payloads.
+    batches keep every value exact; nullity arrives as ``None`` from
+    one ``to_pylist()`` per column (a single C++-to-Python crossing,
+    not one pyarrow Scalar per cell) and timestamps are pre-cast to
+    int64 epoch µs, so the per-row loop only concatenates
+    already-exact payloads.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc  # NOT auto-imported by `import pyarrow`
 
     schema: StructType = df.schema
     encs = [_encoder(f.dataType) for f in schema.fields]
@@ -100,19 +104,19 @@ def pg_copy_tuples(df: DataFrame) -> DataFrame:
                 arr = batch.column(j)
                 if is_ts[j]:
                     # timestamp[us] -> int64 unix µs -> epoch-2000 µs
-                    arr = pa.compute.subtract(
+                    arr = pc.subtract(
                         arr.cast(pa.int64()), pa.scalar(_PG_EPOCH_US, pa.int64())
                     )
-                cols.append(arr)
+                cols.append(arr.to_pylist())
             out = []
             for i in range(batch.num_rows):
                 parts = [nfields]
-                for arr, enc in zip(cols, encs):
-                    s = arr[i]
-                    if not s.is_valid:
+                for vals, enc in zip(cols, encs):
+                    v = vals[i]
+                    if v is None:
                         parts.append(null_field)
                     else:
-                        payload = enc(s.as_py())
+                        payload = enc(v)
                         parts.append(struct.pack(">i", len(payload)) + payload)
                 out.append(b"".join(parts))
             yield pa.RecordBatch.from_arrays(

@@ -185,16 +185,22 @@ class ParquetTable:
                 else:
                     os.link(src, os.path.join(dst, name))
         except OSError as e:
-            # The snapshot version vanished mid-copy: a concurrent
-            # writer committed and removed it.  Surface the documented
-            # loser contract (cleaned up, loud) instead of a raw
-            # FileNotFoundError with orphan directories left behind.
             shutil.rmtree(dst, ignore_errors=True)
             shutil.rmtree(tmp, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"{self.path}: version {old!r} disappeared during "
-                "replace_partitions; a concurrent promoter committed first"
-            ) from e
+            if isinstance(e, FileNotFoundError):
+                # The snapshot version vanished mid-copy: a concurrent
+                # writer committed and removed it.  Surface the
+                # documented loser contract (cleaned up, loud) instead
+                # of a raw FileNotFoundError with orphans left behind.
+                raise ConcurrentWriteError(
+                    f"{self.path}: version {old!r} disappeared during "
+                    "replace_partitions; a concurrent promoter committed first"
+                ) from e
+            # Persistent local faults (ENOSPC, EACCES, EMLINK, ...) are
+            # NOT a lost race — re-raise as-is (cleaned up) so callers
+            # treating ConcurrentWriteError as retryable don't loop on
+            # a permissions error.
+            raise
         for name in written:
             shutil.move(os.path.join(tmp, name), os.path.join(dst, name))
         shutil.rmtree(tmp, ignore_errors=True)

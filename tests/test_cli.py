@@ -191,3 +191,22 @@ def test_export_pgcopy_command(spark, tmp_path):
     for f in files:
         rows += read_pg_copy(os.path.join(out, f), schema)
     assert sorted(rows) == [(1, "x"), (2, "y")]
+
+
+def test_export_pgcopy_resolves_managed_table(spark, tmp_path):
+    """A ParquetTable warehouse directory (data behind the _CURRENT
+    pointer in a _v<hex> subdir, invisible to a raw parquet read) must
+    export its committed version."""
+    import os
+
+    from dax_ppdb_spark.cli import main
+    from dax_ppdb_spark.io.pg_copy import read_pg_copy
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "managed"))
+    df = spark.createDataFrame([(7, "m")], "id LONG, s STRING")
+    t.overwrite(df)
+    out = str(tmp_path / "pgout2")
+    assert main(["export-pgcopy", t.path, out]) == 0
+    (f,) = [x for x in os.listdir(out) if x.endswith(".pgcopy")]
+    assert read_pg_copy(os.path.join(out, f), df.schema) == [(7, "m")]
