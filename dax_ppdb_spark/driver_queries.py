@@ -1100,9 +1100,12 @@ WITH clicks AS (
     SELECT event_id, user_id, epoch_us(ts) AS ts_us
     FROM events WHERE event_type = 'click'
 ),
+-- one purchase row per (user, instant): tie-free nearest-row pick on
+-- both engines even if regenerated testdata ever carries ties
 purchases AS (
-    SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+    SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(value) AS p_value
     FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, epoch_us(ts)
 )
 SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
 FROM clicks c ASOF LEFT JOIN purchases p
@@ -1116,7 +1119,12 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior purchase (NULL when none).  The oracle uses DuckDB's native
     ASOF JOIN; the Spark side is ``ops.asof.asof_join`` (union-merge
     window: one shuffle on user_id, no candidate pairs — see the
-    module docstring for the scale shape).
+    module docstring for the scale shape).  Ties on (user, instant)
+    resolve to the max value on BOTH engines — the oracle pre-reduces
+    with GROUP BY + MAX; the Spark side resolves the same winner
+    inside the merge window (``right_tiebreak``), costing zero extra
+    shuffle (current testdata has no ties; this guards data
+    regeneration).
     """
     from .ops.asof import asof_join
 
@@ -1130,7 +1138,8 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("p_value"),
     )
     return asof_join(
-        clicks, purchases, on=["user_id"], left_time="ts_us", right_time="p_ts_us"
+        clicks, purchases, on=["user_id"], left_time="ts_us",
+        right_time="p_ts_us", right_tiebreak=["p_value"],
     )
 
 
@@ -1166,25 +1175,25 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     window plan as ``asof_attribution``; the tolerance is a post-
     attach bound (nearest-at-or-before is always the within-tolerance
     winner, so semantics equal filter-then-nearest).  The oracle
-    replays it as native ASOF + the same bound.  Purchases are
-    pre-reduced to one row per (user, instant) — MAX(value) — so the
-    nearest-row pick is tie-free by construction on BOTH engines (the
-    generic asof_join tiebreak is a row hash no SQL oracle can
-    replay)."""
+    replays it as native ASOF over a (user, instant)+MAX(value)
+    pre-reduce; the Spark side resolves the same max-value winner
+    inside the merge window (``right_tiebreak``) — zero extra
+    shuffle, tie-free on both engines by construction."""
     from .ops.asof import asof_join
 
     events = _read_events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts_us"
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.col("ts_us").alias("p_ts_us"))
-        .agg(F.max("value").alias("p_value"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
     )
     return asof_join(
         clicks, purchases, on=["user_id"], left_time="ts_us",
         right_time="p_ts_us", tolerance=3_600_000_000,
+        right_tiebreak=["p_value"],
     )
 
 
@@ -1214,22 +1223,24 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each click paired with the user's NEXT purchase
     at-or-after it (conversion-lag measurement).  Same single-shuffle
     union-merge window, scanned time-descending; oracle via LATERAL
-    nearest-row lookup, tie-free via the (user, instant) pre-reduce
-    (see ``q_asof_tolerance``)."""
+    nearest-row lookup over the (user, instant)+MAX pre-reduce,
+    matched Spark-side by the in-window ``right_tiebreak`` (see
+    ``q_asof_tolerance``)."""
     from .ops.asof import asof_join
 
     events = _read_events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts_us"
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.col("ts_us").alias("p_ts_us"))
-        .agg(F.max("value").alias("p_value"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
     )
     return asof_join(
         clicks, purchases, on=["user_id"], left_time="ts_us",
         right_time="p_ts_us", direction="forward",
+        right_tiebreak=["p_value"],
     )
 
 

@@ -55,6 +55,7 @@ def asof_join(
     tolerance: int | float | None = None,
     direction: str = "backward",
     suffix: str = "_r",
+    right_tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the closest right row at-or-before
     (``backward``) or at-or-after (``forward``) its time, per key.
@@ -62,6 +63,17 @@ def asof_join(
     Left rows with no match keep NULL right columns.  Right columns
     clashing with left names get ``suffix``; key columns appear once.
     ``tolerance`` bounds ``|left_time - right_time|``.
+
+    ``right_tiebreak`` (right-side column names, pre-suffix) resolves
+    right rows tied on ``right_time``: the row with the LARGEST
+    tiebreak tuple wins — semantically identical to pre-reducing the
+    right side with ``GROUP BY key, time`` + ``MAX`` but without the
+    extra shuffle that aggregation would cost (the tie resolves inside
+    the one merge window), and exactly replayable in SQL.  Rows equal
+    in (key, time, tiebreak) must be interchangeable in the output
+    columns for the result to be fully deterministic.  Without it,
+    ties resolve by a deterministic row hash (stable, but not
+    expressible in an external oracle).
 
     Scale shape: both sides are unioned into one relation and shuffled
     ONCE on ``on``; within each key the merged timeline is sorted and
@@ -87,6 +99,13 @@ def asof_join(
 
     l_struct_t = StructType([left.schema[c] for c in left.columns])
     r_struct_t = StructType([r.schema[c] for c in out_right])
+    if right_tiebreak:
+        tb_cols = [rename[c] for c in right_tiebreak]
+        rh_expr = F.struct(*[F.col(c) for c in tb_cols])
+        rh_type = StructType([r.schema[c] for c in tb_cols])
+    else:
+        rh_expr = _row_hash(r, out_right)
+        rh_type = "long"
 
     t, kind, rh, lpack, rpack, att = (
         "__asof_t", "__asof_kind", "__asof_rh", "__asof_l", "__asof_r", "__asof_att"
@@ -98,7 +117,7 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(left_time).alias(t),
         F.lit(1).alias(kind),
-        F.lit(None).cast("long").alias(rh),
+        F.lit(None).cast(rh_type).alias(rh),
         F.struct(*[F.col(c) for c in left.columns]).alias(lpack),
         F.lit(None).cast(r_struct_t).alias(rpack),
     )
@@ -114,7 +133,7 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(rt).alias(t),
         F.lit(0).alias(kind),
-        _row_hash(r, out_right).alias(rh),
+        rh_expr.alias(rh),
         F.lit(None).cast(l_struct_t).alias(lpack),
         F.struct(*[F.col(c) for c in out_right]).alias(rpack),
     )

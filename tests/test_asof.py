@@ -151,3 +151,21 @@ def test_null_keys_and_times_never_match(spark):
         left, right, on=["k"], left_time="t", right_time="rt",
         direction="forward").collect()}
     assert fwd == {1: None, 2: None, 3: None}
+
+
+def test_right_tiebreak_picks_largest(spark):
+    """right_tiebreak resolves same-instant right rows to the largest
+    tiebreak tuple — equivalent to a GROUP BY time + MAX pre-reduce,
+    but inside the one merge window."""
+    left = spark.createDataFrame([(1, "a", 100)], "id LONG, k STRING, t LONG")
+    right = spark.createDataFrame(
+        [("a", 90, 5.0), ("a", 90, 9.0), ("a", 90, 1.0), ("a", 10, 99.0)],
+        "k STRING, rt LONG, v DOUBLE",
+    )
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    right_tiebreak=["v"]).first()
+    assert (out.rt, out.v) == (90, 9.0)   # nearest instant, max value there
+    fwd_left = spark.createDataFrame([(1, "a", 5)], "id LONG, k STRING, t LONG")
+    out_f = asof_join(fwd_left, right, on=["k"], left_time="t", right_time="rt",
+                      direction="forward", right_tiebreak=["v"]).first()
+    assert (out_f.rt, out_f.v) == (10, 99.0)
