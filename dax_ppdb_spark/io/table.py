@@ -208,6 +208,57 @@ class ParquetTable:
         if old:
             shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        partition_col: str,
+        max_files_per_partition: int = 4,
+        target_files: int = 1,
+    ) -> list:
+        """Small-file compaction (the OPTIMIZE analog a streaming
+        ingest table needs): partitions whose data-file count exceeds
+        ``max_files_per_partition`` are read back and rewritten as
+        ``target_files`` files each; untouched partitions hardlink
+        through :meth:`replace_partitions`' copy-on-write commit, so
+        compaction IO — like every other commit here — is proportional
+        to the fragmented slice, never the table.  Returns the list of
+        compacted partition values.
+
+        Micro-batch appenders (the replication loop writes one file
+        set per chunk poll) fragment partitions over time; at 100 TB
+        fragmented partitions mean task-per-tiny-file scan overhead
+        and row-group stats too small to prune well.  Run this from a
+        housekeeping schedule; a racing promoter makes the loser raise
+        :class:`ConcurrentWriteError`, never corrupt the table.
+        """
+        d = self.data_dir()
+        if d is None:
+            return []
+        prefix = f"{partition_col}="
+        fragmented = []
+        for name in sorted(os.listdir(d)):
+            if not name.startswith(prefix):
+                continue
+            pdir = os.path.join(d, name)
+            n_files = sum(
+                1 for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if n_files > max_files_per_partition:
+                fragmented.append(name[len(prefix):])
+        if not fragmented:
+            return []
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(d)
+        # partition values come back typed from directory names;
+        # compare as strings to match what listdir gave us
+        sub = df.filter(
+            F.col(partition_col).cast("string").isin([str(v) for v in fragmented])
+        ).repartition(target_files * len(fragmented), partition_col)
+        self.replace_partitions(sub, partition_col, fragmented)
+        return fragmented
+
     def drop(self) -> None:
         """D8: DROP TABLE IF EXISTS."""
         shutil.rmtree(self.path, ignore_errors=True)

@@ -114,3 +114,35 @@ def test_interleaved_promoters_loser_raises(spark, tmp_path):
     assert _content(spark, t_a) == {(2, "from_b")}
     versions = [d for d in os.listdir(t_a.path) if d.startswith("_v")]
     assert versions == [t_a.current_version()]
+
+
+def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Micro-batch appends fragment a partition; compact() must
+    rewrite only partitions over the file threshold (hardlinking the
+    rest), preserve every row, and leave few files behind."""
+    t = ParquetTable(str(tmp_path / "t"))
+    base = spark.createDataFrame([(0, "a0"), (1, "b0")], "k INT, v STRING")
+    t.overwrite(base.repartition(1), partition_by=("k",))
+    # five tiny appends into partition k=1 only
+    for i in range(1, 6):
+        t.append(
+            spark.createDataFrame([(1, f"b{i}")], "k INT, v STRING").repartition(1),
+            partition_by=("k",),
+        )
+
+    def files_in(part):
+        d = os.path.join(t.data_dir(), f"k={part}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in(1)) == 6 and len(files_in(0)) == 1
+    inode_k0 = os.stat(os.path.join(t.data_dir(), "k=0", files_in(0)[0])).st_ino
+
+    compacted = t.compact(spark, "k", max_files_per_partition=4)
+    assert compacted == ["1"]
+    assert len(files_in(1)) == 1
+    # untouched partition carried over as a hardlink (same inode)
+    assert os.stat(os.path.join(t.data_dir(), "k=0", files_in(0)[0])).st_ino == inode_k0
+    assert _content(spark, t) == {(0, "a0")} | {(1, f"b{i}") for i in range(6)}
+
+    # idempotent: nothing left over the threshold
+    assert t.compact(spark, "k", max_files_per_partition=4) == []
