@@ -154,6 +154,20 @@ def _cmd_export_pgcopy(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    """Housekeeping: rewrite fragmented partitions of a managed table
+    (micro-batch appends accumulate small files; see
+    ``ParquetTable.compact``)."""
+    from .io.table import ParquetTable
+
+    spark = get_spark("ppdb-compact")
+    done = ParquetTable(args.table).compact(
+        spark, args.partition_col, max_files_per_partition=args.max_files
+    )
+    print(f"compacted partitions: {done}")
+    return 0
+
+
 def _cmd_create_datasets(args: argparse.Namespace) -> int:
     from .schema.ddl import DatasetBuilder
     from .schema.felis import load_schema
@@ -211,6 +225,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = add("promote", "promote contiguous STAGED chunks", _cmd_promote)
     p.add_argument("--root", help="PPDB warehouse root")
+
+    p = add("compact", "rewrite fragmented partitions of a managed table", _cmd_compact)
+    p.add_argument("table", help="ParquetTable directory")
+    p.add_argument("--partition-col", required=True)
+    p.add_argument("--max-files", type=int, default=4,
+                   help="rewrite partitions with more parquet files than this")
 
     p = add("export-pgcopy", "dump a table as PGCOPY binary part files (S8)", _cmd_export_pgcopy)
     p.add_argument("table", help="parquet table path")

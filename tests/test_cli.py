@@ -210,3 +210,27 @@ def test_export_pgcopy_resolves_managed_table(spark, tmp_path):
     assert main(["export-pgcopy", t.path, out]) == 0
     (f,) = [x for x in os.listdir(out) if x.endswith(".pgcopy")]
     assert read_pg_copy(os.path.join(out, f), df.schema) == [(7, "m")]
+
+
+def test_compact_command(spark, tmp_path):
+    import os
+
+    from dax_ppdb_spark.cli import main
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "frag"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k INT, v STRING").repartition(1),
+        partition_by=("k",),
+    )
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(1, f"x{i}")], "k INT, v STRING").repartition(1),
+            partition_by=("k",),
+        )
+    assert main(["compact", t.path, "--partition-col", "k"]) == 0
+    files = [
+        f for f in os.listdir(os.path.join(t.data_dir(), "k=1"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
