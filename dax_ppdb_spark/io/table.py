@@ -251,11 +251,15 @@ class ParquetTable:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(d)
-        # partition values come back typed from directory names;
-        # compare as strings to match what listdir gave us
-        sub = df.filter(
-            F.col(partition_col).cast("string").isin([str(v) for v in fragmented])
-        ).repartition(target_files * len(fragmented), partition_col)
+        # Cast the directory-name VALUES to the column's inferred type
+        # (never the column to string — a cast on the partition column
+        # would defeat partition pruning and scan the whole table to
+        # compact one slice).
+        dt = df.schema[partition_col].dataType
+        lits = [F.lit(v).cast(dt) for v in fragmented]
+        sub = df.filter(F.col(partition_col).isin(*lits)).repartition(
+            target_files * len(fragmented), partition_col
+        )
         self.replace_partitions(sub, partition_col, fragmented)
         return fragmented
 
