@@ -76,6 +76,11 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_multiprobe",
     "multimodal_decode",
+    "embedding_quantize",
+    "dup_spans",
+    "dsir_weights",
+    "semdedup",
+    "tfidf_keywords",
 ]
 
 

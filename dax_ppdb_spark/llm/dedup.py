@@ -666,3 +666,77 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span statistics: for every document, how much of it
+    is made of word n-grams that also occur in OTHER documents — the
+    n-gram-anchored approximation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") that RefinedWeb/Dolma-style pipelines actually run
+    at scale, where the signal drives span *removal* rather than
+    whole-doc dropping.
+
+    Per doc (only docs with at least one n-gram appear):
+
+    - ``n_grams``  — total n-gram positions (tokens - n + 1),
+    - ``n_dup``    — positions whose n-gram occurs in >= ``min_doc_freq``
+      distinct documents,
+    - ``max_run``  — longest run of CONSECUTIVE duplicated positions
+      (~longest shared substring, in tokens: run + n - 1),
+    - ``dup_frac`` — n_dup / n_grams, round 6.
+
+    Scale shape: explode n-gram positions (O(tokens) rows), one
+    aggregation on the gram string for document frequency (map-side
+    combinable count-distinct on ids), join the *qualifying* grams
+    back (the duplicated subset — typically a small fraction of the
+    distinct-gram table, and hot grams cost a count here, never a
+    pair expansion), then per-doc windows over only the duplicated
+    positions.  Runs are grouped by the classic gap-and-islands key
+    ``pos - row_number()`` — no self-join, no cartesian anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .text import ngrams
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams(tokens(F.col(text_col)), n)).alias("pos", "gram"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(tokens(F.col(text_col))) - (n - 1)).alias("n_grams"),
+    ).filter(F.col("n_grams") >= 1)
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("gram")
+    )
+    dup_pos = g.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    per_doc = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("run_len").alias("n_dup"), F.max("run_len").alias("max_run"))
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("max_run", F.lit(0)).alias("max_run"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
+    )

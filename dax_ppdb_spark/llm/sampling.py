@@ -147,3 +147,71 @@ def chunk_documents(
         F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), max_tokens)).alias("chunk_text"),
         n.cast("long").alias("n_tokens"),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are, for
+    selecting a pretraining subset that matches a target distribution.
+
+    Features are unigrams + word bigrams hashed into ``n_buckets``
+    fixed buckets (``md5_long % n_buckets`` — engine-replayable).  Two
+    add-one-smoothed unigram feature models are fit in ONE aggregation
+    pass — the target model over rows where ``is_target`` holds, the
+    raw model over everything — and the per-doc weight is the
+    log-likelihood ratio summed over the doc's feature occurrences:
+
+        w(doc) = sum_b c_b(doc) * [ln p_target(b) - ln p_raw(b)]
+
+    High-weight docs look like the target set; resampling by weight is
+    a downstream ``ORDER BY``/threshold.  Output: (doc_id,
+    dsir_logweight round 6).
+
+    Scale posture: the model is a FIXED ``n_buckets``-row table no
+    matter the corpus size (that is the point of hashed features), so
+    the broadcast never grows; the corpus is tokenized once into a
+    (doc, bucket, count) relation whose lineage is truncated
+    (``localCheckpoint``) and reused by both the fit and the scoring
+    join — one explode + one shuffle total, same single-pass shape as
+    ``text.unigram_logprob_score``.
+    """
+    from .text import ngrams, tokens
+
+    toks = tokens(F.col(text_col))
+    feats = F.concat(toks, ngrams(toks, 2))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("is_t"),
+        F.explode(feats).alias("g"),
+    ).select("doc_id", "is_t", (md5_long(F.col("g")) % n_buckets).alias("b"))
+    dbkt = (
+        ex.groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    model = dbkt.groupBy("b").agg(
+        F.sum("c").alias("n_raw"),
+        F.coalesce(F.sum(F.when(F.col("is_t"), F.col("c"))), F.lit(0)).alias("n_t"),
+    )
+    totals = model.agg(
+        F.sum("n_raw").alias("z_raw"), F.sum("n_t").alias("z_t")
+    )
+    weights = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("n_t") + 1.0) / (F.col("z_t") + F.lit(float(n_buckets))))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("z_raw") + F.lit(float(n_buckets))))
+        ).alias("lw"),
+    )
+    return (
+        dbkt.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("dsir_logweight"))
+    )

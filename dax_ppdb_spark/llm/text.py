@@ -335,3 +335,56 @@ def unigram_logprob_score(
     return scored.groupBy(id_col).agg(
         (F.sum(F.col("c") * F.col("lp")) / F.sum("c")).alias("avg_logprob")
     )
+
+
+def tfidf_topk(
+    docs,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document top-k keywords by tf-idf — the standard corpus
+    keyword/topic-tagging operator (complement of the corpus-level
+    top-n-grams view).
+
+    ``tfidf(d, t) = count(d, t) * ln(N / df(t))`` with N = documents
+    containing at least one token and df = documents containing t.
+    Deterministic total order per doc: score desc, then token asc, so
+    the rank column is engine-replayable.
+
+    Same single-pass shape as :func:`unigram_logprob_score`: the
+    corpus is tokenized ONCE into a (doc, token, count) relation with
+    truncated lineage, and both the document-frequency model and the
+    scoring read it.  Unlike the LM score's min-count-pruned vocab,
+    the df table CANNOT be pruned (rare tokens are exactly the
+    high-idf ones) and at 100 TB it is the full vocabulary — so its
+    join is left to AQE rather than broadcast-hinted (runtime sizes
+    pick broadcast when the vocab is actually small; a skewed hot
+    token splits under AQE skew-join, which a count-over-window df
+    would not).  Only the single-row N joins with an explicit hint.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dtok = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = dtok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = dtok.agg(F.count_distinct(id_col).alias("n_docs"))
+    scored = (
+        dtok.join(df_, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("c") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", F.col("t").alias("token"), "tfidf")
+    )

@@ -955,16 +955,17 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5,
+def _kmeans_cte(n_clusters: int = 8, iters: int = 3,
                 sample_mod: int | None = None) -> str:
     """Replay the deterministic Lloyd training as chained CTEs: init =
     lowest-id vectors, per-iteration argmin assignment (lowest-cid tie
     break, matching Spark's ``array_position`` first-wins) and a
     round-6 element-wise mean (kills partial-agg ulp noise on both
-    engines), then the final bucketed top-k probe.  With
-    ``sample_mod``, training CTEs see only the md5 hash sample
-    (mirroring ``kmeans_centroids``); the final assignment still
-    covers the full corpus."""
+    engines), ending at ``asg`` — the full-corpus (vec_id, v, cid)
+    assignment.  With ``sample_mod``, training CTEs see only the md5
+    hash sample (mirroring ``kmeans_centroids``); the final assignment
+    still covers the full corpus.  Shared by every oracle that needs
+    the learned quantizer (IVF top-k probe, SemDeDup)."""
 
     def dist2(vcol: str, ccol: str) -> str:
         return (
@@ -1018,7 +1019,14 @@ asg AS (
                                            {prev}.cid) AS rn
         FROM e CROSS JOIN {prev}
     ) WHERE rn = 1
-)
+)"""
+    return sql
+
+
+def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5,
+                sample_mod: int | None = None) -> str:
+    """The IVF top-k probe over the shared Lloyd CTE chain."""
+    return f"""{_kmeans_cte(n_clusters, iters, sample_mod)}
 SELECT query_id, rank, neighbor_id, cosine FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1030,7 +1038,6 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
     )
 ) WHERE rank <= {k}
 """
-    return sql
 
 
 @register("ann_topk_kmeans", _kmeans_sql(sample_mod=2))
@@ -1264,3 +1271,206 @@ def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: embedding compression, substring-level dedup
+# signal, DSIR importance weights, SemDeDup
+# ---------------------------------------------------------------------------
+
+_EMB_QUANT_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, e, scale,
+           list_transform(e, x -> CAST(CASE WHEN scale = 0 THEN 0
+               ELSE greatest(-127, least(127, floor(x / scale + 0.5)))
+               END AS BIGINT)) AS qv
+    FROM s
+)
+SELECT vec_id,
+       len(e) AS dim,
+       round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm_sq,
+       round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
+             i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))
+             / greatest(len(e), 1)), 6) AS rmse
+FROM q
+"""
+
+
+@register("embedding_quantize", _EMB_QUANT_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction
+    error — zero-shuffle map-side compression (4x memory/IO) ahead of
+    ANN serving or training-data export."""
+    from .llm.embeddings import quantize_int8
+
+    return quantize_int8(_read_spread(spark, sf_dir, "embeddings"))
+
+
+# 5-gram positions: i in 1..len-4 (0-based pos = i-1).
+_DUP_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g0 AS (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+    FROM t
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+    FROM g0
+),
+base AS (SELECT doc_id, len(toks) - 4 AS n_grams FROM t WHERE len(toks) >= 5),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+dup_pos AS (SELECT doc_id, pos FROM g JOIN dupg USING (gram)),
+runs AS (
+    SELECT doc_id,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup_pos
+),
+rl AS (SELECT doc_id, grp, COUNT(*) AS run_len FROM runs GROUP BY doc_id, grp),
+pd AS (
+    SELECT doc_id, SUM(run_len) AS n_dup, MAX(run_len) AS max_run
+    FROM rl GROUP BY doc_id
+)
+SELECT base.doc_id, n_grams,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run,
+       round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6) AS dup_frac
+FROM base LEFT JOIN pd USING (doc_id)
+"""
+
+
+@register("dup_spans", _DUP_SPANS_SQL)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics (5-gram anchored): per-doc count and
+    longest run of n-gram positions shared with other documents — the
+    substring-level dedup signal (suffix-array dedup's practical
+    approximation)."""
+    from .llm.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_read_spread(spark, sf_dir, "documents"), n=5)
+
+
+_DSIR_BUCKETS = 1024
+
+_DSIR_SQL = f"""
+WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, {_TOKS} AS toks FROM documents),
+f0 AS (
+    SELECT doc_id, is_t,
+           unnest(list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' ')))) AS g
+    FROM t
+),
+ex AS (
+    SELECT doc_id, is_t, {md5_long_sql('g')} % {_DSIR_BUCKETS} AS b FROM f0
+),
+dbkt AS (
+    SELECT doc_id, is_t, b, COUNT(*) AS c FROM ex GROUP BY doc_id, is_t, b
+),
+model AS (
+    SELECT b, SUM(c) AS n_raw,
+           COALESCE(SUM(c) FILTER (WHERE is_t), 0) AS n_t
+    FROM dbkt GROUP BY b
+),
+tot AS (SELECT SUM(n_raw) AS z_raw, SUM(n_t) AS z_t FROM model),
+w AS (
+    SELECT b,
+           ln((n_t + 1.0) / (z_t + {_DSIR_BUCKETS}.0))
+           - ln((n_raw + 1.0) / (z_raw + {_DSIR_BUCKETS}.0)) AS lw
+    FROM model CROSS JOIN tot
+)
+SELECT doc_id, round(SUM(c * lw), 6) AS dsir_logweight
+FROM dbkt JOIN w USING (b)
+GROUP BY doc_id
+"""
+
+
+@register("dsir_weights", _DSIR_SQL)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the English subset as the
+    target distribution: hashed unigram+bigram features, add-one
+    smoothed log-likelihood ratio per doc.  The model is a fixed
+    1024-row broadcast regardless of corpus size."""
+    from .llm.sampling import dsir_logweights
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return dsir_logweights(docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
+
+
+def _semdedup_sql() -> str:
+    """Lazily-resolved oracle: replay the corpus-scaled cluster count
+    (``auto_semdedup_clusters`` of the oracle corpus's row count) and
+    the shared Lloyd CTE chain, then in-cell pairs."""
+    from .driver_queries import oracle_table_rows
+    from .llm.embeddings import auto_semdedup_clusters
+
+    k = auto_semdedup_clusters(oracle_table_rows("embeddings"))
+    return f"""{_kmeans_cte(n_clusters=k, iters=3, sample_mod=2)},
+cell AS (SELECT cid FROM asg GROUP BY cid HAVING COUNT(*) <= 1000)
+SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM asg a
+JOIN asg b USING (cid)
+JOIN cell USING (cid)
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register("semdedup", _semdedup_sql)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding near-dup pairs confined to learned k-means
+    cells, with the cluster count derived from the corpus size
+    (k ~ sqrt(N), the flat-quantizer cost optimum) and the default-on
+    cell cap.  Training runs on a 1/2 md5-hash sample.
+
+    The corpus count feeds the rule from the RAW scan, like
+    ``dedup_embedding_banded``."""
+    from .llm.embeddings import auto_semdedup_clusters, semdedup_pairs
+
+    n = _read(spark, sf_dir, "embeddings").count()
+    return semdedup_pairs(
+        _read_spread(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_clusters=auto_semdedup_clusters(n),
+        sample_mod=2,
+    )
+
+
+_TFIDF_SQL = f"""
+WITH dtok AS (
+    SELECT doc_id, g AS t, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({_TOKS}) AS g FROM documents
+    ) GROUP BY doc_id, g
+),
+dfv AS (SELECT t, COUNT(*) AS df FROM dtok GROUP BY t),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dtok),
+scored AS (
+    SELECT doc_id, t,
+           round(c * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM dtok JOIN dfv USING (t) CROSS JOIN nd
+)
+SELECT doc_id, rank, t AS token, tfidf FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, t) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("tfidf_keywords", _TFIDF_SQL)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by tf-idf: one tokenize pass feeds
+    both the document-frequency model and the scoring; the unprunable
+    vocab join is left to AQE (broadcast when small, skew-split when
+    hot)."""
+    from .llm.text import tfidf_topk
+
+    return tfidf_topk(_read_spread(spark, sf_dir, "documents"), k=5)

@@ -620,3 +620,120 @@ def test_dedup_keep_best_picks_quality_argmax(spark):
     ).withColumn("n_docs", F.count(F.lit(1)).over(w))
     out = {r.cluster_id: (r.doc_id, r.n_docs) for r in ranked.filter("rn = 1").collect()}
     assert out == {10: (2, 3), 4: (4, 1)}
+
+
+def test_quantize_int8_known_values(spark):
+    from dax_ppdb_spark.llm.embeddings import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    # scale = 1/127; codes = [127, -64 (half-up: -63.5 -> -63), 32, 0]
+    r0 = rows[0]
+    assert r0.dim == 4
+    assert abs(r0.scale - 1.0 / 127) < 1e-6
+    assert r0.qnorm_sq == 127 * 127 + 63 * 63 + 32 * 32
+    assert r0.rmse < 0.005  # reconstruction error bounded by scale/2
+    # all-zero vector: scale 0, zero codes, zero error
+    r1 = rows[1]
+    assert r1.scale == 0.0 and r1.qnorm_sq == 0 and r1.rmse == 0.0
+
+
+def test_duplicated_span_stats_runs_and_fracs(spark):
+    from dax_ppdb_spark.llm.dedup import duplicated_span_stats
+
+    shared = "one two three four five six seven eight"  # 8 toks, 4 5-gram positions
+    docs = _docs(
+        spark,
+        [
+            shared + " unique0 tail0 here0 now0 end0",
+            shared + " unique1 tail1 here1 now1 end1",
+            "totally different words with no overlap at all anywhere",
+        ],
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs, n=5).collect()}
+    # docs 0/1: 13 tokens -> 9 positions; positions 0..3 are the shared
+    # 5-grams (a 4-long run), the rest are unique.
+    for d in (0, 1):
+        assert out[d].n_grams == 9
+        assert out[d].n_dup == 4
+        assert out[d].max_run == 4
+        assert abs(out[d].dup_frac - 4 / 9) < 1e-6
+    assert out[2].n_dup == 0 and out[2].max_run == 0 and out[2].dup_frac == 0.0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from dax_ppdb_spark.llm.sampling import dsir_logweights
+
+    target = ["alpha beta gamma delta epsilon"] * 4
+    other = ["uno dos tres cuatro cinco"] * 4
+    rows = [(i, t, i < 4) for i, t in enumerate(target + other)]
+    # a held-out doc in each style, not in the target set
+    rows.append((100, "alpha beta gamma delta epsilon", False))
+    rows.append((101, "uno dos tres cuatro cinco", False))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, is_t BOOLEAN")
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(docs, F.col("is_t")).collect()
+    }
+    # target-style docs must outscore the off-target style
+    assert w[100] > w[101]
+    assert min(w[i] for i in range(4)) > max(w[i] for i in range(4, 8))
+
+
+def test_semdedup_finds_in_cell_pairs_and_caps_cells(spark):
+    from dax_ppdb_spark.llm.embeddings import (
+        auto_semdedup_clusters,
+        semdedup_pairs,
+    )
+
+    # two tight clusters far apart + one isolated vector
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    vecs = [
+        (0, base_a),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, base_b),
+        (3, [0.01, 0.99, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in semdedup_pairs(emb, threshold=0.9, n_clusters=4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+    # cap: with max_cell=1, every cell is degenerate -> no pairs
+    assert (
+        semdedup_pairs(emb, threshold=0.9, n_clusters=4, max_cell=1).count() == 0
+    )
+    # the corpus-derived cluster-count rule
+    assert auto_semdedup_clusters(500) == 23
+    assert auto_semdedup_clusters(4) == 8
+    assert auto_semdedup_clusters(10**9) > 31_000
+
+
+def test_tfidf_keywords_rank_rare_terms_first(spark):
+    from dax_ppdb_spark.llm.text import tfidf_topk
+
+    docs = _docs(
+        spark,
+        [
+            "common common common rare0",
+            "common unique1 unique1",
+            "common filler other words",
+        ],
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    top = {r.doc_id: r.token for r in out if r.rank == 1}
+    # 'common' appears in every doc -> idf 0 -> never a top keyword
+    assert top[0] == "rare0"
+    assert top[1] == "unique1"
+    assert all(r.token != "common" or r.tfidf == 0.0 for r in out)

@@ -226,3 +226,40 @@ def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
                 assert "BuildLeft" in line, f"{name} broadcasts the corpus side: {line}"
                 pinned += 1
         assert pinned >= 2, f"{name} lost its verify-stage broadcast joins"
+
+
+def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry):
+    """SemDeDup's pair stage must hash-join on the cluster id — the
+    pair fan-out is bounded by cell occupancy (k ~ sqrt(N) +
+    default-on cell cap), never an all-pairs scan."""
+    plan = plan_of(registry["semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_dup_spans_no_cartesian_single_gram_shuffle(spark, sf_dir, registry):
+    """The duplicated-span join is gram-equi (inverted index); a
+    nested loop here would be O(docs x grams)."""
+    plan = plan_of(registry["dup_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir, registry):
+    """int8 quantization must stay a pure scan-side map: no join, no
+    hash shuffle, no Python evaluation — linear in bytes at any
+    corpus size."""
+    plan = plan_of(registry["embedding_quantize"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_model_broadcasts(spark, sf_dir, registry):
+    """The DSIR scoring join must broadcast the fixed-size bucket
+    model, never shuffle the (doc, bucket, count) relation by
+    bucket."""
+    plan = plan_of(registry["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -62,6 +62,11 @@ QUERIES = [
     "snapshot_asof",
     "ann_topk_bruteforce",
     "ann_topk_multiprobe",
+    "embedding_quantize",
+    "dup_spans",
+    "dsir_weights",
+    "semdedup",
+    "tfidf_keywords",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
