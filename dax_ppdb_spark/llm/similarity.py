@@ -75,18 +75,28 @@ def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     )
 
 
-def _dist2_to(vec: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the closest centroid (first wins on ties)."""
-    dists = F.array(*[_dist2_to(vec, c) for c in centroids])
+    """0-based index of the closest centroid (first wins on ties).
+
+    The centroid table is ONE nested array literal traversed by a
+    single higher-order ``transform`` — constant data, not code.  The
+    earlier shape (one fold expression PER centroid) made the
+    generated code grow with k; at the corpus-derived k ~ sqrt(N) of
+    SemDeDup (71 cells at sf0.1) that meant a multi-second codegen
+    compile per Lloyd iteration, 23 s for the query overall vs 3.4 s
+    with this shape.  Arithmetic is unchanged (same zip_with +
+    sequential fold, same first-wins argmin), so assignments — and the
+    DuckDB oracle replays — are bit-identical.
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

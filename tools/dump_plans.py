@@ -99,6 +99,32 @@ ANNOTATED = {
         " the in-file sort turns into row-group skips; the exact"
         " radius refine runs only on surviving rows."
     ),
+    "semdedup": (
+        "SemDeDup: the pair stage is an equi-join on the learned"
+        " k-means cell id (never a cartesian), with the cluster count"
+        " derived from the corpus size (k ~ sqrt(N)) and over-occupied"
+        " cells capped out via the broadcast cell filter; cosine is"
+        " scored once per surviving in-cell pair."
+    ),
+    "dup_spans": (
+        "Duplicated-span stats: gram positions explode once, document"
+        " frequency is a map-side-combinable count per gram, and ONLY"
+        " the qualifying (duplicated) grams join back — the big"
+        " relation never meets itself. Runs come from the"
+        " gap-and-islands window key (pos - row_number), no self-join."
+    ),
+    "embedding_quantize": (
+        "int8 quantization: a pure scan-side map — no join, no hash"
+        " exchange, no Python; the whole operator lives inside one"
+        " WholeStageCodegen span and scales linearly with bytes."
+    ),
+    "dsir_weights": (
+        "DSIR scoring: the corpus is tokenized once into a checkpointed"
+        " (doc, bucket, count) relation; the bucket model is a fixed"
+        " 1024-row broadcast (hashed features bound the model size"
+        " regardless of corpus scale), so the scoring join never"
+        " shuffles the corpus side by bucket."
+    ),
 }
 
 
