@@ -81,6 +81,8 @@ HEADLINE = [
     "dsir_weights",
     "semdedup",
     "tfidf_keywords",
+    "sample_exact_k",
+    "dedup_edit",
 ]
 
 

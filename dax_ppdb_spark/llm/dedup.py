@@ -740,3 +740,56 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.4,
+    prefix: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Character-level near-dup verification: MinHash-LSH discovery,
+    then Levenshtein similarity on LENGTH-CAPPED text prefixes —
+    the complement of the token-level Jaccard verify in
+    :func:`verified_neardup_pairs` (edit distance catches
+    small-edit/boilerplate variants whose token sets already diverge).
+
+    ``edit_sim = 1 - lev(a[:prefix], b[:prefix]) /
+    max(len(a[:prefix]), len(b[:prefix]))``.  The prefix cap bounds
+    the O(len^2) DP cell count per pair at ``prefix^2`` — without it
+    one pathological pair of long documents detonates a task (the
+    same reasoning as the bucket caps).  Candidates come from the
+    same single-shuffle LSH as every other verify stage: the
+    quadratic metric only ever touches the candidate set, never the
+    corpus.  Levenshtein is exact-integer and engine-identical, so
+    the oracle replays it directly.
+
+    Output: (doc_a, doc_b, edit_sim round 6) with edit_sim >=
+    ``threshold``.
+    """
+    cand = minhash_lsh_pairs(docs, k, bands, n, text_col, id_col, max_bucket)
+    txt = docs.select(F.col(id_col).alias("id"),
+                      F.substring(F.col(text_col), 1, prefix).alias("txt"))
+    # Pair side broadcasts (candidate sets are small by construction —
+    # see verified_neardup_pairs); the corpus text table streams.
+    joined = F.broadcast(
+        F.broadcast(cand).join(
+            txt.select(F.col("id").alias("doc_a"), F.col("txt").alias("ta")), "doc_a"
+        )
+    ).join(txt.select(F.col("id").alias("doc_b"), F.col("txt").alias("tb")), "doc_b")
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    sim = F.round(
+        F.lit(1.0)
+        - lev.cast("double") / F.greatest(F.length("ta"), F.length("tb")),
+        6,
+    )
+    return (
+        joined.withColumn("edit_sim", sim)
+        .filter(F.col("edit_sim") >= threshold)
+        .select("doc_a", "doc_b", "edit_sim")
+    )

@@ -215,3 +215,34 @@ def dsir_logweights(
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("dsir_logweight"))
     )
+
+
+def exact_stratified_k(
+    df: DataFrame,
+    strata: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "exact-k",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample — the balanced-subset
+    builder (k docs per language/source for eval sets, annotation
+    batches, per-domain probes), complementing the rate-based
+    :func:`stratified_sample`.
+
+    Rank within each stratum by a salted id hash (uniform, reproducible,
+    engine-replayable; ties broken by id) and keep ``rank <= k``.
+    Strata with fewer than k rows keep everything.  One shuffle on the
+    strata key; at 100 TB a hot stratum is a window over its own
+    partition — bounded by the stratum's size, and the hash order
+    means no sort by any data-dependent value.
+    """
+    from .text import md5_long
+
+    order = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

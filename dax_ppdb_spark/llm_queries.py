@@ -1474,3 +1474,52 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import tfidf_topk
 
     return tfidf_topk(_read_spread(spark, sf_dir, "documents"), k=5)
+
+
+_EXACT_K_SALT_HASH = md5_long_sql("'exact-k' || CAST(doc_id AS VARCHAR)")
+
+_SAMPLE_EXACT_K_SQL = f"""
+SELECT lang, doc_id, rank FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY {_EXACT_K_SALT_HASH}, doc_id) AS rank
+    FROM documents
+) WHERE rank <= 30
+"""
+
+
+@register("sample_exact_k", _SAMPLE_EXACT_K_SQL)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 30 docs per language by salted-hash rank — the
+    balanced-subset builder (eval sets, annotation batches)."""
+    from .llm.sampling import exact_stratified_k
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return exact_stratified_k(docs, ["lang"], k=30).select("lang", "doc_id", "rank")
+
+
+def _edit_verified_sql() -> str:
+    return f"""
+WITH cand AS ({_minhash_band_sql()}),
+txt AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents)
+SELECT c.doc_a, c.doc_b,
+       round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+             / greatest(length(a.t), length(b.t)), 6) AS edit_sim
+FROM cand c
+JOIN txt a ON a.doc_id = c.doc_a
+JOIN txt b ON b.doc_id = c.doc_b
+WHERE round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+            / greatest(length(a.t), length(b.t)), 6) >= 0.4
+"""
+
+
+@register("dedup_edit", _edit_verified_sql())
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verified near-dup: MinHash-LSH candidates
+    scored by Levenshtein similarity on 200-char prefixes (the DP
+    cost cap).  Complements the token-level Jaccard verify."""
+    from .llm.dedup import edit_verified_pairs
+
+    return edit_verified_pairs(
+        _read_spread(spark, sf_dir, "documents"), threshold=0.4, prefix=200
+    )

@@ -737,3 +737,31 @@ def test_tfidf_keywords_rank_rare_terms_first(spark):
     assert top[0] == "rare0"
     assert top[1] == "unique1"
     assert all(r.token != "common" or r.tfidf == 0.0 for r in out)
+
+
+def test_exact_stratified_k_counts_and_determinism(spark):
+    from dax_ppdb_spark.llm.sampling import exact_stratified_k
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = exact_stratified_k(df, ["lang"], k=10)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    # full stratum capped at k; small stratum (10 rows) kept whole
+    assert counts == {"a": 10, "b": 10}
+    # deterministic: same ids on a re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in exact_stratified_k(df, ["lang"], k=10).collect())
+    assert ids1 == ids2
+
+
+def test_edit_verified_pairs_scores_small_edits_high(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorow")
+    docs = _docs(spark, [base, near, "completely different words everywhere around here now"])
+    from dax_ppdb_spark.llm.dedup import edit_verified_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.edit_sim
+             for r in edit_verified_pairs(docs, threshold=0.4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.85
+    assert all(2 not in p for p in pairs)

@@ -67,6 +67,8 @@ QUERIES = [
     "dsir_weights",
     "semdedup",
     "tfidf_keywords",
+    "sample_exact_k",
+    "dedup_edit",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
