@@ -44,7 +44,13 @@ def quantize_int8(
     scalars keep the driver-compare engine-portable):
 
     - ``dim`` — vector length,
-    - ``scale`` — the dequantization step (round 6),
+    - ``scale`` — the dequantization step, UNROUNDED: it is produced
+      by exact IEEE ops only (max of abs, one division — no
+      summation whose order could differ between engines), so it is
+      bit-identical everywhere, and rounding it would destroy the
+      ability to dequantize small-magnitude vectors (a 1e-7-norm
+      vector's scale rounds to 0.0 at 6 decimals while its codes are
+      non-zero — caught by the property suite),
     - ``qnorm_sq`` — sum of squared int8 codes (exact int64, an
       order-insensitive content anchor for the whole code vector),
     - ``rmse`` — root-mean-square reconstruction error (round 6).
@@ -75,7 +81,7 @@ def quantize_int8(
     return emb.select(
         F.col(id_col),
         dim.alias("dim"),
-        F.round(scale, 6).alias("scale"),
+        scale.alias("scale"),
         qnorm_sq.alias("qnorm_sq"),
         F.round(F.sqrt(err2 / F.greatest(dim, F.lit(1))), 6).alias("rmse"),
     )

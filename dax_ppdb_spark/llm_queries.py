@@ -1294,7 +1294,7 @@ q AS (
 )
 SELECT vec_id,
        len(e) AS dim,
-       round(scale, 6) AS scale,
+       scale,
        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm_sq,
        round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
              i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))
