@@ -168,6 +168,46 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Run the corpus-curation funnel end-to-end and WRITE the result:
+    quality filter -> exact dedup (min-id representative) -> optional
+    PII redaction -> deterministic split assignment -> parquet
+    partitioned by split.
+
+    The operational form of the ``corpus_curate`` query: one shuffle
+    (the dedup window), everything else map-side, output partitioned
+    so downstream training readers prune by split.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm.sampling import hash_split
+    from .llm.text import quality_metrics, redact_pii
+
+    spark = get_spark("ppdb-curate")
+    docs = spark.read.parquet(args.input)
+    scored = docs.withColumn(
+        "quality_score", quality_metrics(F.col("text"))["quality_score"]
+    ).filter(F.col("quality_score") >= args.min_quality)
+    w = Window.partitionBy(F.md5("text"))
+    deduped = (
+        scored.withColumn("__keep", F.min("doc_id").over(w) == F.col("doc_id"))
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    if args.redact_pii:
+        red, n_red = redact_pii(F.col("text"))
+        # count BEFORE replacing text — both expressions reference the
+        # "text" column, and withColumn resolves against the frame it
+        # is applied to, so the opposite order would count zero.
+        deduped = deduped.withColumn("n_redacted", n_red).withColumn("text", red)
+    out = hash_split(deduped)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    kept = spark.read.parquet(args.out).count()
+    print(f"curated {kept} docs -> {args.out} (partitioned by split)")
+    return 0
+
+
 def _cmd_create_datasets(args: argparse.Namespace) -> int:
     from .schema.ddl import DatasetBuilder
     from .schema.felis import load_schema
@@ -236,6 +276,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("table", help="parquet table path")
     p.add_argument("out", help="output directory for part-*.pgcopy")
     p.add_argument("--columns", help="comma-separated column subset", default=None)
+
+    p = add("curate", "quality-filter, dedup, split and write a document corpus", _cmd_curate)
+    p.add_argument("input", help="documents parquet path (doc_id, text, ...)")
+    p.add_argument("out", help="output directory (partitioned by split)")
+    p.add_argument("--min-quality", type=float, default=0.4)
+    p.add_argument("--redact-pii", action="store_true", default=False)
 
     p = add("create-datasets", "build the 4-namespace catalog (D13)", _cmd_create_datasets)
     p.add_argument("--schema", help="Felis YAML path")

@@ -234,3 +234,26 @@ def test_compact_command(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
+
+
+def test_curate_command_writes_split_partitions(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated")
+    good = "the quick brown fox jumps over the lazy dog and runs on in the field " * 4
+    rows = [(i, good + f"doc{i}") for i in range(20)]
+    rows.append((100, rows[0][1]))          # exact duplicate of doc 0 -> dropped
+    rows.append((101, "!!! ??? ##"))        # junk -> quality-filtered
+    rows.append((102, good + "mail me at a@b.com please"))
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(src)
+    rc = cli.main(["curate", src, out, "--redact-pii"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r.doc_id for r in got.collect()}
+    assert 100 not in ids and 101 not in ids and 0 in ids and 102 in ids
+    # split partitioning on disk, and PII gone from the text
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    red = got.filter("doc_id = 102").collect()[0]
+    assert "[EMAIL]" in red.text and red.n_redacted == 1
+    assert "curated" in capsys.readouterr().out
