@@ -83,6 +83,8 @@ HEADLINE = [
     "tfidf_keywords",
     "sample_exact_k",
     "dedup_edit",
+    "hybrid_search",
+    "source_overlap",
 ]
 
 

@@ -793,3 +793,49 @@ def edit_verified_pairs(
         .filter(F.col("edit_sim") >= threshold)
         .select("doc_a", "doc_b", "edit_sim")
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_sources: int | None = 100,
+) -> DataFrame:
+    """Inter-source duplication matrix: for every pair of sources
+    (crawl domains, dump snapshots, dataset providers), how many
+    distinct word n-gram shingles they share — the corpus-analytics
+    view that tells a datamix owner which sources are near-copies of
+    each other before weighting them independently.
+
+    One (source, shingle) distinct relation, self-joined on the
+    shingle: a pair row appears once per SHARED shingle, so a plain
+    count is the shared-shingle cardinality.  ``max_sources`` is the
+    usual skew guard — a shingle present in more than that many
+    sources (universal boilerplate) is dropped before the pair
+    expansion, bounding the per-shingle fan-out at
+    ``max_sources^2`` instead of (number of domains)^2.
+    """
+    ss = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+    )
+    if max_sources is not None:
+        ok = (
+            ss.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .filter(F.col("ns") <= max_sources)
+            .select("sh")
+        )
+        ss = ss.join(ok, "sh")
+    a = ss.select(F.col("sh"), F.col("source").alias("source_a"))
+    b = ss.select(F.col("sh"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -1523,3 +1523,75 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_verified_pairs(
         _read_spread(spark, sf_dir, "documents"), threshold=0.4, prefix=200
     )
+
+
+_HYBRID_SEARCH_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           least(len({_TOKS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1)) * 0.3
+           + 1.0 / (1.0 + (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)) * 10.0) * 0.3
+               AS quality_score
+    FROM documents
+),
+keep AS (SELECT doc_id FROM scored WHERE lang = 'en' AND quality_score >= 0.4),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (SELECT e.* FROM e JOIN keep ON keep.doc_id = e.vec_id),
+qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                       c.vec_id) AS rank
+    FROM qs q JOIN corpus c ON c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+@register("hybrid_search", _HYBRID_SEARCH_SQL)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid filtered vector search: restrict the ANN corpus to
+    documents passing a metadata + quality predicate (lang='en',
+    quality >= 0.4 — the doc table joins the embedding table on id),
+    then exact cosine top-5 per query vector.  The RAG-retrieval
+    shape: predicate pushdown on the doc side, ids-only semi join
+    onto the vector side, scan confined to the filtered corpus."""
+    from .llm.similarity import topk_bruteforce
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    keep = docs.withColumn(
+        "q", quality_metrics(F.col("text"))["quality_score"]
+    ).filter((F.col("lang") == "en") & (F.col("q") >= 0.4)).select("doc_id")
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        keep.withColumnRenamed("doc_id", "vec_id"), "vec_id", "semi"
+    )
+    return topk_bruteforce(corpus, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH ss AS (
+    SELECT DISTINCT source, sh FROM (
+        SELECT source, unnest({_SHINGLES3}) AS sh FROM documents
+    )
+),
+ok AS (SELECT sh FROM ss GROUP BY sh HAVING COUNT(*) <= 100)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM ss a
+JOIN ss b USING (sh)
+JOIN ok USING (sh)
+WHERE a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@register("source_overlap", _SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source shared-shingle matrix — which sources duplicate
+    each other (the datamix-weighting prerequisite)."""
+    from .llm.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_read_spread(spark, sf_dir, "documents"), n=3)

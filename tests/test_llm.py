@@ -765,3 +765,26 @@ def test_edit_verified_pairs_scores_small_edits_high(spark):
              for r in edit_verified_pairs(docs, threshold=0.4).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.85
     assert all(2 not in p for p in pairs)
+
+
+def test_source_overlap_counts_shared_shingles(spark):
+    rows = [
+        (0, "srcA", "one two three four"),
+        (1, "srcB", "one two three nine"),   # shares "one two three"
+        (2, "srcC", "ten eleven twelve thirteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    from dax_ppdb_spark.llm.dedup import source_overlap_matrix
+
+    out = {(r.source_a, r.source_b): r.n_shared
+           for r in source_overlap_matrix(docs, n=3).collect()}
+    assert out == {("srcA", "srcB"): 1}
+
+
+def test_source_overlap_cap_drops_universal_shingle(spark):
+    rows = [(i, f"src{i}", "common shingle here") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    from dax_ppdb_spark.llm.dedup import source_overlap_matrix
+
+    assert source_overlap_matrix(docs, n=3, max_sources=3).count() == 0
+    assert source_overlap_matrix(docs, n=3, max_sources=None).count() == 6

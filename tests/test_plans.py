@@ -263,3 +263,19 @@ def test_dsir_model_broadcasts(spark, sf_dir, registry):
     plan = plan_of(registry["dsir_weights"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_search_filters_reach_doc_scan(spark, sf_dir, registry):
+    """The metadata predicate must push into the documents scan, and
+    the corpus restriction must be a semi join — the vector side
+    carries ids only, never a cartesian."""
+    plan = plan_of(registry["hybrid_search"](spark, sf_dir))
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_no_cartesian(spark, sf_dir, registry):
+    plan = plan_of(registry["source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -69,6 +69,8 @@ QUERIES = [
     "tfidf_keywords",
     "sample_exact_k",
     "dedup_edit",
+    "hybrid_search",
+    "source_overlap",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
