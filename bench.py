@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_edit",
     "hybrid_search",
     "source_overlap",
+    "dedup_span_removal",
 ]
 
 

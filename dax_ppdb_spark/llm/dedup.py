@@ -839,3 +839,76 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span REMOVAL — the transformation the substring-dedup signal
+    (:func:`duplicated_span_stats`) exists to drive: rebuild each
+    document with every token covered by a cross-document duplicated
+    n-gram dropped (Lee et al. 2022 remove the shared substring from
+    all but one occurrence; large pipelines commonly drop it
+    everywhere, as here, which is also what keeps the operator
+    embarrassingly parallel — no global "keep one winner" election).
+
+    Output per doc: ``cleaned`` (kept tokens joined by single spaces —
+    whitespace is normalized by reconstruction), ``n_tokens``
+    (original), ``n_removed``.  Docs whose every token is covered
+    clean to the empty string.
+
+    Scale shape: the same inverted-index aggregation as
+    ``duplicated_span_stats`` finds duplicated gram positions; each
+    expands to its n covered token indices (ids+ints only), the token
+    relation anti-joins the covered set, and one per-doc aggregation
+    rebuilds the text (``array_sort`` of (idx, token) structs — a
+    deterministic in-group sort, bounded by document length).
+    """
+    toks = tokens(F.col(text_col))
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("idx", "tok")
+    )
+    from .text import ngrams
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams(toks, n)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("gram")
+    )
+    covered = (
+        g.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
+        )
+        .distinct()
+    )
+    kept = tk.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -1595,3 +1595,41 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import source_overlap_matrix
 
     return source_overlap_matrix(_read_spread(spark, sf_dir, "documents"), n=3)
+
+
+_SPAN_REMOVAL_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (
+    SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM t)
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+    SELECT DISTINCT doc_id, pos + unnest(range(0, 5)) AS idx
+    FROM g JOIN dupg USING (gram)
+),
+kept AS (SELECT tk.* FROM tk ANTI JOIN covered USING (doc_id, idx)),
+rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+SELECT base.doc_id, COALESCE(cleaned, '') AS cleaned, n_tokens,
+       n_tokens - COALESCE(n_kept, 0) AS n_removed
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVAL_SQL)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup as a TRANSFORMATION: drop every token covered
+    by a cross-document duplicated 5-gram and rebuild the text."""
+    from .llm.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(_read_spread(spark, sf_dir, "documents"), n=5)

@@ -788,3 +788,29 @@ def test_source_overlap_cap_drops_universal_shingle(spark):
 
     assert source_overlap_matrix(docs, n=3, max_sources=3).count() == 0
     assert source_overlap_matrix(docs, n=3, max_sources=None).count() == 6
+
+
+def test_remove_duplicated_spans_drops_covered_tokens(spark):
+    from dax_ppdb_spark.llm.dedup import remove_duplicated_spans
+
+    shared = "one two three four five six seven eight"  # 8 toks
+    docs = _docs(
+        spark,
+        [
+            shared + " uniq0a uniq0b uniq0c uniq0d uniq0e",
+            shared + " uniq1a uniq1b uniq1c uniq1d uniq1e",
+            "totally different words with no overlap at all anywhere",
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=5).collect()}
+    # shared 5-gram positions 0..3 cover tokens 0..7 -> the whole
+    # shared prefix is dropped, the unique tail survives
+    for d in (0, 1):
+        assert out[d].cleaned == f"uniq{d}a uniq{d}b uniq{d}c uniq{d}d uniq{d}e"
+        assert out[d].n_tokens == 13 and out[d].n_removed == 8
+    assert out[2].n_removed == 0
+    assert out[2].cleaned.startswith("totally different")
+    # full-duplicate docs clean to empty
+    twins = _docs(spark, ["a b c d e f", "a b c d e f"])
+    got = remove_duplicated_spans(twins, n=5).collect()
+    assert all(r.cleaned == "" and r.n_removed == 6 for r in got)

@@ -71,6 +71,7 @@ QUERIES = [
     "dedup_edit",
     "hybrid_search",
     "source_overlap",
+    "dedup_span_removal",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
