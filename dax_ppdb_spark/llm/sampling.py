@@ -246,3 +246,89 @@ def exact_stratified_k(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    size_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    coarse_buckets: int = 0,
+) -> DataFrame:
+    """Greedy per-source token-budget sampling — the datamix assembly
+    step (DoReMi / Dolma-style): given a target budget of tokens per
+    source, walk each source in a deterministic salted-hash order and
+    keep documents while the source's running total is under budget.
+
+    A document is kept iff its EXCLUSIVE prefix sum (tokens taken
+    before it, in hash order) is under the source's budget — so the
+    document that crosses the line is included (budgets are "at
+    least", matching the greedy sequential sampler) and sources
+    absent from ``budgets`` are dropped.  The hash order makes the
+    pick set a pure function of (salt, id): re-runs, retries, and the
+    DuckDB oracle all reproduce it exactly, and adding new documents
+    never evicts previously-picked ones ordered ahead of them.
+
+    Scale: the naive shape is one window cumsum per source — a single
+    hash-partition shuffle, but a hot source serializes into one sort
+    range.  ``coarse_buckets > 0`` switches to a two-phase plan:
+    documents land in ``coarse_buckets`` contiguous hash-range
+    buckets; a tiny per-(source, bucket) aggregate (`sources x
+    buckets` rows, broadcast back) locates each source's crossing
+    bucket; buckets wholly under budget are kept with NO window at
+    all, buckets past it are dropped at the scan, and the window
+    cumsum runs only inside the one crossing bucket per source —
+    1/``coarse_buckets`` of the data.  Both phases implement the same
+    greedy order, so the simple single-window SQL remains the oracle.
+    """
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    budget = None
+    for src, b in sorted(budgets.items()):
+        cond = F.col(source_col) == src
+        budget = F.when(cond, F.lit(b)) if budget is None else budget.when(cond, F.lit(b))
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    keep_cols = [F.col(c) for c in df.columns]
+
+    if coarse_buckets <= 0:
+        w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+        prefix = F.sum(size_col).over(w) - F.col(size_col)
+        return (
+            df.withColumn("__budget", budget)
+            .withColumn("__prefix", prefix)
+            .filter(F.col("__prefix") < F.col("__budget"))
+            .select(*keep_cols)
+        )
+
+    # Two-phase: md5_long is uniform in [0, 2^32); contiguous ranges of
+    # it are the coarse buckets, so bucket order == hash order.
+    span = (1 << 32) // coarse_buckets + 1
+    t = (
+        df.withColumn("__budget", budget)
+        .filter(F.col("__budget") > 0)
+        .withColumn("__h", h)
+        .withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
+    )
+    bw = Window.partitionBy(source_col).orderBy("__b")
+    btot = (
+        t.groupBy(source_col, "__b")
+        .agg(F.sum(size_col).alias("__bsz"))
+        .withColumn("__bprefix", F.sum("__bsz").over(bw) - F.col("__bsz"))
+    )
+    j = t.join(F.broadcast(btot), [source_col, "__b"])
+    # Bucket wholly under budget: every doc's exclusive prefix is under
+    # it too — keep without any per-row window.
+    whole = j.filter(F.col("__bprefix") + F.col("__bsz") <= F.col("__budget"))
+    # Crossing bucket(s): window only here, offset by the bucket prefix.
+    crossing = j.filter(
+        (F.col("__bprefix") < F.col("__budget"))
+        & (F.col("__bprefix") + F.col("__bsz") > F.col("__budget"))
+    )
+    cw = Window.partitionBy(source_col, "__b").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    picked = crossing.withColumn(
+        "__prefix", F.col("__bprefix") + F.sum(size_col).over(cw) - F.col(size_col)
+    ).filter(F.col("__prefix") < F.col("__budget"))
+    return whole.select(*keep_cols).unionByName(picked.select(*keep_cols))

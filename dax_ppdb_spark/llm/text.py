@@ -388,3 +388,52 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", F.col("t").alias("token"), "tfidf")
     )
+
+
+def perplexity_buckets(
+    docs,
+    n_buckets: int = 3,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): score
+    every document with the corpus unigram LM, then split each
+    language into ``n_buckets`` equal-count perplexity tiers —
+    bucket 1 ("head") is the most-fluent tier real pipelines keep,
+    the last ("tail") the usual drop.
+
+    NTILE over (score DESC, id) per language: one extra shuffle on
+    the language key after the scoring aggregation, and the per-lang
+    sort is by a per-doc scalar — no data blowup anywhere, so the
+    operator inherits :func:`unigram_logprob_score`'s scale shape.
+    Scores are rounded to 6 decimals BEFORE ranking on both engines
+    (last-ulp float differences must not flip tier boundaries).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = unigram_logprob_score(
+        docs, text_col=text_col, id_col=id_col, min_count=min_count
+    ).withColumn("avg_logprob", F.round("avg_logprob", 6))
+    lang = docs.select(F.col(id_col), F.col(strata_col))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(tier == 1, "head")
+        .when(tier == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return (
+        scored.join(lang, id_col)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col("avg_logprob"),
+            tier.cast("int").alias("tier"),
+            label.alias("tier_name"),
+        )
+    )

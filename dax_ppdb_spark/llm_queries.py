@@ -1633,3 +1633,77 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import remove_duplicated_spans
 
     return remove_duplicated_spans(_read_spread(spark, sf_dir, "documents"), n=5)
+
+
+_MIX_BUDGET_CASE = (
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4',"
+    "'src5','src6','src7','src8','src9') THEN 4000 "
+    "WHEN source IN ('src10','src11','src12','src13','src14',"
+    "'src15','src16','src17','src18') THEN 1500 ELSE 0 END"
+)
+
+_MIXTURE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, source, n_chars,
+           {md5_long_sql("'mix' || CAST(doc_id AS VARCHAR)")} AS hv,
+           {_MIX_BUDGET_CASE} AS budget
+    FROM documents
+), c AS (
+    SELECT *, SUM(n_chars) OVER (
+        PARTITION BY source ORDER BY hv, doc_id
+    ) - n_chars AS prefix
+    FROM h
+)
+SELECT doc_id, source, n_chars FROM c WHERE prefix < budget
+"""
+
+
+@register("mixture_sample", _MIXTURE_SQL)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget datamix assembly: greedy per-source sampling in
+    salted-hash order until each source's budget is filled.  Runs the
+    two-phase scalable plan (coarse hash-range buckets; the window
+    cumsum touches only each source's crossing bucket) and is checked
+    against the simple single-window oracle — both implement the same
+    greedy order, so agreement proves the phase split."""
+    from .llm.sampling import token_budget_mixture
+
+    budgets = {f"src{i}": 4000 for i in range(10)}
+    budgets.update({f"src{i}": 1500 for i in range(10, 19)})
+    docs = _read_spread(spark, sf_dir, "documents")
+    return token_budget_mixture(
+        docs, budgets, coarse_buckets=8
+    ).select("doc_id", "source", "n_chars")
+
+
+_PPLX_BUCKETS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+kept AS (SELECT t, n FROM freq WHERE n >= 2),
+oov AS (SELECT SUM(n) AS n_oov FROM freq WHERE n < 2),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS z FROM freq),
+score AS (
+    SELECT tok.doc_id,
+           round(AVG(ln(COALESCE(kept.n, oov.n_oov) / tot.z)), 6) AS avg_logprob
+    FROM tok LEFT JOIN kept USING (t), oov, tot
+    GROUP BY tok.doc_id
+)
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       CAST(NTILE(3) OVER (
+           PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.doc_id
+       ) AS INTEGER) AS tier,
+       CASE NTILE(3) OVER (
+           PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.doc_id
+       ) WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS tier_name
+FROM score s JOIN documents d USING (doc_id)
+"""
+
+
+@register("perplexity_buckets", _PPLX_BUCKETS_SQL)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: corpus-LM score every doc, then NTILE
+    each language into three equal-count fluency tiers (scores rounded
+    before ranking so float ulps cannot flip a boundary)."""
+    from .llm.text import perplexity_buckets
+
+    return perplexity_buckets(_read_spread(spark, sf_dir, "documents"))

@@ -814,3 +814,58 @@ def test_remove_duplicated_spans_drops_covered_tokens(spark):
     twins = _docs(spark, ["a b c d e f", "a b c d e f"])
     got = remove_duplicated_spans(twins, n=5).collect()
     assert all(r.cleaned == "" and r.n_removed == 6 for r in got)
+
+
+def test_token_budget_mixture_greedy_and_two_phase_agree(spark):
+    from dax_ppdb_spark.llm.sampling import token_budget_mixture
+
+    rows = [(i, f"src{i % 3}", 10 + (i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    budgets = {"src0": 150, "src1": 40}  # src2 absent -> dropped
+    simple = token_budget_mixture(df, budgets)
+    phased = token_budget_mixture(df, budgets, coarse_buckets=8)
+    ids_simple = sorted(r.doc_id for r in simple.collect())
+    ids_phased = sorted(r.doc_id for r in phased.collect())
+    # Both plans implement the identical greedy order.
+    assert ids_simple == ids_phased
+    got = {r.source for r in simple.collect()}
+    assert "src2" not in got
+    # Greedy semantics: every source's EXCLUSIVE prefix stays under
+    # budget, so total-per-source < budget + max_doc_size.
+    per = {
+        r.source: r.tot
+        for r in simple.groupBy("source").agg(F.sum("n_chars").alias("tot")).collect()
+    }
+    assert per["src0"] < 150 + 17 and per["src0"] >= 150
+    assert per["src1"] < 40 + 17 and per["src1"] >= 40
+
+
+def test_token_budget_mixture_oversized_budget_keeps_all(spark):
+    from dax_ppdb_spark.llm.sampling import token_budget_mixture
+
+    rows = [(i, "a", 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = token_budget_mixture(df, {"a": 10_000}, coarse_buckets=4)
+    assert out.count() == 10
+
+
+def test_perplexity_buckets_balanced_tiers(spark):
+    from dax_ppdb_spark.llm.text import perplexity_buckets
+
+    # 12 docs, one lang: common-token docs score high (head), docs made
+    # of hapax tokens collapse to OOV (tail).
+    rows = [(i, "the the the the the the", "en") for i in range(8)]
+    rows += [(100 + i, f"zzqx{i}a zzqx{i}b zzqx{i}c", "en") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, n_buckets=3).collect()
+    assert len(out) == 12
+    tiers = {r.tier for r in out}
+    assert tiers == {1, 2, 3}
+    by_tier = {t: [r for r in out if r.tier == t] for t in tiers}
+    # NTILE(3) over 12 rows: 4 per tier.
+    assert {len(v) for v in by_tier.values()} == {4}
+    # Every OOV-only doc scores below every common-token doc.
+    assert all(r.doc_id >= 100 for r in by_tier[3])
+    assert all(r.tier_name == "head" for r in by_tier[1])
+    assert all(r.tier_name == "middle" for r in by_tier[2])
+    assert all(r.tier_name == "tail" for r in by_tier[3])
