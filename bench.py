@@ -86,6 +86,8 @@ HEADLINE = [
     "hybrid_search",
     "source_overlap",
     "dedup_span_removal",
+    "mixture_sample",
+    "perplexity_buckets",
 ]
 
 

@@ -72,6 +72,8 @@ QUERIES = [
     "hybrid_search",
     "source_overlap",
     "dedup_span_removal",
+    "mixture_sample",
+    "perplexity_buckets",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
