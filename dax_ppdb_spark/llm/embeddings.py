@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_similarity, kmeans_centroids, nearest_centroid
+from .similarity import assign_cells, cosine_similarity, kmeans_centroids
 
 
 def _half_up(x: Column) -> Column:
@@ -137,9 +137,13 @@ def semdedup_pairs(
     if n_clusters is None:
         n_clusters = auto_semdedup_clusters(emb.count())
     cents = kmeans_centroids(emb, n_clusters, iters, vec_col, id_col, sample_mod)
-    assigned = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("cid", nearest_centroid(F.col("v"), cents))
+    assigned = assign_cells(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        cents,
+    )
     if max_cell is not None:
         ok = (
             assigned.groupBy("cid")

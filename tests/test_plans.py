@@ -234,8 +234,21 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry):
     default-on cell cap), never an all-pairs scan."""
     plan = plan_of(registry["semdedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" in plan
+    # The ONLY nested-loop joins allowed are the one-row broadcast
+    # centroid attaches (assign_cells ships the centroid table as a
+    # single broadcast row of constant bytes — identified by its
+    # __cents column in the node's detail block).  Any other nested
+    # loop would be an all-pairs scan.  Catalyst makes an equi-key
+    # dodge impossible: a single-valued key constant-propagates into
+    # a build-side filter and the join degenerates to condition-free.
+    for block in plan.split("\n\n"):
+        if "BroadcastNestedLoopJoin" in block and block.startswith("("):
+            assert "__cents" in block, block
+    # The O(N) pair stage itself must be an equi join on the cell id.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "hashpartitioning(cid" in plan or "Left keys [1]: [cid" in plan
 
 
 def test_dup_spans_no_cartesian_single_gram_shuffle(spark, sf_dir, registry):
