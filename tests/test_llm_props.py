@@ -127,3 +127,93 @@ def test_exact_stratified_k_invariants(spark, rows, k):
         assert sorted(ranks) == list(range(1, min(k, sizes[lang]) + 1))
     in_ids = {r[0] for r in rows}
     assert all(r.doc_id in in_ids for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 200),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    budgets=st.fixed_dictionaries(
+        {},
+        optional={
+            "a": st.integers(0, 300),
+            "b": st.integers(0, 300),
+            "c": st.integers(0, 300),
+        },
+    ),
+    coarse=st.sampled_from([2, 4, 8]),
+)
+def test_token_budget_mixture_invariants(spark, rows, budgets, coarse):
+    """The two-phase plan equals the single-window greedy exactly; per
+    source, the exclusive prefix bound holds (kept-total < budget +
+    max kept doc, and kept-total >= min(budget, source total)); absent
+    or zero budgets keep nothing."""
+    from dax_ppdb_spark.llm.sampling import token_budget_mixture
+
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    simple = sorted(
+        (r.doc_id, r.source, r.n_chars)
+        for r in token_budget_mixture(df, budgets).collect()
+    )
+    phased = sorted(
+        (r.doc_id, r.source, r.n_chars)
+        for r in token_budget_mixture(df, budgets, coarse_buckets=coarse).collect()
+    )
+    assert simple == phased
+    totals: dict[str, int] = {}
+    kept: dict[str, list[int]] = {}
+    for _, src, n in rows:
+        totals[src] = totals.get(src, 0) + n
+    for _, src, n in simple:
+        kept.setdefault(src, []).append(n)
+    for src in totals:
+        b = budgets.get(src, 0)
+        got = sum(kept.get(src, []))
+        if b == 0:
+            assert src not in kept
+        else:
+            assert got >= min(b, totals[src])
+            if kept.get(src):
+                assert got - max(kept[src]) < b
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "zz"]), min_size=1, max_size=6).map(" ".join),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=3,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_perplexity_buckets_ntile_invariants(spark, rows):
+    """Every doc gets a tier; per language, tier sizes differ by at
+    most one and tier boundaries respect the (score desc, id) order."""
+    from dax_ppdb_spark.llm.text import perplexity_buckets
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = perplexity_buckets(df, n_buckets=3).collect()
+    assert len(out) == len(rows)
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r.tier] = sizes.get(r.tier, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        ordered = sorted(rs, key=lambda r: (-r.avg_logprob, r.doc_id))
+        tiers = [r.tier for r in ordered]
+        assert tiers == sorted(tiers)
