@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_span_removal",
     "mixture_sample",
     "perplexity_buckets",
+    "leak_safe_split",
 ]
 
 

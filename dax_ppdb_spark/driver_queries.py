@@ -943,14 +943,15 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-4 tail: 34 long-stable queries, all green in CORRECTNESS_r03
+# Round-4 tail: 35 long-stable queries, all green in CORRECTNESS_r03
 # (and r1), none touched by round-4 changes.  The round-3 tail (the 17
 # queries with no r3 row) is back in the head, as are the fifteen
 # queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best,
 # asof_tolerance, asof_forward, embedding_quantize, dup_spans,
 # dsir_weights, semdedup, tfidf_keywords, sample_exact_k, dedup_edit,
 # hybrid_search, source_overlap, dedup_span_removal, mixture_sample,
-# perplexity_buckets — never verified, so never tailed).
+# perplexity_buckets, leak_safe_split — never verified, so never
+# tailed).
 _VERIFY_TAIL = (
     "distinct_sketch",
     "dedup_ngram_jaccard",
@@ -986,6 +987,7 @@ _VERIFY_TAIL = (
     "token_count_bpe",
     "crossmatch",
     "repetition_ratio",
+    "ann_topk_multiprobe",
 )
 
 

@@ -1707,3 +1707,64 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import perplexity_buckets
 
     return perplexity_buckets(_read_spread(spark, sf_dir, "documents"))
+
+
+def _leak_safe_split_sql() -> str:
+    """Oracle: the dedup_clusters recursive-CTE component map feeds the
+    same salted-hash split rule, keyed on the CLUSTER id."""
+    pairs = _verified_neardup_sql().strip()
+    key_bucket = md5_long_sql("'split' || CAST(split_key AS VARCHAR)") + " % 1000000"
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(node, comp) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+keyed AS (
+    SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS split_key
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN {key_bucket} < 900000 THEN 'train'
+            WHEN {key_bucket} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+@register("leak_safe_split", _leak_safe_split_sql())
+def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    assigned to splits atomically, so no pair of near-dup documents
+    can straddle train and test (the standard guard against
+    train/test contamination that a per-document hash split cannot
+    give).  Composition: verified near-dup pairs -> connected
+    components -> salted-hash split keyed on the cluster id (every
+    singleton keys on its own doc_id, reproducing split_assign for
+    unduplicated docs).  Scale shape: inherits the O(log n) star
+    rounds of ``ops.graph.connected_components`` plus one map-side
+    hash — no new shuffle beyond the cluster map join."""
+    from .llm.dedup import verified_neardup_pairs
+    from .llm.sampling import hash_split
+    from .ops.graph import connected_components
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    keyed = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("split_key")
+    )
+    return hash_split(keyed, id_col="split_key").select(
+        "doc_id", "split_key", "split"
+    )

@@ -869,3 +869,43 @@ def test_perplexity_buckets_balanced_tiers(spark):
     assert all(r.tier_name == "head" for r in by_tier[1])
     assert all(r.tier_name == "middle" for r in by_tier[2])
     assert all(r.tier_name == "tail" for r in by_tier[3])
+
+
+def test_leak_safe_split_keeps_clusters_together(spark):
+    from dax_ppdb_spark.llm.dedup import verified_neardup_pairs
+    from dax_ppdb_spark.llm.sampling import hash_split
+    from dax_ppdb_spark.ops.graph import connected_components
+
+    # Three exact-duplicate families (certain near-dup pairs) plus
+    # singletons; ids spread out so per-doc hashes would scatter them.
+    rows = []
+    for fam in range(3):
+        for j in range(4):
+            rows.append((fam * 1000 + j * 7, f"family {fam} shared text body repeated tokens {fam}", "en"))
+    rows += [(90000 + i, f"unique singleton text number {i} with its own words {i}", "en") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    keyed = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("split_key")
+    )
+    out = hash_split(keyed, id_col="split_key").collect()
+    by_fam = {}
+    for r in out:
+        if r.doc_id < 90000:
+            by_fam.setdefault(r.doc_id // 1000, set()).add(r.split)
+    # Every near-dup family lands in exactly one split.
+    assert all(len(s) == 1 for s in by_fam.values()), by_fam
+    # Singletons keep the plain per-doc assignment (split_key == id).
+    singles = {r.doc_id: (r.split_key, r.split) for r in out if r.doc_id >= 90000}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.filter(F.col("doc_id") >= 90000).select("doc_id")
+        ).collect()
+    }
+    for did, (key, split) in singles.items():
+        assert key == did
+        assert split == plain[did]
