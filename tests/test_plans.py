@@ -76,6 +76,7 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, registry):
             assert name.startswith("multimodal") or name in (
                 "dedup_clusters",
                 "dedup_keep_best",
+                "leak_safe_split",
             ), f"{name} uses Pandas evaluation outside the allowed paths"
 
 
