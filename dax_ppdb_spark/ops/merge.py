@@ -35,11 +35,27 @@ def merge_upsert(
     """D2: WHEN MATCHED UPDATE (all patch columns) / NOT MATCHED INSERT.
 
     Patch rows fully replace matching target rows; patch columns must
-    be a (sub)set of target columns — missing ones keep target values.
+    be a (sub)set of target columns — missing ones keep target values
+    (NULL on inserted rows).
 
-    ``observe_as`` attaches updated/inserted row counts to the next
-    action on the result (the reference's per-MERGE DML stats,
-    ``updates_manager.py:242-271``) — see ``metrics.observe``.
+    Plan shape: a FULL OUTER join would be the literal translation,
+    but Spark cannot broadcast-build a full outer join — the hint is
+    silently dropped (HintErrorLogger) and the ENTIRE target shuffles
+    through a sort-merge join, which is exactly the wrong cost at a
+    100 TB target with a small patch.  Instead:
+
+    - **update branch**: ``target LEFT JOIN broadcast(patch)`` — a map
+      -side broadcast-hash join, zero target shuffle;
+    - **insert branch**: ``patch LEFT ANTI JOIN target(keys)`` — the
+      existence probe shuffles only the column-pruned KEY projection
+      of the target (parquet reads just the key bytes), never full
+      rows;
+    - union restores the MERGE output.
+
+    Same output set as the full-outer form, so the DuckDB oracles are
+    unchanged.  ``observe_as`` attaches updated/inserted row counts to
+    the next action on the result (the reference's per-MERGE DML
+    stats, ``updates_manager.py:242-271``) — see ``metrics.observe``.
     """
     keys = list(keys)
     p = F.broadcast(patch) if broadcast_patch else patch
@@ -47,32 +63,41 @@ def merge_upsert(
         *[F.col(c).alias(f"__p_{c}") for c in patch.columns]
     )
     cond = [F.col(k) == F.col(f"__p_{k}") for k in keys]
-    joined = target.join(p_pref, cond, "full_outer")
-    matched_or_new = F.col(f"__p_{keys[0]}").isNotNull()
+    joined = target.join(p_pref, cond, "left")
+    matched = F.col(f"__p_{keys[0]}").isNotNull()
+    upd_cols = []
+    for c in target.columns:
+        if c in patch.columns:
+            upd_cols.append(
+                F.when(matched, F.col(f"__p_{c}")).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            upd_cols.append(F.col(c).alias(c))
+    updates = joined.select(
+        *upd_cols,
+        matched.alias("__merge_updated"),
+        F.lit(False).alias("__merge_inserted"),
+    )
+    inserts = patch.join(target.select(*keys), keys, "left_anti").select(
+        *[F.col(c) for c in patch.columns],
+        F.lit(False).alias("__merge_updated"),
+        F.lit(True).alias("__merge_inserted"),
+    )
+    out = updates.unionByName(inserts, allowMissingColumns=True)
     if observe_as:
         from .. import metrics
 
-        tkey = F.col(keys[0])
-        pkey = F.col(f"__p_{keys[0]}")
-        joined = metrics.observe(
-            joined,
+        out = metrics.observe(
+            out,
             observe_as,
             {
                 "rows": F.count(F.lit(1)),
-                "updated": F.count(F.when(tkey.isNotNull() & pkey.isNotNull(), 1)),
-                "inserted": F.count(F.when(tkey.isNull(), 1)),
+                "updated": F.count(F.when(F.col("__merge_updated"), 1)),
+                "inserted": F.count(F.when(F.col("__merge_inserted"), 1)),
             },
             op="merge_upsert",
         )
-    out_cols = []
-    for c in target.columns:
-        if c in patch.columns:
-            out_cols.append(
-                F.when(matched_or_new, F.col(f"__p_{c}")).otherwise(F.col(c)).alias(c)
-            )
-        else:
-            out_cols.append(F.col(c).alias(c))
-    return joined.select(*out_cols)
+    return out.select(*[F.col(c) for c in target.columns])
 
 
 def merge_patch(

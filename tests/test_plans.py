@@ -293,3 +293,15 @@ def test_source_overlap_no_cartesian(spark, sf_dir, registry):
     plan = plan_of(registry["source_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_no_full_outer_shuffle(spark, sf_dir, registry):
+    """MERGE upsert must not be a full-outer join: Spark cannot
+    broadcast-build full outer, the hint is silently dropped, and the
+    whole target shuffles.  The split form pins (a) a broadcast LEFT
+    join for the update branch (zero target shuffle) and (b) an
+    existence probe that reads ONLY the key column of the target."""
+    plan = plan_of(registry["merge_upsert"](spark, sf_dir))
+    assert "FullOuter" not in plan
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
