@@ -97,13 +97,21 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     elimination; the two-reference shape measured 1.5x slower).
     """
     cents = F.lit([[float(x) for x in c] for c in centroids])
-    return _argmin_dist(vec, cents, len(centroids))
+    return _argmin_dist(vec, cents)
 
 
-def _argmin_dist(vec: Column, cents: Column, k: int) -> Column:
+def _argmin_dist(vec: Column, cents: Column) -> Column:
     """Struct-min argmin of squared distance: sequential zip_with fold
     per centroid (deterministic summation order — the DuckDB oracles
-    replay it term for term), first index wins ties."""
+    replay it term for term), first index wins ties.
+
+    The index sequence bound comes from ``size(cents)``, NOT an
+    inlined ``lit(k-1)``: integer literals are pasted into the
+    generated code, so a k-dependent literal gives every distinct
+    cluster count its own codegen unit and a multi-second compile —
+    with the data-derived bound the generated source is byte-identical
+    for ANY k and the bench warm-up at a different scale factor (hence
+    different auto-k) warms this plan too."""
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -114,7 +122,7 @@ def _argmin_dist(vec: Column, cents: Column, k: int) -> Column:
     )
     tagged = F.zip_with(
         dists,
-        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.sequence(F.lit(0), F.size(cents) - 1),
         lambda d, i: F.struct(d.alias("d"), i.alias("i")),
     )
     return F.array_min(tagged)["i"].cast("int")
@@ -153,7 +161,7 @@ def assign_cells(
     # __cents build column.
     return (
         df.crossJoin(F.broadcast(cdf))
-        .withColumn(out_col, _argmin_dist(F.col(vec_col), F.col("__cents"), len(cents)))
+        .withColumn(out_col, _argmin_dist(F.col(vec_col), F.col("__cents")))
         .drop("__cents")
     )
 
