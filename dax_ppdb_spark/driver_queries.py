@@ -944,8 +944,12 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "Verification rotation".
 #
 # Round-4 tail: 35 long-stable queries, all green in CORRECTNESS_r03
-# (and r1), none touched by round-4 changes.  The round-3 tail (the 17
-# queries with no r3 row) is back in the head, as are the fifteen
+# (and r1), none touched by round-4 changes (merge_upsert was tailed
+# early in the round, then its implementation was rewritten — the
+# full-outer-to-left+anti split — so it returned to the head per the
+# never-tail-changed-queries rule; dedup_minhash_lsh, untouched and
+# double-green, took its slot).  The round-3 tail (the 17 queries
+# with no r3 row) is back in the head, as are the eighteen
 # queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best,
 # asof_tolerance, asof_forward, embedding_quantize, dup_spans,
 # dsir_weights, semdedup, tfidf_keywords, sample_exact_k, dedup_edit,
@@ -970,7 +974,7 @@ _VERIFY_TAIL = (
     "shard_pack",
     "validity_fill",
     "latest_only",
-    "merge_upsert",
+    "dedup_minhash_lsh",
     "pricing_summary",
     "pivot_patch",
     "update_explode",

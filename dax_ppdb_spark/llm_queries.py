@@ -250,6 +250,29 @@ FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 """
 
 
+def neardup_cluster_map(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: the canonical near-dup
+    cluster relation — verified pairs (k=8, bands=4, n=3, threshold
+    0.5) grouped by connected components, singletons labeled by their
+    own id.  ONE definition shared by ``dedup_clusters``,
+    ``dedup_keep_best`` and ``leak_safe_split``, so the leakage guard
+    and the dedup pipeline can never disagree about what a cluster is.
+    """
+    from .llm.dedup import verified_neardup_pairs
+    from .ops.graph import connected_components
+
+    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    # Plain left join: the component map can be a large fraction of the
+    # corpus (dup-heavy crawls), so don't force a broadcast — AQE picks
+    # one at runtime when the map is actually small.
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        docs["doc_id"], F.coalesce("component", docs["doc_id"]).alias("cluster_id")
+    )
+
+
 @register("dedup_clusters", _dedup_clusters_sql())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup deliverable: verified near-dup pairs grouped into
@@ -262,21 +285,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape that survives a 100-TB corpus (the oracle's reachability
     walk is quadratic in component size).
     """
-    from .llm.dedup import verified_neardup_pairs
-    from .ops.graph import connected_components
-
-    docs = _read_spread(spark, sf_dir, "documents")
-    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    # Plain left join: the component map can be a large fraction of the
-    # corpus (dup-heavy crawls), so don't force a broadcast — AQE picks
-    # one at runtime when the map is actually small.
-    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+    cmap = neardup_cluster_map(_read_spread(spark, sf_dir, "documents"))
+    return cmap.select(
         "doc_id",
-        F.coalesce("component", "doc_id").alias("cluster_id"),
-        (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("keep"),
     )
 
 
@@ -1224,26 +1237,18 @@ FROM (
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention policy real dedup pipelines actually apply: per
     near-dup cluster, keep the HIGHEST-QUALITY member (not the lowest
-    id) — composition of the two-stage near-dup pairs, the hybrid
-    connected components, and the quality blend.  One extra shuffle
-    beyond dedup_clusters (the per-cluster window); representative =
-    argmax(quality, tie -> min doc_id)."""
+    id) — the shared ``neardup_cluster_map`` relation joined to the
+    quality blend.  One extra shuffle beyond dedup_clusters (the
+    per-cluster window); representative = argmax(quality, tie -> min
+    doc_id)."""
     from pyspark.sql import Window
 
-    from .llm.dedup import verified_neardup_pairs
-    from .ops.graph import connected_components
-
     docs = _read_spread(spark, sf_dir, "documents")
-    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cmap = neardup_cluster_map(docs)
+    scored = docs.select(
+        "doc_id", quality_metrics(F.col("text"))["quality_score"].alias("q")
     )
-    scored = docs.withColumn(
-        "q", quality_metrics(F.col("text"))["quality_score"]
-    )
-    assigned = scored.join(comp, scored["doc_id"] == comp["node"], "left").select(
-        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id"), "q"
-    )
+    assigned = scored.join(cmap, "doc_id")
     w = Window.partitionBy("cluster_id")
     ranked = assigned.withColumn(
         "rn", F.row_number().over(w.orderBy(F.desc("q"), "doc_id"))
@@ -1747,24 +1752,18 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to splits atomically, so no pair of near-dup documents
     can straddle train and test (the standard guard against
     train/test contamination that a per-document hash split cannot
-    give).  Composition: verified near-dup pairs -> connected
-    components -> salted-hash split keyed on the cluster id (every
-    singleton keys on its own doc_id, reproducing split_assign for
-    unduplicated docs).  Scale shape: inherits the O(log n) star
-    rounds of ``ops.graph.connected_components`` plus one map-side
-    hash — no new shuffle beyond the cluster map join."""
-    from .llm.dedup import verified_neardup_pairs
+    give).  Composition: the shared ``neardup_cluster_map`` relation
+    (the SAME cluster definition the dedup pipeline uses) -> salted-
+    hash split keyed on the cluster id (every singleton keys on its
+    own doc_id, reproducing split_assign for unduplicated docs).
+    Scale shape: inherits the O(log n) star rounds of
+    ``ops.graph.connected_components`` plus one map-side hash — no
+    new shuffle beyond the cluster map join."""
     from .llm.sampling import hash_split
-    from .ops.graph import connected_components
 
-    docs = _read_spread(spark, sf_dir, "documents")
-    pairs = verified_neardup_pairs(docs, k=8, bands=4, n=3, threshold=0.5)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    keyed = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
-        "doc_id", F.coalesce("component", "doc_id").alias("split_key")
-    )
+    keyed = neardup_cluster_map(
+        _read_spread(spark, sf_dir, "documents")
+    ).withColumnRenamed("cluster_id", "split_key")
     return hash_split(keyed, id_col="split_key").select(
         "doc_id", "split_key", "split"
     )

@@ -52,8 +52,13 @@ def merge_upsert(
       rows;
     - union restores the MERGE output.
 
-    Same output set as the full-outer form, so the DuckDB oracles are
-    unchanged.  ``observe_as`` attaches updated/inserted row counts to
+    Same output set as the full-outer form for NON-NULL key columns
+    (every real caller: MERGE keys are the reference's primary keys,
+    declared NOT NULL).  For a pathological NULL-keyed patch row the
+    forms differ — the full-outer emulation emitted an all-NULL row,
+    while this shape INSERTS the patch row (NULL never equi-matches),
+    which is what standard SQL MERGE's WHEN NOT MATCHED branch does.
+    ``observe_as`` attaches updated/inserted row counts to
     the next action on the result (the reference's per-MERGE DML
     stats, ``updates_manager.py:242-271``) — see ``metrics.observe``.
     """

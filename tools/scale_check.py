@@ -74,6 +74,7 @@ QUERIES = [
     "dedup_span_removal",
     "mixture_sample",
     "perplexity_buckets",
+    "leak_safe_split",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
