@@ -692,23 +692,29 @@ def duplicated_span_stats(
       (~longest shared substring, in tokens: run + n - 1),
     - ``dup_frac`` — n_dup / n_grams, round 6.
 
-    Scale shape: explode n-gram positions (O(tokens) rows), one
-    aggregation on the gram string for document frequency (map-side
-    combinable count-distinct on ids), join the *qualifying* grams
-    back (the duplicated subset — typically a small fraction of the
-    distinct-gram table, and hot grams cost a count here, never a
-    pair expansion), then per-doc windows over only the duplicated
-    positions.  Runs are grouped by the classic gap-and-islands key
-    ``pos - row_number()`` — no self-join, no cartesian anywhere.
+    Scale shape: explode n-gram positions (O(tokens) rows) and
+    FINGERPRINT each gram to a 64-bit md5 hash at the scan — the two
+    gram-keyed exchanges (the document-frequency aggregation and the
+    qualifying-gram join back) then shuffle longs instead of n-word
+    strings, ~5x fewer shuffle bytes at n = 5 (a hash collision
+    merges two grams' df counts identically on both engines — the
+    oracle replays the same fingerprint, so the contract holds).
+    The df aggregation is map-side combinable count-distinct on ids;
+    qualifying grams join back (the duplicated subset — typically a
+    small fraction of the distinct-gram table, and hot grams cost a
+    count here, never a pair expansion), then per-doc windows run
+    over only the duplicated positions.  Runs are grouped by the
+    classic gap-and-islands key ``pos - row_number()`` — no
+    self-join, no cartesian anywhere.
     """
     from pyspark.sql import Window
 
-    from .text import ngrams
+    from .text import md5_long, ngrams
 
     g = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams(tokens(F.col(text_col)), n)).alias("pos", "gram"),
-    )
+    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("gram"))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.size(tokens(F.col(text_col))) - (n - 1)).alias("n_grams"),
@@ -862,7 +868,9 @@ def remove_duplicated_spans(
     clean to the empty string.
 
     Scale shape: the same inverted-index aggregation as
-    ``duplicated_span_stats`` finds duplicated gram positions; each
+    ``duplicated_span_stats`` finds duplicated gram positions — gram
+    strings fingerprinted to 64-bit md5 longs at the scan, so both
+    gram-keyed exchanges shuffle longs, not n-word strings; each
     expands to its n covered token indices (ids+ints only), the token
     relation anti-joins the covered set, and one per-doc aggregation
     rebuilds the text (``array_sort`` of (idx, token) structs — a
@@ -872,12 +880,12 @@ def remove_duplicated_spans(
     tk = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("idx", "tok")
     )
-    from .text import ngrams
+    from .text import md5_long, ngrams
 
     g = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams(toks, n)).alias("pos", "gram"),
-    )
+    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("gram"))
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))

@@ -104,6 +104,121 @@ def auto_semdedup_clusters(n: int) -> int:
     return max(8, math.isqrt(max(n, 1) - 1) + 1)
 
 
+def auto_semdedup_levels(n: int) -> tuple[int, int]:
+    """Two-level (coarse, fine) cluster counts from the corpus size:
+    ``k1 = k2 = max(4, round(n^(1/4)))``.
+
+    ``k1 * k2 ~ sqrt(N)`` — the SAME effective cell count as the flat
+    quantizer's ``k ~ sqrt(N)`` optimum, so the pair stage sees the
+    same granularity (that granularity is the SemDeDup semantic, not
+    an implementation cost), but assignment is ``N*(k1+k2) =
+    O(N^1.25)`` distance evaluations instead of the flat tier's
+    ``N*sqrt(N) = O(N^1.5)`` — at N = 1e9 that is ~356 multiplies per
+    row instead of ~31623.  Tradeoff, measured on the synthetic
+    corpus: product cells are geometrically cruder than one learned
+    flat partition of equal count, so recall on DIFFUSE similarity
+    (low thresholds) is lower; near-identical pairs (the actual
+    SemDeDup target) co-locate in both designs thanks to residual
+    sign canonicalization.  The rule runs driver-side in plain Python
+    for BOTH the engine and the oracle-SQL builder, so replay is
+    exact.
+    """
+    k = max(4, round(max(n, 1) ** 0.25))
+    return k, k
+
+
+def semdedup_pairs_two_level(
+    emb: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    threshold: float = 0.3,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    max_cell: int | None = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup with a TWO-LEVEL (coarse x residual) quantizer — the
+    O(N^(4/3)) scale tier that replaces the flat k~sqrt(N) Lloyd
+    (O(N^1.5) assignment) documented as :func:`semdedup_pairs`'
+    ceiling.
+
+    Standard IVF+RQ bucketing: train ``n_coarse`` Lloyd centroids on
+    the (sampled) corpus as usual, then train ``n_fine`` centroids on
+    the RESIDUALS ``v - c1[cid1]`` of the same sample; the pair-join
+    key is the product cell ``cid = cid1 * n_fine + cid2``.  Two
+    near-identical vectors share both the coarse cell and the
+    residual cell, so near-dup recall concentrates exactly as in the
+    flat quantizer, but with ``k1*k2`` effective cells for only
+    ``k1 + k2`` assignment distance evaluations per row.
+
+    Every step reuses the deterministic machinery the oracle already
+    replays: lowest-id init, first-wins argmin, round-6 means,
+    broadcast-data centroids (never literal expression trees), and
+    residuals are exact IEEE subtractions so the DuckDB replay is
+    bit-identical.  ``n_coarse``/``n_fine`` are required — derive
+    them with :func:`auto_semdedup_levels` from a corpus count the
+    caller already has (no hidden eager ``count()`` action here).
+
+    Output: (cid, vec_a, vec_b, cosine round 6) with ``vec_a <
+    vec_b`` and cosine >= ``threshold`` — same shape as the flat
+    variant.
+    """
+    from .similarity import two_level_centroids
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # Both quantizer levels train off ONE persisted (and, under the
+    # LOCAL_TRAIN_ROWS threshold, ONE collected) hash sample; the md5
+    # sample rule is the same one the oracle replays as a WHERE over
+    # its residual CTE.
+    cents1, cents2 = two_level_centroids(
+        emb, n_coarse, n_fine, iters, vec_col, id_col, sample_mod
+    )
+    # Coarse assignment of the full corpus, then residuals via a
+    # broadcast hash join on the k1-row centroid table (the centroid
+    # ARRAYS ride as data — the literal-tree cost documented in
+    # similarity.assign_cells applies just as much here).
+    a1 = assign_cells(e, cents1, vec_col="v", out_col="cid1")
+    c1df = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents1)], "cid1 INT, __c1 array<double>"
+    )
+    from .similarity import canonical_residual
+
+    res = (
+        a1.join(F.broadcast(c1df), "cid1")
+        .withColumn(
+            "r", canonical_residual(F.zip_with("v", "__c1", lambda a, b: a - b))
+        )
+        .drop("__c1")
+    )
+    assigned = (
+        assign_cells(res, cents2, vec_col="r", out_col="cid2")
+        .withColumn("cid", F.col("cid1") * n_fine + F.col("cid2"))
+        .select("cid", "id", "v")
+    )
+    if max_cell is not None:
+        ok = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_cell)
+            .select("cid")
+        )
+        assigned = assigned.join(F.broadcast(ok), "cid")
+    a = assigned.select("cid", F.col("id").alias("vec_a"), F.col("v").alias("va"))
+    b = assigned.select("cid", F.col("id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("cid", "vec_a", "vec_b", "cosine")
+    )
+
+
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -126,7 +241,10 @@ def semdedup_pairs(
     ``n_clusters`` defaults to :func:`auto_semdedup_clusters` of the
     corpus count (k ~ sqrt(N), the flat-quantizer cost optimum) so the
     in-cell pair expansion can never go quadratic behind a fixed
-    default; ``max_cell`` is the usual default-on skew guard (a
+    default — NOTE that this default triggers an EAGER ``emb.count()``
+    Spark action at plan-construction time; callers that already know
+    the corpus size (as ``q_semdedup`` does) should pass ``n_clusters``
+    explicitly; ``max_cell`` is the usual default-on skew guard (a
     degenerate cell — all-zero embeddings — is capped out rather than
     detonating one task).  The cell self-join shuffles ids+vectors
     once on ``cid`` — never an all-pairs cross join (pinned by tests).

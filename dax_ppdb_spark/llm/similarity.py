@@ -166,6 +166,69 @@ def assign_cells(
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """Exact decimal HALF_UP to 6 places — Spark's ``F.round``
+    (java BigDecimal HALF_UP) and DuckDB's ``round`` bit for bit.
+    ``decimal.Decimal(float)`` converts the binary double exactly, so
+    there is no double-rounding hazard (``floor(x*1e6 + 0.5)`` has
+    one: the ``*1e6`` itself rounds)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _assign_local(X: "np.ndarray", cents: "np.ndarray") -> "np.ndarray":
+    """Driver-local twin of :func:`_argmin_dist`: squared distances
+    accumulated SEQUENTIALLY over dimensions (``acc += (x_d - c_d)^2``
+    for d = 0..dim-1 — the same IEEE addition order as the zip_with
+    fold, so distances are bit-identical), first index wins ties
+    (``np.argmin`` returns the first occurrence, matching the
+    struct-min)."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], cents.shape[0]))
+    for d in range(X.shape[1]):
+        diff = X[:, d][:, None] - cents[:, d][None, :]
+        acc += diff * diff
+    return np.argmin(acc, axis=1)
+
+
+def _lloyd_local(X: "np.ndarray", n_clusters: int, iters: int) -> list[list[float]]:
+    """Driver-local Lloyd on an id-sorted sample matrix: init = first
+    ``n_clusters`` rows, per-iteration first-wins argmin assignment and
+    round-6 (exact decimal HALF_UP) element-wise means, empty cells
+    keeping their previous centroid — the same update rule as the
+    DataFrame loop, so the DuckDB oracle replay holds unchanged.  (The
+    mean's summation order differs between numpy, Spark partial
+    aggregation, and DuckDB; the round-6 absorbs that last-ulp noise —
+    the same tolerance the cross-engine gate has always relied on.)"""
+    import numpy as np
+
+    cents = X[: min(n_clusters, len(X))].astype(np.float64).copy()
+    for _ in range(iters):
+        cid = _assign_local(X, cents)
+        new = []
+        for j in range(len(cents)):
+            members = X[cid == j]
+            if len(members) == 0:
+                new.append(cents[j])
+            else:
+                new.append(
+                    np.array([_round6_half_up(v) for v in members.mean(axis=0)])
+                )
+        cents = np.stack(new)
+    return [[float(x) for x in c] for c in cents]
+
+
+# Below this many training rows the Lloyd loop runs driver-local on
+# the collected sample: each distributed iteration is 2+ Spark jobs
+# re-executing the sample's lineage, pure scheduling overhead once the
+# sample fits in driver memory.  Same metadata-driven decision as
+# ops/graph.py's single-task union-find: the threshold is checked
+# against a MEASURED count, big samples keep the distributed loop.
+LOCAL_TRAIN_ROWS = 100_000
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -202,23 +265,144 @@ def kmeans_centroids(
     )
     if sample_mod is not None:
         c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
-    cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
-    for _ in range(iters):
-        assigned = assign_cells(c, cents).select("cid", "v")
-        cells = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .collect()
-        )
-        new = {cid: dict() for cid in range(len(cents))}
-        for r in cells:
-            new[r.cid][r.pos] = r.m
-        cents = [
-            [new[cid][p] for p in sorted(new[cid])] if new[cid] else cents[cid]
-            for cid in range(len(cents))
-        ]
+    # Persist the projected training sample for the duration of the
+    # loop: every Lloyd iteration is a fresh Spark job, and without
+    # this each of the iters+1 jobs RE-EXECUTES the sample's entire
+    # lineage — at 100 TB that is iters full corpus scans (and for the
+    # two-level quantizer's fine pass, iters re-runs of the coarse
+    # assignment).  The persisted set is bounded by construction
+    # (sample_mod scales with the corpus), and training is eager, so
+    # the unpersist below never invalidates caller-visible lineage.
+    c = c.persist()
+    try:
+        n_sample = c.count()
+        if n_sample == 0:
+            return []
+        if n_sample <= LOCAL_TRAIN_ROWS:
+            # Driver-local fast path: ONE collect funds every Lloyd
+            # iteration (vs 2+ jobs per iteration re-executing the
+            # sample lineage).  Rows sort by id on the driver so the
+            # init is identical to the distributed orderBy/limit.
+            import numpy as np
+
+            rows = sorted(c.collect(), key=lambda r: r.id)
+            X = np.array([r.v for r in rows], dtype=np.float64)
+            return _lloyd_local(X, n_clusters, iters)
+        cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
+        for _ in range(iters):
+            assigned = assign_cells(c, cents).select("cid", "v")
+            cells = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect()
+            )
+            new = {cid: dict() for cid in range(len(cents))}
+            for r in cells:
+                new[r.cid][r.pos] = r.m
+            cents = [
+                [new[cid][p] for p in sorted(new[cid])] if new[cid] else cents[cid]
+                for cid in range(len(cents))
+            ]
+    finally:
+        c.unpersist()
     return cents
+
+
+def canonical_residual(r: Column) -> Column:
+    """Sign-canonicalized residual: multiply by the sign of the
+    largest-|magnitude| component (first index wins ties).
+
+    A near-dup pair straddling its coarse centroid gets residuals
+    ``r`` and ``~-r`` — direction-sensitive fine quantization would
+    split exactly the pairs SemDeDup exists to find.  Canonicalizing
+    the sign folds the +-r symmetry away: both residuals map to (up
+    to their tiny true difference) the same vector.  The multiply is
+    by exactly +-1/0, so values stay bit-identical and the DuckDB
+    oracle replays it with ``sign``/``list_position`` (both engines
+    resolve abs ties to the FIRST index)."""
+    la = F.transform(r, lambda x: F.abs(x))
+    s = F.signum(F.element_at(r, F.array_position(la, F.array_max(la)).cast("int")))
+    return F.transform(r, lambda x: x * s)
+
+
+def _canonical_residual_local(R: "np.ndarray") -> "np.ndarray":
+    """Driver-local twin of :func:`canonical_residual` (np.argmax
+    also resolves ties to the first index)."""
+    import numpy as np
+
+    if R.shape[0] == 0 or R.shape[1] == 0:
+        return R
+    idx = np.argmax(np.abs(R), axis=1)
+    s = np.sign(R[np.arange(R.shape[0]), idx])
+    return R * s[:, None]
+
+
+def two_level_centroids(
+    corpus: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Train the two-level (coarse + residual) quantizer: ``n_coarse``
+    Lloyd centroids on the (sampled) corpus, then ``n_fine`` centroids
+    on the sample's RESIDUALS against the final coarse centroids —
+    the IVF+RQ training step behind
+    :func:`..embeddings.semdedup_pairs_two_level`.
+
+    Residuals are sign-canonicalized (:func:`canonical_residual`)
+    before the fine training so near-dup pairs straddling their
+    coarse centroid — whose residuals are ~opposite vectors — stay
+    in one fine cell.
+
+    Under :data:`LOCAL_TRAIN_ROWS` one collect funds BOTH trainings
+    (coarse Lloyd, coarse assignment, exact-IEEE residual subtraction,
+    fine Lloyd — all on the driver with the bit-replayed arithmetic of
+    :func:`_assign_local`); above it, both run as distributed
+    DataFrame loops sharing one persisted sample.
+    """
+    from .text import md5_long
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_mod is not None:
+        c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
+    c = c.persist()
+    try:
+        n_sample = c.count()
+        if n_sample == 0:
+            return [], []
+        if n_sample <= LOCAL_TRAIN_ROWS:
+            import numpy as np
+
+            rows = sorted(c.collect(), key=lambda r: r.id)
+            X = np.array([r.v for r in rows], dtype=np.float64)
+            cents1 = _lloyd_local(X, n_coarse, iters)
+            c1 = np.array(cents1)
+            resid = _canonical_residual_local(X - c1[_assign_local(X, c1)])
+            return cents1, _lloyd_local(resid, n_fine, iters)
+        cents1 = kmeans_centroids(c, n_coarse, iters, vec_col="v", id_col="id")
+        c1df = c.sparkSession.createDataFrame(
+            [(i, cent) for i, cent in enumerate(cents1)],
+            "cid1 INT, __c1 array<double>",
+        )
+        res = (
+            assign_cells(c, cents1, vec_col="v", out_col="cid1")
+            .join(F.broadcast(c1df), "cid1")
+            .withColumn(
+                "r",
+                canonical_residual(F.zip_with("v", "__c1", lambda a, b: a - b)),
+            )
+            .select("id", "r")
+        )
+        cents2 = kmeans_centroids(res, n_fine, iters, vec_col="r", id_col="id")
+        return cents1, cents2
+    finally:
+        c.unpersist()
 
 
 def topk_kmeans(

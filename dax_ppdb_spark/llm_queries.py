@@ -968,72 +968,86 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_dist2(vcol: str, ccol: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+        f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])))"
+    )
+
+
+def _lloyd_chain(tr: str, full: str, pfx: str,
+                 n_clusters: int, iters: int) -> str:
+    """CTE suffix (leading comma) replaying one deterministic Lloyd
+    training: init = lowest-id vectors of CTE ``tr`` (vec_id, v),
+    per-iteration argmin assignment (lowest-cid tie break, matching
+    Spark's first-wins struct-min) and a round-6 element-wise mean
+    (kills partial-agg ulp noise on both engines), ending at
+    ``{pfx}asg`` — CTE ``full`` (vec_id, v) assigned to the final
+    centroids.  ``pfx`` namespaces the chain so the two-level
+    (coarse + residual) oracle can stack two trainings in one query.
+    """
+    dist2 = _lloyd_dist2
+    sql = f""",
+{pfx}c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM {tr} ORDER BY vec_id LIMIT {n_clusters}
+)"""
+    prev = f"{pfx}c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+{pfx}a{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT {tr}.vec_id, {tr}.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY {tr}.vec_id
+                                  ORDER BY {dist2(tr + '.v', prev + '.c')},
+                                           {prev}.cid) AS rn
+        FROM {tr} CROSS JOIN {prev}
+    ) WHERE rn = 1
+),
+{pfx}m{it} AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, pos, round(avg(val), 6) AS m FROM (
+            SELECT cid, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
+            FROM {pfx}a{it}
+        ) GROUP BY cid, pos
+    ) GROUP BY cid
+),
+{pfx}c{it} AS (
+    SELECT p.cid, COALESCE(m.c, p.c) AS c
+    FROM {prev} p LEFT JOIN {pfx}m{it} m USING (cid)
+)"""
+        prev = f"{pfx}c{it}"
+    sql += f""",
+{pfx}asg AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT {full}.vec_id, {full}.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY {full}.vec_id
+                                  ORDER BY {dist2(full + '.v', prev + '.c')},
+                                           {prev}.cid) AS rn
+        FROM {full} CROSS JOIN {prev}
+    ) WHERE rn = 1
+)"""
+    return sql
+
+
 def _kmeans_cte(n_clusters: int = 8, iters: int = 3,
                 sample_mod: int | None = None) -> str:
-    """Replay the deterministic Lloyd training as chained CTEs: init =
-    lowest-id vectors, per-iteration argmin assignment (lowest-cid tie
-    break, matching Spark's ``array_position`` first-wins) and a
-    round-6 element-wise mean (kills partial-agg ulp noise on both
-    engines), ending at ``asg`` — the full-corpus (vec_id, v, cid)
-    assignment.  With ``sample_mod``, training CTEs see only the md5
-    hash sample (mirroring ``kmeans_centroids``); the final assignment
-    still covers the full corpus.  Shared by every oracle that needs
-    the learned quantizer (IVF top-k probe, SemDeDup)."""
-
-    def dist2(vcol: str, ccol: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, len({vcol}) + 1), "
-            f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])))"
-        )
-
+    """The single-level Lloyd replay over ``embeddings``: training CTEs
+    see only the md5 hash sample when ``sample_mod`` is set (mirroring
+    ``kmeans_centroids``); the final ``asg`` assignment still covers
+    the full corpus.  Shared by every oracle that needs the learned
+    quantizer (IVF top-k probe, flat SemDeDup)."""
     tr_filter = (
         f"WHERE {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {sample_mod} = 0"
         if sample_mod is not None
         else ""
     )
-    sql = f"""
+    return (
+        f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-tr AS (SELECT vec_id, v FROM e {tr_filter}),
-c0 AS (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
-    FROM tr ORDER BY vec_id LIMIT {n_clusters}
-)"""
-    prev = "c0"
-    for it in range(1, iters + 1):
-        sql += f""",
-a{it} AS (
-    SELECT vec_id, v, cid FROM (
-        SELECT tr.vec_id, tr.v, {prev}.cid,
-               ROW_NUMBER() OVER (PARTITION BY tr.vec_id
-                                  ORDER BY {dist2('tr.v', prev + '.c')},
-                                           {prev}.cid) AS rn
-        FROM tr CROSS JOIN {prev}
-    ) WHERE rn = 1
-),
-m{it} AS (
-    SELECT cid, list(m ORDER BY pos) AS c FROM (
-        SELECT cid, pos, round(avg(val), 6) AS m FROM (
-            SELECT cid, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val
-            FROM a{it}
-        ) GROUP BY cid, pos
-    ) GROUP BY cid
-),
-c{it} AS (
-    SELECT p.cid, COALESCE(m.c, p.c) AS c
-    FROM {prev} p LEFT JOIN m{it} m USING (cid)
-)"""
-        prev = f"c{it}"
-    sql += f""",
-asg AS (
-    SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, {prev}.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dist2('e.v', prev + '.c')},
-                                           {prev}.cid) AS rn
-        FROM e CROSS JOIN {prev}
-    ) WHERE rn = 1
-)"""
-    return sql
+tr AS (SELECT vec_id, v FROM e {tr_filter})"""
+        + _lloyd_chain("tr", "e", "", n_clusters, iters)
+    )
 
 
 def _kmeans_sql(n_clusters: int = 8, iters: int = 3, k: int = 5,
@@ -1327,7 +1341,8 @@ g0 AS (
     FROM t
 ),
 g AS (
-    SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+    SELECT doc_id, i - 1 AS pos,
+           {md5_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
     FROM g0
 ),
 base AS (SELECT doc_id, len(toks) - 4 AS n_grams FROM t WHERE len(toks) >= 5),
@@ -1409,7 +1424,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
 
 
-def _semdedup_sql() -> str:
+def _semdedup_flat_sql() -> str:
     """Lazily-resolved oracle: replay the corpus-scaled cluster count
     (``auto_semdedup_clusters`` of the oracle corpus's row count) and
     the shared Lloyd CTE chain, then in-cell pairs."""
@@ -1429,15 +1444,16 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-@register("semdedup", _semdedup_sql)
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: embedding near-dup pairs confined to learned k-means
-    cells, with the cluster count derived from the corpus size
-    (k ~ sqrt(N), the flat-quantizer cost optimum) and the default-on
-    cell cap.  Training runs on a 1/2 md5-hash sample.
+@register("semdedup_flat", _semdedup_flat_sql)
+def q_semdedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-quantizer SemDeDup: embedding near-dup pairs confined to
+    learned k-means cells, with the cluster count derived from the
+    corpus size (k ~ sqrt(N), the flat-quantizer cost optimum) and the
+    default-on cell cap.  Training runs on a 1/2 md5-hash sample.
 
-    The corpus count feeds the rule from the RAW scan, like
-    ``dedup_embedding_banded``."""
+    This is the O(N^1.5) tier — correct and simplest, routed below
+    the two-level variant's corpus sizes; ``semdedup`` is the
+    O(N^(4/3)) production tier."""
     from .llm.embeddings import auto_semdedup_clusters, semdedup_pairs
 
     n = _read(spark, sf_dir, "embeddings").count()
@@ -1445,6 +1461,81 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_spread(spark, sf_dir, "embeddings"),
         threshold=0.3,
         n_clusters=auto_semdedup_clusters(n),
+        sample_mod=2,
+    )
+
+
+def _semdedup_sql() -> str:
+    """Two-level (coarse x residual) SemDeDup oracle: stack two Lloyd
+    chains — the coarse one over the hash-sampled corpus, the fine one
+    over the sign-canonicalized RESIDUALS against the final coarse
+    centroids — then pair within the product cell ``cid1 * k2 +
+    cid2``.  Every arithmetic step (exact IEEE residual subtraction,
+    exact +-1 sign canonicalization with first-index abs-tie breaks,
+    round-6 means, first-index argmin ties) mirrors the engine term
+    for term."""
+    from .driver_queries import oracle_table_rows
+    from .llm.embeddings import auto_semdedup_levels
+
+    k1, k2 = auto_semdedup_levels(oracle_table_rows("embeddings"))
+    iters = 3
+    hash_filter = f"{md5_long_sql('CAST(vec_id AS VARCHAR)')} % 2 = 0"
+    return (
+        f"""{_kmeans_cte(n_clusters=k1, iters=iters, sample_mod=2)},
+res0 AS (
+    SELECT a.vec_id, a.cid AS cid1,
+           list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.c[i]) AS r
+    FROM asg a JOIN c{iters} c ON a.cid = c.cid
+),
+res AS (
+    SELECT vec_id, cid1,
+           list_transform(r, x -> x * sign(r[list_position(
+               list_transform(r, y -> abs(y)),
+               list_max(list_transform(r, y -> abs(y))))])) AS v
+    FROM res0
+),
+ftr AS (SELECT vec_id, v FROM res WHERE {hash_filter})"""
+        + _lloyd_chain("ftr", "res", "f", k2, iters)
+        + f""",
+casg AS (
+    SELECT e.vec_id, e.v, r.cid1 * {k2} + f.cid AS cid
+    FROM e
+    JOIN res r ON e.vec_id = r.vec_id
+    JOIN fasg f ON e.vec_id = f.vec_id
+),
+cell AS (SELECT cid FROM casg GROUP BY cid HAVING COUNT(*) <= 1000)
+SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM casg a
+JOIN casg b USING (cid)
+JOIN cell USING (cid)
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+    )
+
+
+@register("semdedup", _semdedup_sql)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the two-level (coarse x residual) quantizer — the
+    O(N^(4/3)) tier that replaces the flat k~sqrt(N) Lloyd's O(N^1.5)
+    assignment ceiling.  Cluster counts derive from the corpus size
+    (``auto_semdedup_levels``: k1 = k2 ~ (N/2)^(1/3)), training runs
+    on a 1/2 md5-hash sample, and the default-on cell cap bounds any
+    degenerate product cell.
+
+    The corpus count feeds the rule from the RAW scan, like
+    ``dedup_embedding_banded``; it is the ONE eager action, and it
+    funds both level sizes."""
+    from .llm.embeddings import auto_semdedup_levels, semdedup_pairs_two_level
+
+    n = _read(spark, sf_dir, "embeddings").count()
+    k1, k2 = auto_semdedup_levels(n)
+    return semdedup_pairs_two_level(
+        _read_spread(spark, sf_dir, "embeddings"),
+        n_coarse=k1,
+        n_fine=k2,
+        threshold=0.3,
         sample_mod=2,
     )
 
@@ -1609,7 +1700,8 @@ tk AS (
     FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
 ),
 g AS (
-    SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+    SELECT doc_id, i - 1 AS pos,
+           {md5_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
     FROM (SELECT doc_id, toks,
                  unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM t)
 ),

@@ -909,3 +909,88 @@ def test_leak_safe_split_keeps_clusters_together(spark):
     for did, (key, split) in singles.items():
         assert key == did
         assert split == plain[did]
+
+
+def test_semdedup_two_level_pairs_and_rule(spark):
+    from dax_ppdb_spark.llm.embeddings import (
+        auto_semdedup_levels,
+        semdedup_pairs_two_level,
+    )
+
+    # base directions FIRST (they seed the lowest-id Lloyd init),
+    # near-dups after: (0, 4) is the centroid-STRADDLE case — their
+    # residuals are ~opposite vectors, which only the sign
+    # canonicalization keeps in one fine cell.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [0.98, 0.04, 0.0, 0.0]),
+        (5, [0.04, 0.98, 0.0, 0.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in semdedup_pairs_two_level(
+            emb, n_coarse=4, n_fine=4, threshold=0.9
+        ).collect()
+    }
+    # near-identical vectors share the coarse AND the residual cell
+    assert (0, 4) in pairs and pairs[(0, 4)] > 0.98
+    assert (1, 5) in pairs
+    assert all(2 not in p and 3 not in p for p in pairs)
+    # cap: with max_cell=1, every product cell is degenerate
+    assert (
+        semdedup_pairs_two_level(
+            emb, n_coarse=4, n_fine=4, threshold=0.9, max_cell=1
+        ).count()
+        == 0
+    )
+    # the corpus-derived two-level rule: k1 = k2 = max(4, N^(1/4))
+    assert auto_semdedup_levels(2000) == (7, 7)
+    assert auto_semdedup_levels(4) == (4, 4)
+    k1, k2 = auto_semdedup_levels(10**9)
+    assert k1 == k2 and 170 <= k1 <= 185
+
+
+def test_kmeans_local_matches_distributed(spark):
+    """The driver-local Lloyd fast path must reproduce the distributed
+    DataFrame loop's centroids exactly — the assignment arithmetic is
+    bit-replayed (sequential per-dim accumulation, first-wins argmin)
+    and the round-6 means absorb summation-order ulps."""
+    from dax_ppdb_spark.llm import similarity as sim
+
+    vecs = [
+        (i, [((i * 7 + d * 3) % 11) / 10.0 - 0.5 for d in range(6)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    local = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
+    orig = sim.LOCAL_TRAIN_ROWS
+    sim.LOCAL_TRAIN_ROWS = 0  # force the distributed loop
+    try:
+        dist = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
+    finally:
+        sim.LOCAL_TRAIN_ROWS = orig
+    assert local == dist
+
+
+def test_two_level_centroids_local_matches_distributed(spark):
+    from dax_ppdb_spark.llm import similarity as sim
+
+    vecs = [
+        (i, [((i * 5 + d * 7) % 13) / 12.0 - 0.5 for d in range(5)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    local = sim.two_level_centroids(emb, n_coarse=3, n_fine=3, iters=2)
+    orig = sim.LOCAL_TRAIN_ROWS
+    sim.LOCAL_TRAIN_ROWS = 0
+    try:
+        dist = sim.two_level_centroids(emb, n_coarse=3, n_fine=3, iters=2)
+    finally:
+        sim.LOCAL_TRAIN_ROWS = orig
+    assert local == dist

@@ -229,11 +229,12 @@ def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
         assert pinned >= 2, f"{name} lost its verify-stage broadcast joins"
 
 
-def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry):
+@pytest.mark.parametrize("qname", ["semdedup", "semdedup_flat"])
+def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry, qname):
     """SemDeDup's pair stage must hash-join on the cluster id — the
-    pair fan-out is bounded by cell occupancy (k ~ sqrt(N) +
-    default-on cell cap), never an all-pairs scan."""
-    plan = plan_of(registry["semdedup"](spark, sf_dir))
+    pair fan-out is bounded by cell occupancy (corpus-derived level
+    sizes + default-on cell cap), never an all-pairs scan."""
+    plan = plan_of(registry[qname](spark, sf_dir))
     assert "CartesianProduct" not in plan
     # The ONLY nested-loop joins allowed are the one-row broadcast
     # centroid attaches (assign_cells ships the centroid table as a
@@ -242,9 +243,19 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry):
     # loop would be an all-pairs scan.  Catalyst makes an equi-key
     # dodge impossible: a single-valued key constant-propagates into
     # a build-side filter and the join degenerates to condition-free.
+    # Every BNLJ in the tree has a numbered "(N) BroadcastNestedLoop
+    # Join" detail block; counting tree occurrences against audited
+    # blocks guarantees no nested loop escapes the __cents check.
+    audited = 0
     for block in plan.split("\n\n"):
         if "BroadcastNestedLoopJoin" in block and block.startswith("("):
             assert "__cents" in block, block
+            audited += 1
+    tree = plan.split("\n\n")[0]
+    in_tree = sum(
+        "BroadcastNestedLoopJoin" in line for line in tree.splitlines()
+    )
+    assert in_tree == audited, f"{in_tree} tree BNLJs vs {audited} audited"
     # The O(N) pair stage itself must be an equi join on the cell id.
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
