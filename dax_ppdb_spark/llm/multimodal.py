@@ -5,12 +5,23 @@ Images/audio/video ride through Spark as ``binary`` columns with a
 feature extraction, resize, frame sampling) runs via ``mapInPandas``
 so payloads move as Arrow record batches, never row-at-a-time.
 
-The actual codec step is STUBBED: no image/audio libraries exist in
-this environment, so ``decode_features`` computes a deterministic fake
-feature vector from the raw bytes (and ``decode_real`` raises
-``NotImplementedError`` where PIL/librosa would plug in).  Everything
-around the stub — schema, Arrow batch shape, partition sizing,
-metadata handling — is the real production plumbing and is tested.
+Codec tiers, innermost first:
+
+1. **PIL** when importable (``decode_image`` tries it first) — the
+   full-format production path, import-guarded because it is not in
+   this environment;
+2. **stdlib codecs** (:mod:`.codecs`): real PNG (zlib) and 16-bit-PCM
+   WAV decode/encode implemented from the public specs — genuinely
+   working decode/resize for the two workhorse staging formats;
+3. **deterministic stub** for payloads that are not decodable media
+   (``_fake_features`` byte histogram, ``_fake_resize`` size model) —
+   the driver's oracle tables carry text-byte payloads by
+   construction, so the registered queries replay tier 3 and stay
+   engine-portable, while real media rides tiers 1-2.
+
+Video container parsing (frame extraction) remains stubbed — there is
+genuinely no demuxer here; ``sample_frames``'s timestamp arithmetic
+and explode shape are the real plumbing.
 """
 
 from __future__ import annotations
@@ -53,11 +64,41 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover
-    """Where the real codec goes (PIL / torchaudio / pyav)."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to HxWxC uint8: PIL when installed
+    (every format), else the stdlib PNG decoder.  Raises
+    ``NotImplementedError`` for formats neither tier handles (e.g.
+    JPEG without PIL)."""
+    try:
+        from PIL import Image  # optional dependency
+
+        import io as _io
+
+        return np.asarray(Image.open(_io.BytesIO(bytes(payload))))
+    except ImportError:
+        pass
+    from .codecs import decode_png, sniff_media
+
+    if sniff_media(bytes(payload)) == "png":
+        return decode_png(bytes(payload))
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_features (deterministic stub) instead"
+        "image format not decodable without PIL (stdlib tier handles PNG)"
+    )
+
+
+def decode_real(payload: bytes, media_type: str):
+    """Dispatch a payload to its real decoder: images via
+    :func:`decode_image` (PIL tier, then stdlib PNG), audio via the
+    stdlib WAV decoder.  Video demux stays unimplemented (no container
+    parser in this environment)."""
+    from .codecs import decode_wav, sniff_media
+
+    if media_type == "image":
+        return decode_image(payload)
+    if media_type == "audio" and sniff_media(bytes(payload)) == "wav":
+        return decode_wav(bytes(payload))
+    raise NotImplementedError(
+        f"no decoder for media_type={media_type!r} payload in this environment"
     )
 
 
@@ -78,12 +119,53 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return [c / total for c in counts.tolist()]
 
 
+def _media_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Feature vector for one payload: REAL stats when the payload is
+    decodable media (PNG pixel stats, WAV sample stats — deterministic
+    integer-derived arithmetic), the byte-histogram stub otherwise.
+    Fixed length ``dim`` either way so the output schema is stable."""
+    from .codecs import decode_png, decode_wav, sniff_media
+
+    kind = sniff_media(payload)
+    if kind == "png":
+        px = decode_png(payload).astype(np.float64)
+        h, w = px.shape[:2]
+        c = px.shape[2]
+        feats = [
+            float(w),
+            float(h),
+            float(c),
+            float(px.mean() / 255.0),
+            float(px.std() / 255.0),
+            float(px.min() / 255.0),
+            float(px.max() / 255.0),
+        ]
+    elif kind == "wav":
+        samples, rate = decode_wav(payload)
+        s = samples.astype(np.float64) / 32768.0
+        feats = [
+            float(rate),
+            float(samples.shape[0]),
+            float(samples.shape[1]),
+            float(s.mean()),
+            float(np.sqrt((s * s).mean())),  # rms
+            float(s.min()),
+            float(s.max()),
+        ]
+    else:
+        return _fake_features(payload, dim)
+    return (feats + [0.0] * dim)[:dim]
+
+
 def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` receives whole record batches; per-batch Python
     cost is amortized over thousands of rows, and the output schema is
-    fixed so Catalyst can plan downstream operators normally.
+    fixed so Catalyst can plan downstream operators normally.  Real
+    media (PNG/WAV — see :func:`_media_features`) gets decoded pixel/
+    sample statistics; other payloads get the deterministic byte
+    histogram the oracle replays.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +186,7 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "n_bytes": pd.Series(n_bytes, index=pdf.index, dtype="int64"),
                     "features": pdf["payload"].map(
-                        lambda p: _fake_features(bytes(p), dim)
+                        lambda p: _media_features(bytes(p), dim)
                     ),
                 }
             )
@@ -125,15 +207,15 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched image resize plumbing: images are re-encoded to
-    (width, height), non-image rows pass through untouched.
+    """Arrow-batched image resize: images are re-encoded to (width,
+    height), non-image rows pass through untouched.
 
-    The pixel work is STUBBED (no PIL here): the fake "resize" scales
-    the payload length proportionally to the pixel-count change, which
-    preserves the property real code has — output size tracks target
-    dimensions — so partition-sizing logic downstream is testable.
-    Swap ``_fake_resize`` for ``PIL.Image.resize`` + re-encode in
-    production; schema and batch shape stay identical.
+    Decodable images (PIL tier when installed, stdlib PNG otherwise)
+    get a REAL nearest-neighbor resize and a PNG re-encode; payloads
+    that are not decodable media fall back to the deterministic size
+    model (output length tracks the pixel-count change) — which keeps
+    the engine-portable oracle contract for the text-byte driver
+    tables while real media takes the real path.
     """
 
     def _fake_resize(payload: bytes, w0, h0) -> bytes:
@@ -144,12 +226,21 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         reps = (n + len(payload) - 1) // len(payload)
         return (payload * reps)[:n]
 
+    def _resize_one(payload: bytes, w0, h0) -> bytes:
+        from .codecs import encode_png, resize_nearest
+
+        try:
+            px = decode_image(payload)
+        except (NotImplementedError, ValueError):
+            return _fake_resize(payload, w0, h0)
+        return encode_png(resize_nearest(px, width, height))
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             is_img = pdf["media_type"] == "image"
             out = pdf.copy()
             out.loc[is_img, "payload"] = pdf.loc[is_img].apply(
-                lambda r: _fake_resize(
+                lambda r: _resize_one(
                     bytes(r["payload"]), r["meta_width"], r["meta_height"]
                 ),
                 axis=1,
