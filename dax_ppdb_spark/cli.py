@@ -202,8 +202,15 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         # is applied to, so the opposite order would count zero.
         deduped = deduped.withColumn("n_redacted", n_red).withColumn("text", red)
     out = hash_split(deduped)
+    # Row count via an Observation riding the write job itself — a
+    # post-write count() would re-scan the entire output dataset just
+    # to print one number.
+    from pyspark.sql import Observation
+
+    obs = Observation("curate")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy("split").parquet(args.out)
-    kept = spark.read.parquet(args.out).count()
+    kept = obs.get["rows"]
     print(f"curated {kept} docs -> {args.out} (partitioned by split)")
     return 0
 

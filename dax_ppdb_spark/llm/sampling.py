@@ -223,6 +223,7 @@ def exact_stratified_k(
     k: int,
     id_col: str = "doc_id",
     salt: str = "exact-k",
+    out_col: str = "rank",
 ) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample — the balanced-subset
     builder (k docs per language/source for eval sets, annotation
@@ -230,11 +231,15 @@ def exact_stratified_k(
     :func:`stratified_sample`.
 
     Rank within each stratum by a salted id hash (uniform, reproducible,
-    engine-replayable; ties broken by id) and keep ``rank <= k``.
+    engine-replayable; ties broken by id) and keep ``out_col <= k``.
     Strata with fewer than k rows keep everything.  One shuffle on the
     strata key; at 100 TB a hot stratum is a window over its own
     partition — bounded by the stratum's size, and the hash order
     means no sort by any data-dependent value.
+
+    The per-stratum rank is part of the output under ``out_col``
+    (default ``"rank"``) — rename it when the input already carries a
+    column of that name, which would otherwise be overwritten.
     """
     from .text import md5_long
 
@@ -243,8 +248,8 @@ def exact_stratified_k(
         order.asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
     )
 
 

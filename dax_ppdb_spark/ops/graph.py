@@ -240,22 +240,29 @@ def connected_components(
     # Same metadata-driven sizing for the rounds' SHUFFLES: each star
     # round is 4-5 shuffle stages, and on a small graph 32-partition
     # exchanges pay 32 task launches per stage for splits of a few KB.
-    # Sizing the loop's shuffles to the measured edge count (and
-    # restoring the session value afterwards — queries in this engine
-    # run sequentially per session) cuts ~25% off the loop wall-clock;
-    # big graphs keep the session's parallelism untouched.
-    conf = edges.sparkSession.conf
-    old_parts: str | None = None
+    # The narrowed shuffle-partition count lives in a CLONED session
+    # (own SQLConf, shared SparkContext) — the caller's session conf
+    # is never touched, so concurrent queries (including another CC
+    # call on a big graph) keep their parallelism; loop state crosses
+    # sessions zero-copy through uuid-named global temp views over the
+    # checkpointed blocks.  Big graphs run the loop in the caller's
+    # session untouched.
+    import uuid as _uuid
+
+    session = edges.sparkSession
+    views: list[str] = []
+
+    def _to_session(df: DataFrame, target) -> DataFrame:
+        name = f"cc_state_{_uuid.uuid4().hex}"
+        df.createOrReplaceGlobalTempView(name)
+        views.append(name)
+        return target.table(f"global_temp.{name}")
+
+    exec_spark = session
     if cur_fp[0] <= one_task_edges:
-        try:
-            old_parts = conf.get("spark.sql.shuffle.partitions")
-        except Exception:
-            old_parts = None
-        # Only narrow the conf when the old value was readable — if the
-        # read threw, the finally below could never restore it and the
-        # session would be left at 4 shuffle partitions for good.
-        if old_parts is not None:
-            conf.set("spark.sql.shuffle.partitions", "4")
+        exec_spark = session.newSession()
+        exec_spark.conf.set("spark.sql.shuffle.partitions", "4")
+        cur = _to_session(cur, exec_spark)
     converged = False
     try:
         for _ in range(max_iterations):
@@ -265,9 +272,15 @@ def connected_components(
                 converged = True
                 break
             cur, cur_fp = _squeeze(nxt, nxt_fp[0]), nxt_fp
+        if exec_spark is not session:
+            # Bring the fixpoint home: materialize the (small by
+            # construction) final state under the caller's session so
+            # the returned plan joins freely with caller DataFrames
+            # and no view outlives this call.
+            cur = _to_session(cur, session).localCheckpoint(eager=True)
     finally:
-        if old_parts is not None:
-            conf.set("spark.sql.shuffle.partitions", old_parts)
+        for name in views:
+            session.catalog.dropGlobalTempView(name)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"

@@ -95,3 +95,36 @@ def test_connected_components_string_ids(spark):
     }
     expect = {"h1": "h1", "h2": "h1", "h3": "h1", "zy": "zy", "zz": "zy"}
     assert local == stars == expect
+
+
+def test_interleaved_cc_calls_leave_session_conf_untouched(spark):
+    """The star loop's narrowed shuffle sizing must live in a CLONED
+    session: two interleaved calls with different thresholds (one
+    narrowed star loop, one local) never mutate the caller's session
+    conf, and both results stay joinable with caller-session frames."""
+    from pyspark.sql import functions as F
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    e1 = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame([(100, 101), (101, 102)], "src long, dst long")
+    # interleave: build both lazy results before evaluating either
+    r1 = connected_components(e1, local_threshold=0)  # star path, narrowed
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    r2 = connected_components(e2)  # local path
+    got2 = {r["node"]: r["component"] for r in r2.collect()}
+    got1 = {r["node"]: r["component"] for r in r1.collect()}
+    assert got1 == {i: 0 for i in range(51)}
+    assert got2 == {100: 100, 101: 100, 102: 100}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # result joins freely with caller-session DataFrames
+    nodes = spark.createDataFrame([(i,) for i in range(51)], "node long")
+    assert nodes.join(r1, "node").count() == 51
+    # no state view leaked
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("cc_state_")
+    ]
+    assert leftovers == []
