@@ -455,6 +455,91 @@ def topk_kmeans(
     )
 
 
+def sq8_reconstructed(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantize-dequantize — the corpus-side
+    code path of an IVF-SQ8 index: ``scale = max|x|/127``, codes =
+    clamp(half-up(x/scale)), reconstructed value = ``code * scale``.
+
+    Same rule as :func:`..embeddings.quantize_int8` (which emits the
+    summary scalars; this emits the reconstructed vector the probe
+    scores against).  Every step is exact IEEE arithmetic on
+    deterministic inputs, so the DuckDB oracle replays the codes and
+    the reconstruction bit for bit."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.transform(
+        vec,
+        lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / scale + F.lit(0.5)).cast("long"),
+                ),
+            )
+        ),
+    )
+    return F.transform(codes, lambda q: q.cast("double") * scale)
+
+
+def topk_ivf_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8 approximate top-k: learned coarse cells + int8
+    scalar-quantized corpus vectors, asymmetric scoring (full-precision
+    query against dequantized neighbor).
+
+    This is the MEMORY tier of the ANN stack: at 100 TB the index
+    stores ``(cid, scale, int8 codes)`` — 4x less IO and cache
+    footprint than raw floats — and a probe reads one cell's codes,
+    dequantizes on the fly, and never touches the full-precision
+    corpus (here the reconstruction is fused into the scan
+    expression; a deployment writes the codes table partitioned by
+    ``cid`` so probes are partition-pruned reads).  Training/assign
+    reuse the deterministic Lloyd machinery; same output shape as the
+    other top-k variants, with the cosine being the SQ8-approximate
+    score.
+    """
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        cents,
+        vec_col="cv",
+    ).select(
+        "cid", "neighbor_id", sq8_reconstructed(F.col("cv")).alias("rv")
+    )
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        cents,
+        vec_col="qv",
+    )
+    joined = c.join(F.broadcast(q), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("rv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def probe_buckets(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     """The query's bucket plus every Hamming-1 neighbor (one sign bit
     flipped) — 1 + len(dims) probes."""

@@ -1067,6 +1067,52 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def _ivf_sq8_sql(n_clusters: int = 8, iters: int = 3, k: int = 5,
+                 sample_mod: int | None = None) -> str:
+    """IVF-SQ8 probe oracle: the shared Lloyd chain, then the int8
+    quantize-dequantize rule of ``embedding_quantize`` applied to the
+    corpus side, asymmetric cosine against full-precision queries."""
+    return f"""{_kmeans_cte(n_clusters, iters, sample_mod)},
+sq AS (
+    SELECT vec_id, cid, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM asg
+),
+rec AS (
+    SELECT vec_id, cid,
+           list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+               ELSE greatest(-127, least(127, floor(x / scale + 0.5)))
+               END AS BIGINT) * scale) AS rv
+    FROM sq
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.rv), 6) AS cosine
+        FROM asg q JOIN rec c USING (cid)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_topk_ivf_sq8", _ivf_sq8_sql(sample_mod=2))
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 top-5: learned coarse cells + int8 scalar-quantized
+    corpus, asymmetric full-precision-query scoring — the 4x-smaller
+    index tier of the ANN stack.  Training, assignment, quantization
+    and reconstruction are all deterministic, so the oracle replays
+    the whole chain value-for-value."""
+    from .llm.similarity import topk_ivf_sq8
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_ivf_sq8(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8, sample_mod=2
+    )
+
+
 @register("ann_topk_kmeans", _kmeans_sql(sample_mod=2))
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a learned k-means coarse quantizer (3 Lloyd

@@ -994,3 +994,40 @@ def test_two_level_centroids_local_matches_distributed(spark):
     finally:
         sim.LOCAL_TRAIN_ROWS = orig
     assert local == dist
+
+
+def test_ivf_sq8_matches_exact_on_separated_clusters(spark):
+    """SQ8 quantization error (<0.8% of max|x|) must not change the
+    ranking for well-separated vectors, and zero vectors reconstruct
+    to zero without dividing by the zero scale."""
+    from dax_ppdb_spark.llm.similarity import (
+        sq8_reconstructed,
+        topk_ivf_sq8,
+        topk_kmeans,
+    )
+
+    # zero vector: reconstructs to zeros without dividing by the zero
+    # scale (cosine scoring shares every top-k variant's nonzero-input
+    # contract, so the degenerate case is pinned on the encoder alone)
+    z = spark.createDataFrame([([0.0] * 4,)], "v array<double>")
+    assert z.select(sq8_reconstructed(F.col("v")).alias("r")).first().r == [0.0] * 4
+
+    vecs = [
+        (i, [((i * 7 + d * 3) % 11) / 10.0 - 0.5 for d in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_kmeans(emb, q, k=3, n_clusters=4, iters=2).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_ivf_sq8(emb, q, k=3, n_clusters=4, iters=2).collect()
+    }
+    # same cells (same quantizer) -> same candidates; SQ8 noise may
+    # permute near-ties but the top-1 neighbor must agree
+    for qid in (0, 1, 2):
+        assert approx[(qid, 1)] == exact[(qid, 1)]
+    assert set(approx) == set(exact)

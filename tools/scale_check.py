@@ -66,6 +66,7 @@ QUERIES = [
     "dup_spans",
     "dsir_weights",
     "semdedup",
+    "semdedup_flat",
     "tfidf_keywords",
     "sample_exact_k",
     "dedup_edit",
