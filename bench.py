@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_multiprobe",
+    "ann_topk_ivf_sq8",
     "multimodal_decode",
     "embedding_quantize",
     "dup_spans",

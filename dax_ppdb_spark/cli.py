@@ -228,6 +228,19 @@ def _cmd_create_datasets(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_delta(args: argparse.Namespace) -> int:
+    """Publish (or refresh) the Delta transaction log for a managed
+    table so external Delta readers can query the committed snapshot
+    (io/delta_export.py; the BigQuery public-dataset analog)."""
+    from .io.delta_export import export_delta_log
+    from .io.table import ParquetTable
+
+    spark = get_spark("ppdb-export-delta")
+    commit = export_delta_log(ParquetTable(args.table), spark)
+    print(f"published _delta_log commit {commit} for {args.table}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ppdb-replication", description="PPDB replication tools (Spark)"
@@ -293,6 +306,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = add("create-datasets", "build the 4-namespace catalog (D13)", _cmd_create_datasets)
     p.add_argument("--schema", help="Felis YAML path")
     p.add_argument("--prefix", default=None)
+
+    p = add(
+        "export-delta",
+        "publish a Delta-protocol _delta_log over a managed table",
+        _cmd_export_delta,
+    )
+    p.add_argument("table", help="ParquetTable directory")
 
     return parser
 

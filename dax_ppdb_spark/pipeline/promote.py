@@ -81,13 +81,23 @@ BUCKET_KEYS = {
 
 class Promoter:
     def __init__(
-        self, spark: SparkSession, root: str, bucket_width: int = 1_000_000
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_width: int = 1_000_000,
+        delta_export: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
         # Ids per bucket: size so one bucket's rows are a comfortable
         # rewrite unit (a few GB at production row sizes).
         self.bucket_width = bucket_width
+        # Publish a Delta-protocol _delta_log over the public snapshot
+        # after every promotion, so external engines can query it (the
+        # reference's public dataset is externally queryable;
+        # io/delta_export.py).  Off by default: pure metadata, but one
+        # extra schema-read job per promotion.
+        self.delta_export = delta_export
         self.staging = {t: ParquetTable(os.path.join(root, "staging", t)) for t in DIA_TABLES}
         self.staging_updates = ParquetTable(os.path.join(root, "staging", "updates"))
         self.internal = {t: ParquetTable(os.path.join(root, "internal", t)) for t in DIA_TABLES}
@@ -177,6 +187,10 @@ class Promoter:
                 self._swap_promotion_to_internal()
             with timer("create_public_snapshot", chunks=chunk_ids):
                 self._update_public_snapshot(chunk_ids)
+            if self.delta_export and self.public_diaobject.exists():
+                from ..io.delta_export import export_delta_log
+
+                export_delta_log(self.public_diaobject, self.spark)
             with timer("delete_staged", chunks=chunk_ids):
                 self._delete_staged(chunk_ids)
             for cid in chunk_ids:

@@ -257,3 +257,14 @@ def test_curate_command_writes_split_partitions(spark, tmp_path, capsys):
     red = got.filter("doc_id = 102").collect()[0]
     assert "[EMAIL]" in red.text and red.n_redacted == 1
     assert "curated" in capsys.readouterr().out
+
+
+def test_export_delta_cli(spark, tmp_path, capsys):
+    from dax_ppdb_spark.io.delta_export import delta_live_files
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "k"))
+    assert cli.main(["export-delta", t.path]) == 0
+    assert "commit 0" in capsys.readouterr().out
+    assert len(delta_live_files(t.path)) >= 1

@@ -314,3 +314,39 @@ def test_drop_pending_prevents_flush_hang(spark):
     merge_patch(t, p, ["id"], observe_as="never_run")  # no action
     assert metrics.drop_pending() == 1
     assert metrics.flush_observations() == []  # returns, no hang
+
+
+def test_promote_with_delta_export_publishes_log(spark, tmp_path):
+    """Promoter(delta_export=True) leaves a Delta-protocol _delta_log
+    over the public snapshot whose replayed live files equal the
+    table's own view."""
+    import os
+
+    from dax_ppdb_spark.io.delta_export import delta_live_files
+
+    root = str(tmp_path)
+    promoter = Promoter(spark, root, delta_export=True)
+    store_chunk(
+        spark,
+        root + "/export",
+        1,
+        {
+            "DiaObject": _obj(
+                spark,
+                [(10, 100.0, None, 45.0, -30.0, 1), (20, 100.0, None, 46.0, -31.0, 1)],
+            ),
+            "DiaSource": _src(spark, []),
+            "DiaForcedSource": spark.createDataFrame(
+                [], "diaForcedSourceId LONG, diaObjectId LONG, midpointMjdTai DOUBLE"
+            ),
+        },
+        ledger=promoter.ledger,
+    )
+    promoter.stage_chunk_dir(os.path.join(root, "export", "chunk_1"), 1)
+    assert promoter.promote() == [1]
+    pub_root = promoter.public_diaobject.path
+    live = delta_live_files(pub_root)
+    assert live, "no _delta_log emitted"
+    paths = [os.path.join(pub_root, p) for p in live]
+    got = spark.read.parquet(*paths)
+    assert got.count() == promoter.public_diaobject.read(spark).count() == 2
