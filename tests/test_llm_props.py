@@ -217,3 +217,46 @@ def test_perplexity_buckets_ntile_invariants(spark, rows):
         ordered = sorted(rs, key=lambda r: (-r.avg_logprob, r.doc_id))
         tiers = [r.tier for r in ordered]
         assert tiers == sorted(tiers)
+
+
+@settings(**SETTINGS)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 10_000),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=12),
+)
+def test_png_roundtrip_property(h, w, c, seed, filters):
+    """Every 8-bit pixel grid round-trips the stdlib PNG codec, and
+    the decoder inverts all five spec filters (forward-filtered in
+    the test, independent of the encoder's filter-0 choice)."""
+    import numpy as np
+
+    from dax_ppdb_spark.llm.codecs import decode_png, encode_png
+    from tests.test_codecs import _png_with_filters
+
+    idx = np.indices((h, w, c)).sum(axis=0)
+    px = ((idx * 31 + seed) % 256).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    fs = [filters[i % len(filters)] for i in range(h)]
+    assert np.array_equal(decode_png(_png_with_filters(px, fs)), px)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 10_000),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from dax_ppdb_spark.llm.codecs import decode_wav, encode_wav
+
+    t = (np.arange(n * ch, dtype=np.int64) * 7919 + seed) % 65536 - 32768
+    samples = t.astype(np.int16).reshape(n, ch)
+    out, r = decode_wav(encode_wav(samples if ch > 1 else samples[:, 0], rate))
+    assert r == rate
+    assert np.array_equal(out, samples.reshape(n, ch))

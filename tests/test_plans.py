@@ -89,7 +89,12 @@ def test_validity_fill_single_window_exchange(spark, sf_dir, registry):
 
 
 def test_ann_queries_broadcast_query_side(spark, sf_dir, registry):
-    for name in ("ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_multiprobe"):
+    for name in (
+        "ann_topk_bruteforce",
+        "ann_topk_ivf",
+        "ann_topk_multiprobe",
+        "ann_topk_ivf_sq8",
+    ):
         plan = plan_of(registry[name](spark, sf_dir))
         assert "BroadcastExchange" in plan, f"{name}: query side not broadcast"
         # corpus must not hash-shuffle before the join
