@@ -45,6 +45,11 @@ GATED: dict[str, tuple[str, ...]] = {
     "asof_attribution": ("events",),
     "range_join": ("part", "lineitem"),
     "dedup_embedding_banded": ("embeddings",),
+    # corpus-derived two-level quantizer sizes (k1=k2~N^(1/4))
+    "semdedup": ("embeddings",),
+    # md5-fingerprinted gram shuffles + df-threshold join
+    "dup_spans": ("documents",),
+    "dedup_span_removal": ("documents",),
 }
 # growth ceiling at Nx data: time_Nx <= max(CEIL_FACTOR * N * time_1x,
 # time_1x + ABS_ALLOWANCE_S).  The absolute allowance keeps sub-second
