@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 
 from .config import PpdbConfig, SparkPipelineConfig, pipeline_from_config
@@ -87,18 +88,43 @@ def _cmd_run(args: argparse.Namespace) -> int:
     spark = get_spark("ppdb-replication-run")
     pipe = pipeline_from_config(spark, cfg)
     promoter = pipe.promoter()
+    source = pipe.apdb_source()
     rep = pipe.replicator(ledger=promoter.ledger)
+
+    # A directory source's chunks are already exported parquet (the
+    # copy is the reference's external landing job); a live JDBC
+    # source is EXPORTED here — each table pulled as a per-chunk
+    # partitioned read and stored with the standard chunk layout +
+    # manifest (store_chunk), i.e. the reference's _replicate_one
+    # (replicator.py:165-181) with Spark doing the data movement.
+    is_jdbc = hasattr(source, "get_table_data_chunks")
+    export_dir = cfg.export_root or os.path.join(cfg.root, "export")
+
+    def _export(chunk) -> str:
+        if not is_jdbc:
+            return chunk.path
+        from .pipeline.store import store_chunk
+
+        tables = {
+            t: source.get_table_data_chunks(t, [chunk.chunk_id])
+            for t in cfg.jdbc_tables
+        }
+        return store_chunk(
+            spark, export_dir, chunk.chunk_id, tables, unique_id=chunk.unique_id
+        )
 
     # The replicator inserts the EXPORTED ledger row after stage_fn
     # returns; staging (which flips the row to STAGED) must therefore
-    # run after the poll. Collect the copied chunks' paths during the
+    # run after the poll. Collect the copied chunks' dirs during the
     # poll and stage them once their ledger rows exist.
     while True:
         copied_chunks: list = []
-        rep.replicate_once(copied_chunks.append)
-        for chunk in copied_chunks:
-            promoter.stage_chunk_dir(chunk.path, chunk.chunk_id)
-        print(f"replicated: {[c.chunk_id for c in copied_chunks]}")
+        rep.replicate_once(
+            lambda chunk: copied_chunks.append((chunk, _export(chunk)))
+        )
+        for chunk, chunk_dir in copied_chunks:
+            promoter.stage_chunk_dir(chunk_dir, chunk.chunk_id)
+        print(f"replicated: {[c.chunk_id for c, _ in copied_chunks]}")
         if not args.loop:
             return 0
         time.sleep(cfg.check_interval)

@@ -71,7 +71,13 @@ class SparkPipelineConfig(PpdbConfig):
     """
 
     root: str | None = None
+    # APDB export area: a chunk-directory landing path, or a live
+    # database when prefixed ``jdbc:`` (io/jdbc.py) — mirroring the
+    # reference's apdb-config option naming either backend.
     source: str | None = None
+    jdbc_driver: str | None = None
+    jdbc_chunk_table: str = "apdb_replica_chunks"
+    jdbc_tables: tuple = ("DiaObject", "DiaSource", "DiaForcedSource")
     ledger: str | None = None
     export_root: str | None = None
     bucket: str | None = None
@@ -121,10 +127,19 @@ class SparkPipeline:
         return Ledger(self.spark, path)
 
     def apdb_source(self):
-        from .pipeline.replicate import DirectoryApdbSource
-
         if not self.config.source:
             raise ValueError("config has no `source` (APDB export area)")
+        if self.config.source.startswith("jdbc:"):
+            from .io.jdbc import JdbcApdbSource
+
+            return JdbcApdbSource(
+                self.spark,
+                self.config.source,
+                chunk_table=self.config.jdbc_chunk_table,
+                driver=self.config.jdbc_driver,
+            )
+        from .pipeline.replicate import DirectoryApdbSource
+
         return DirectoryApdbSource(self.config.source)
 
     def replicator(self, ledger=None):

@@ -268,3 +268,60 @@ def test_export_delta_cli(spark, tmp_path, capsys):
     assert cli.main(["export-delta", t.path]) == 0
     assert "commit 0" in capsys.readouterr().out
     assert len(delta_live_files(t.path)) >= 1
+
+
+def test_run_with_live_jdbc_source(spark, tmp_path, capsys):
+    """`run` against a jdbc: source exports each chunk's tables from
+    the live database (per-chunk partitioned reads), stages them, and
+    promotion produces the public snapshot — the reference's
+    _replicate_one loop end to end."""
+    import datetime
+
+    import yaml
+
+    from dax_ppdb_spark.io.jdbc import DERBY_DRIVER, write_jdbc_table
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path / "derby_home")
+    )
+    url = f"jdbc:derby:{tmp_path}/apdb_live;create=true"
+    created = (
+        datetime.datetime.now(datetime.timezone.utc).timestamp() - 3600.0
+    )
+    write_jdbc_table(
+        spark.createDataFrame(
+            [(1, "uid-1", created)],
+            "apdb_replica_chunk LONG, unique_id STRING, created_at DOUBLE",
+        ),
+        url,
+        "apdb_replica_chunks",
+        DERBY_DRIVER,
+    )
+    write_jdbc_table(
+        spark.createDataFrame(
+            [(1, 10, 100.0, None, 45.0, -30.0, 1), (1, 20, 100.0, None, 46.0, -31.0, 1)],
+            "apdb_replica_chunk LONG, diaObjectId LONG, validityStartMjdTai DOUBLE, "
+            "validityEndMjdTai DOUBLE, ra DOUBLE, dec DOUBLE, nDiaSources INT",
+        ),
+        url,
+        "DiaObject",
+        DERBY_DRIVER,
+    )
+    root = str(tmp_path / "ppdb")
+    cfg = {
+        "implementation_type": "spark",
+        "root": root,
+        "source": url,
+        "jdbc_driver": DERBY_DRIVER,
+        "jdbc_tables": ["DiaObject"],
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    assert cli.main(["run", "--config", cfg_path]) == 0
+    assert "replicated: [1]" in capsys.readouterr().out
+    assert cli.main(["promote", "--root", root]) == 0
+    assert "promoted: [1]" in capsys.readouterr().out
+    pub = Promoter(spark, root).public_diaobject.read(spark)
+    assert pub.count() == 2
