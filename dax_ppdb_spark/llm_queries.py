@@ -1470,6 +1470,97 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
 
 
+# same pattern string the engine's urls.TRACKING_PARAM_RE uses —
+# anchored and alternation-only, so Java regex and RE2 agree
+TRACKING_PARAM_RE_SQL = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+_URL_SYNTH_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+    || source || '.Example.COM'
+    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || '?utm_source=feed&x=' || CAST(doc_id % 5 AS VARCHAR)
+    || '#sec' || CAST(doc_id AS VARCHAR)
+"""
+
+_URL_DEDUP_SQL = f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+s2 AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, scheme, rest,
+           regexp_extract(rest, '^([^/?]*)', 1) AS hostport
+    FROM s2
+),
+s4 AS (
+    SELECT doc_id, scheme,
+           substr(rest, len(hostport) + 1) AS tail,
+           CASE
+               WHEN scheme = 'http'
+                   THEN regexp_replace(regexp_replace(lower(hostport), '^www\\.', ''), ':80$', '')
+               WHEN scheme = 'https'
+                   THEN regexp_replace(regexp_replace(lower(hostport), '^www\\.', ''), ':443$', '')
+               ELSE regexp_replace(lower(hostport), '^www\\.', '')
+           END AS host
+    FROM s3
+),
+s5 AS (
+    SELECT doc_id, scheme, host,
+           regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '') AS path,
+           array_to_string(list_filter(
+               string_split(regexp_replace(tail, '^[^?]*\\??', ''), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE_SQL}')
+           ), '&') AS qs
+    FROM s4
+),
+n AS (
+    SELECT doc_id,
+           scheme || '://' || host || path
+           || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS norm_url
+    FROM s5
+)
+SELECT norm_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM n GROUP BY norm_url
+"""
+
+
+@register("url_dedup", _URL_DEDUP_SQL)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a deterministically synthesized noisy URL
+    per document (case/``www.``/default-port/fragment/tracking-param/
+    trailing-slash variants of ``https://<source>.example.com/p/<id%40>
+    ?x=<id%5>``) — the Common-Crawl canonical-URL collapse.  Both
+    engines synthesize the same URLs, normalize with the same rules,
+    and keep the lowest doc id per canonical form; one map-side
+    expression + one hash aggregation, no join."""
+    from .llm.urls import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&x="),
+        (d % 5).cast("string"),
+        F.lit("#sec"),
+        d.cast("string"),
+    )
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return url_dedup(docs)
+
+
 def _semdedup_flat_sql() -> str:
     """Lazily-resolved oracle: replay the corpus-scaled cluster count
     (``auto_semdedup_clusters`` of the oracle corpus's row count) and

@@ -121,7 +121,10 @@ def test_multimodal_frame_sample(spark):
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_rejects_undecodable_payload():
+    # non-media bytes with no PIL installed: the stdlib tier only
+    # handles PNG/WAV, anything else raises (real decode paths are
+    # pinned in tests/test_codecs.py)
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
 
@@ -1031,3 +1034,50 @@ def test_ivf_sq8_matches_exact_on_separated_clusters(spark):
     for qid in (0, 1, 2):
         assert approx[(qid, 1)] == exact[(qid, 1)]
     assert set(approx) == set(exact)
+
+
+def test_url_normalization_rules(spark):
+    from dax_ppdb_spark.llm.urls import (
+        normalize_url,
+        url_dedup,
+        url_host,
+        url_registered_domain,
+    )
+
+    cases = [
+        # case/www/default-port/fragment/tracking-param/trailing-slash
+        (1, "HTTPS://WWW.Docs.Example.COM:443/a/b/?utm_source=x&q=1#top"),
+        (2, "https://docs.example.com/a/b?q=1"),
+        # http default port; params order preserved; ref dropped
+        (3, "http://site.org:80/p?b=2&ref=abc&a=1"),
+        # no query, root path collapses
+        (4, "https://site.org/"),
+        # non-default port kept; utm in the middle dropped
+        (5, "https://site.org:8443/x?utm_campaign=z&k=v"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id LONG, url STRING")
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    assert out[1] == out[2] == "https://docs.example.com/a/b?q=1"
+    assert out[3] == "http://site.org/p?b=2&a=1"
+    assert out[4] == "https://site.org"
+    assert out[5] == "https://site.org:8443/x?k=v"
+
+    hosts = {
+        r.doc_id: (r.h, r.d)
+        for r in df.select(
+            "doc_id",
+            url_host(F.col("url")).alias("h"),
+            url_registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert hosts[1] == ("www.docs.example.com:443", "example.com")
+    assert hosts[5] == ("site.org:8443", "site.org")
+
+    dd = {r.norm_url: (r.keep_id, r.n_docs) for r in url_dedup(df).collect()}
+    assert dd["https://docs.example.com/a/b?q=1"] == (1, 2)
+    assert len(dd) == 4
