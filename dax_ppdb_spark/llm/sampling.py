@@ -337,3 +337,83 @@ def token_budget_mixture(
         "__prefix", F.col("__bprefix") + F.sum(size_col).over(cw) - F.col(size_col)
     ).filter(F.col("__prefix") < F.col("__budget"))
     return whole.select(*keep_cols).unionByName(picked.select(*keep_cols))
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "seq",
+    coarse_buckets: int = 0,
+) -> DataFrame:
+    """Pretraining sequence packing: concatenate documents in a
+    deterministic salted-hash order and cut the token stream into
+    fixed-length sequences of ``seq_len`` tokens — documents CROSSING
+    a boundary are split across both sequences (the standard
+    pretraining batch-prep, complementing :func:`pack_shards`' whole-
+    document shard assignment and :func:`chunk_documents`' per-doc
+    windows).
+
+    Output: one span row per (sequence, document) intersection —
+    ``(seq_id, doc_id, doc_from, doc_to, seq_off)`` with
+    ``doc_from``/``doc_to`` the token slice within the document
+    (``doc_to`` exclusive) and ``seq_off`` the slice's start position
+    inside the sequence.  Spans tile every sequence exactly (the last
+    sequence may be short) and cover every document completely —
+    pinned by tests.  Zero-token documents are dropped (they occupy
+    no sequence positions).
+
+    The hash order makes the layout a pure function of (salt, ids),
+    so re-runs and both engines reproduce it exactly.  Scale shape:
+    the global token-offset cumsum is the only nontrivial step; with
+    ``coarse_buckets > 0`` it runs two-phase like
+    :func:`token_budget_mixture` — contiguous md5-range buckets, a
+    ``coarse_buckets``-row base-offset table computed on the driver
+    and broadcast back, and the per-row window confined to one bucket
+    — so no single task ever sorts the corpus.  Both phases compute
+    the same integer offsets, so the simple single-window SQL remains
+    the oracle.
+    """
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.filter(F.col(size_col) >= 1).withColumn("__h", h)
+    if coarse_buckets <= 0:
+        w = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        t = base.withColumn(
+            "__off", F.sum(size_col).over(w) - F.col(size_col)
+        )
+    else:
+        span = (1 << 32) // coarse_buckets + 1
+        t = base.withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
+        sums = t.groupBy("__b").agg(F.sum(size_col).alias("__bsz")).collect()
+        acc = 0
+        bases = []
+        for r in sorted(sums, key=lambda r: r["__b"]):
+            bases.append((r["__b"], acc))
+            acc += r["__bsz"]
+        bdf = df.sparkSession.createDataFrame(bases, "__b LONG, __base LONG")
+        wb = Window.partitionBy("__b").orderBy(
+            F.col("__h").asc(), F.col(id_col).asc()
+        )
+        t = t.join(F.broadcast(bdf), "__b").withColumn(
+            "__off",
+            F.col("__base") + F.sum(size_col).over(wb) - F.col(size_col),
+        )
+    first = F.floor(F.col("__off") / seq_len).cast("long")
+    last = F.floor((F.col("__off") + F.col(size_col) - 1) / seq_len).cast("long")
+    spans = t.select(
+        F.col(id_col),
+        F.col(size_col).alias("__n"),
+        "__off",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    sstart = F.col("seq_id") * seq_len
+    return spans.select(
+        "seq_id",
+        id_col,
+        F.greatest(F.lit(0).cast("long"), sstart - F.col("__off")).alias("doc_from"),
+        F.least(
+            F.col("__n").cast("long"), sstart + seq_len - F.col("__off")
+        ).alias("doc_to"),
+        F.greatest(F.lit(0).cast("long"), F.col("__off") - sstart).alias("seq_off"),
+    )

@@ -1470,6 +1470,54 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
 
 
+_SEQ_LEN = 128
+
+_SEQUENCE_PACK_SQL = f"""
+WITH d AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+t AS (
+    SELECT doc_id, n,
+           {md5_long_sql("'seq' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM d WHERE n >= 1
+),
+o AS (
+    SELECT doc_id, n,
+           COALESCE(SUM(n) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS off
+    FROM t
+),
+x AS (
+    SELECT doc_id, n, off,
+           unnest(range(CAST(off // {_SEQ_LEN} AS BIGINT),
+                        CAST((off + n - 1) // {_SEQ_LEN} + 1 AS BIGINT))) AS seq_id
+    FROM o
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(0, seq_id * {_SEQ_LEN} - off) AS BIGINT) AS doc_from,
+       CAST(least(n, seq_id * {_SEQ_LEN} + {_SEQ_LEN} - off) AS BIGINT) AS doc_to,
+       CAST(greatest(0, off - seq_id * {_SEQ_LEN}) AS BIGINT) AS seq_off
+FROM x
+"""
+
+
+@register("sequence_pack", _SEQUENCE_PACK_SQL)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: the corpus token stream (docs in
+    deterministic salted-hash order) cut into 128-token sequences,
+    documents split across boundaries — one span row per
+    (sequence, document) intersection.  The engine runs the two-phase
+    bucketed cumsum (no single global sort task); the oracle is the
+    equivalent single-window SQL, which the two-phase integer offsets
+    reproduce exactly."""
+    from .llm.sampling import sequence_pack
+    from .llm.text import token_count
+
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sequence_pack(docs, seq_len=_SEQ_LEN, coarse_buckets=32)
+
+
 # same pattern string the engine's urls.TRACKING_PARAM_RE uses —
 # anchored and alternation-only, so Java regex and RE2 agree
 TRACKING_PARAM_RE_SQL = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="

@@ -1081,3 +1081,50 @@ def test_url_normalization_rules(spark):
     dd = {r.norm_url: (r.keep_id, r.n_docs) for r in url_dedup(df).collect()}
     assert dd["https://docs.example.com/a/b?q=1"] == (1, 2)
     assert len(dd) == 4
+
+
+def test_sequence_pack_invariants(spark):
+    """Spans tile every sequence exactly (last may be short), cover
+    every document completely and in order, and the two-phase bucketed
+    cumsum reproduces the single-window layout exactly."""
+    from dax_ppdb_spark.llm.sampling import sequence_pack
+
+    rows = [(i, 1 + (i * 13) % 40) for i in range(60)] + [(99, 0)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens INT")
+    L = 32
+    out = sequence_pack(df, seq_len=L).collect()
+    assert all(r.doc_id != 99 for r in out)  # zero-token doc dropped
+
+    # per-sequence: spans tile [0, L) contiguously
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    total = sum(n for _, n in rows)
+    for sid, spans in by_seq.items():
+        spans.sort(key=lambda r: r.seq_off)
+        pos = 0
+        for s in spans:
+            assert s.seq_off == pos
+            assert s.doc_to > s.doc_from
+            pos += s.doc_to - s.doc_from
+        expect = L if sid < max(by_seq) else total - L * sid
+        assert pos == expect
+    assert set(by_seq) == set(range((total + L - 1) // L))
+
+    # per-document: slices cover [0, n) contiguously across sequences
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    sizes = dict(rows)
+    for did, spans in by_doc.items():
+        spans.sort(key=lambda r: r.seq_id)
+        pos = 0
+        for s in spans:
+            assert s.doc_from == pos
+            pos = s.doc_to
+        assert pos == sizes[did]
+
+    # two-phase == single-window, exactly
+    two = sequence_pack(df, seq_len=L, coarse_buckets=7).collect()
+    key = lambda r: (r.seq_id, r.doc_id, r.doc_from, r.doc_to, r.seq_off)
+    assert sorted(map(key, two)) == sorted(map(key, out))
