@@ -90,6 +90,8 @@ HEADLINE = [
     "mixture_sample",
     "perplexity_buckets",
     "leak_safe_split",
+    "url_dedup",
+    "sequence_pack",
 ]
 
 

@@ -78,6 +78,31 @@ def normalize_url(url: Column) -> Column:
     )
 
 
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose URL's registered domain appears in a
+    blocklist — the safety/robots/licensing gate every crawl pipeline
+    runs before anything touches the text.
+
+    The blocklist is a dimension table (thousands to low millions of
+    domains — broadcastable by construction); the corpus anti-joins it
+    on :func:`url_registered_domain` with an explicit broadcast hint,
+    so the corpus side never shuffles at any scale (plan-pinned).
+    """
+    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("__blocked")))
+    keyed = docs.withColumn(
+        "__dom", url_registered_domain(F.col(url_col))
+    )
+    return (
+        keyed.join(bl, keyed["__dom"] == bl["__blocked"], "left_anti")
+        .drop("__dom")
+    )
+
+
 def url_dedup(
     docs: DataFrame,
     url_col: str = "url",

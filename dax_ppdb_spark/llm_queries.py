@@ -1609,6 +1609,54 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+_BLOCKED_DOMAINS = ("src1-site.org", "src3-site.org", "src12-site.org")
+
+_URL_BLOCK_SQL = f"""
+WITH u AS (
+    SELECT doc_id, lang,
+           'https://www.' || source || '-site.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url
+    FROM documents
+),
+d AS (
+    SELECT doc_id, lang, url,
+           regexp_extract(
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                       '^([^/?#]*)', 1)),
+                   ':\\d+$', ''),
+               '([^.]+\\.[^.]+)$', 1) AS dom
+    FROM u
+)
+SELECT doc_id, lang FROM d
+WHERE dom NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)})
+"""
+
+
+@register("url_block_filter", _URL_BLOCK_SQL)
+def q_url_block_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist domain filtering: drop documents whose registered
+    domain (last-two-label heuristic over the synthesized per-source
+    host) is on a broadcast blocklist — broadcast LEFT ANTI, the
+    corpus never shuffles (plan-pinned)."""
+    from .llm.urls import filter_blocked_domains
+
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit("-site.org/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", url.alias("url")
+    )
+    bl = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], "domain STRING"
+    )
+    return filter_blocked_domains(docs, bl).select("doc_id", "lang")
+
+
 def _semdedup_flat_sql() -> str:
     """Lazily-resolved oracle: replay the corpus-scaled cluster count
     (``auto_semdedup_clusters`` of the oracle corpus's row count) and

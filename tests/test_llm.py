@@ -1128,3 +1128,22 @@ def test_sequence_pack_invariants(spark):
     two = sequence_pack(df, seq_len=L, coarse_buckets=7).collect()
     key = lambda r: (r.seq_id, r.doc_id, r.doc_from, r.doc_to, r.seq_off)
     assert sorted(map(key, two)) == sorted(map(key, out))
+
+
+def test_filter_blocked_domains(spark):
+    from dax_ppdb_spark.llm.urls import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.bad.org/x"),
+            (2, "https://docs.bad.org:8443/y"),
+            (3, "https://good.org/z"),
+            (4, "no-scheme-string"),
+        ],
+        "doc_id LONG, url STRING",
+    )
+    bl = spark.createDataFrame([("bad.org",)], "domain STRING")
+    kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+    # subdomain and port variants of bad.org are blocked; schemeless
+    # strings have an empty domain and pass through
+    assert kept == [3, 4]

@@ -321,3 +321,10 @@ def test_merge_upsert_no_full_outer_shuffle(spark, sf_dir, registry):
     assert "FullOuter" not in plan
     assert "BroadcastHashJoin LeftOuter" in plan
     assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_url_block_filter_is_broadcast_anti(spark, sf_dir, registry):
+    """The blocklist must broadcast; the corpus side never exchanges."""
+    plan = plan_of(registry["url_block_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
