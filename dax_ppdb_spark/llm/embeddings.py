@@ -1,7 +1,7 @@
 """Embedding-column preprocessing: int8 quantization and
-cluster-scoped semantic dedup (SemDeDup).
+cluster-scoped semantic dedup (SemDeDup — flat and two-level tiers).
 
-Both operators treat the embedding column (``array<float>``) the way a
+All operators here treat the embedding column (``array<float>``) the way a
 100 TB training-data pipeline has to: per-row work stays in JVM-side
 array expressions (zero shuffle for quantization), and anything
 pairwise is confined to a partition key (the k-means cell) so the

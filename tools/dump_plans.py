@@ -100,14 +100,18 @@ ANNOTATED = {
         " radius refine runs only on surviving rows."
     ),
     "semdedup": (
-        "SemDeDup: the pair stage is an equi-join on the learned"
-        " k-means cell id (never a cartesian), with the cluster count"
-        " derived from the corpus size (k ~ sqrt(N)) and over-occupied"
-        " cells capped out via the broadcast cell filter; cosine is"
-        " scored once per surviving in-cell pair."
+        "SemDeDup (two-level): the pair stage is an equi-join on the"
+        " product cell id cid1*k2+cid2 (never a cartesian) — coarse"
+        " Lloyd cells times sign-canonicalized-residual fine cells,"
+        " k1 = k2 ~ N^(1/4), so assignment is O(N^1.25) for the same"
+        " sqrt(N) cell granularity as the flat tier; over-occupied"
+        " cells are capped out via the broadcast cell filter and"
+        " cosine is scored once per surviving in-cell pair."
     ),
     "dup_spans": (
-        "Duplicated-span stats: gram positions explode once, document"
+        "Duplicated-span stats: gram positions explode once and"
+        " fingerprint to 64-bit md5 longs at the scan (both gram-keyed"
+        " exchanges shuffle 8-byte keys, not 5-word strings), document"
         " frequency is a map-side-combinable count per gram, and ONLY"
         " the qualifying (duplicated) grams join back — the big"
         " relation never meets itself. Runs come from the"
