@@ -76,6 +76,10 @@ QUERIES = [
     "mixture_sample",
     "perplexity_buckets",
     "leak_safe_split",
+    "ann_topk_ivf_sq8",
+    "url_dedup",
+    "url_block_filter",
+    "sequence_pack",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
