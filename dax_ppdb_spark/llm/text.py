@@ -96,6 +96,50 @@ def stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
 
 
+# Text-cleaning rules, applied IN ORDER (each replaces every match):
+# typographic quotes/dashes to ASCII, zero-width characters stripped,
+# NBSP and control characters to spaces, whitespace runs collapsed.
+# Character classes are built from explicit codepoints so the actual
+# characters ride the pattern string (not \\uXXXX escape syntax,
+# whose handling differs between the Java regex and RE2 dialects).
+def _cc(*cps: int) -> str:
+    return "[" + "".join(chr(c) for c in cps) + "]"
+
+
+CLEAN_RULES: tuple[tuple[str, str], ...] = (
+    (_cc(0x2018, 0x2019), "'"),                 # curly single quotes
+    (_cc(0x201C, 0x201D), '"'),                 # curly double quotes
+    (_cc(0x2013, 0x2014), "-"),                 # en/em dashes
+    (_cc(0x200B, 0x200C, 0x200D, 0xFEFF), ""),  # zero-width + BOM
+    (_cc(0x00A0), " "),                         # NBSP
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", " "),  # control chars
+    ("\\s+", " "),                            # collapse whitespace runs
+)
+
+
+def clean_text(text: Column) -> Column:
+    """Pre-tokenization text cleanup — the mojibake/typography
+    normalization pass every crawl pipeline runs before token
+    statistics: :data:`CLEAN_RULES` in order, then trim.  Pure
+    chained ``regexp_replace`` (map-side, codegen'd); the DuckDB twin
+    is :func:`clean_text_sql` (same patterns with the ``'g'`` flag —
+    DuckDB replaces only the first match by default where Spark
+    replaces all)."""
+    out = text
+    for pat, rep in CLEAN_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def clean_text_sql(expr: str) -> str:
+    """The DuckDB-dialect twin of :func:`clean_text`."""
+    for pat, rep in CLEAN_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
     """Per-document quality signals: token count, average token
     length, stopword ratio, punctuation ratio, and a combined score.

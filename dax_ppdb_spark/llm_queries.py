@@ -1609,6 +1609,49 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+def _text_clean_sql() -> str:
+    from .llm.text import clean_text_sql
+
+    # deterministic dirt: typographic quotes/dash, NBSP, zero-width,
+    # a control char and ragged whitespace wrapped around every text
+    dirty = (
+        "chr(8220) || 'q' || chr(8221) || chr(160) || '  ' || text"
+        " || '  ' || chr(8212) || ' tail' || chr(8203) || chr(9) || chr(1)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {dirty} AS dirty FROM documents)
+SELECT doc_id,
+       {clean_text_sql('dirty')} AS cleaned,
+       CAST(len(dirty) - len({clean_text_sql('dirty')}) AS BIGINT)
+           AS n_removed
+FROM d
+"""
+
+
+@register("text_clean", _text_clean_sql())
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning over deterministically dirtied documents (both
+    engines wrap every text in the same typographic-quote/NBSP/
+    zero-width/control-char/ragged-whitespace noise, then normalize):
+    chained map-side regexp_replace, zero shuffle."""
+    from .llm.text import clean_text
+
+    dirty = F.concat(
+        F.lit("\u201Cq\u201D\u00A0  "),
+        F.col("text"),
+        F.lit("  \u2014 tail\u200B\t\x01"),
+    )
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", dirty.alias("dirty")
+    )
+    cleaned = clean_text(F.col("dirty"))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("dirty") - F.length(cleaned)).cast("long").alias("n_removed"),
+    )
+
+
 _BLOCKED_DOMAINS = ("src1-site.org", "src3-site.org", "src12-site.org")
 
 _URL_BLOCK_SQL = f"""

@@ -1147,3 +1147,25 @@ def test_filter_blocked_domains(spark):
     # subdomain and port variants of bad.org are blocked; schemeless
     # strings have an empty domain and pass through
     assert kept == [3, 4]
+
+
+def test_clean_text_rules(spark):
+    from dax_ppdb_spark.llm.text import clean_text
+
+    cases = [
+        (1, "“hello” ‘world’"),
+        (2, "a b​c"),
+        (3, "  x \t\n y\x01z  "),
+        (4, "en–dash em—dash"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(cases, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", clean_text(F.col("text")).alias("c")).collect()
+    }
+    assert out[1] == "\"hello\" 'world'"
+    assert out[2] == "a bc"  # NBSP -> space, zero-width removed
+    assert out[3] == "x y z"  # control char -> space, runs collapsed, trimmed
+    assert out[4] == "en-dash em-dash"
+    assert out[5] == ""
