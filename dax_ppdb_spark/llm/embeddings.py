@@ -280,3 +280,135 @@ def semdedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("cid", "vec_a", "vec_b", "cosine")
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding columns:
+    ``(i, j, cov)`` with 0-based ``i <= j``, round 6 — the statistics
+    pass feeding PCA/whitening (:func:`pca_whiten`), duplicate-axis
+    detection, and per-dimension drift monitors.
+
+    Shape: one pass computes the per-dimension means (d values to the
+    driver), a second pass aggregates the centered cross-products —
+    exploded to (i, j, x_i*x_j) pairs and SUMmed with map-side partial
+    aggregation, so the shuffle carries at most d*(d+1)/2 rows per
+    map task regardless of corpus size.  The d^2 fan-out per row is
+    the intrinsic cost of covariance; at 100 TB you bound it by
+    computing on a hash sample (the quantizer-training pattern) —
+    the operator takes whatever DataFrame it is given.
+
+    Divisor is ``n`` (population covariance) — one fewer branch for
+    the oracle to mirror and the difference vanishes at corpus scale.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    n = emb.count()
+    means = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    mean = {r["i"]: r["s"] / n for r in means}
+    dim = len(mean)
+    mdf = emb.sparkSession.createDataFrame(
+        [([mean[i] for i in range(dim)],)], "__mean array<double>"
+    )
+    centered = (
+        emb.crossJoin(F.broadcast(mdf))
+        .select(F.zip_with(v, F.col("__mean"), lambda x, m: x - m).alias("c"))
+    )
+    pairs = centered.select(
+        F.posexplode(F.col("c")).alias("i", "xi"), F.col("c").alias("c2")
+    ).select(
+        "i",
+        F.posexplode(F.col("c2")).alias("j", "xj"),
+        F.col("xi"),
+    ).filter(F.col("j") >= F.col("i"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")) / n, 6).alias("cov"))
+    )
+
+
+def pca_whiten(
+    emb: DataFrame,
+    k: int | None = None,
+    eps: float = 1e-9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PCA whitening: project embeddings onto the top-``k`` principal
+    axes and scale each to unit variance — the decorrelation step that
+    makes cosine/L2 behave before ANN or embedding dedup (FAISS's
+    ``PCAW`` preprocessing).
+
+    The d x d covariance aggregates distributedly
+    (:func:`embedding_covariance` shape), its eigendecomposition runs
+    on the DRIVER (d x d is model-sized, like the k-means centroids),
+    and the projection matrix broadcasts back as data — the corpus
+    never shuffles; the transform is one map-side expression.
+    Deterministic given the input (numpy ``eigh`` on the exact same
+    symmetric matrix; eigenvector sign fixed by forcing the
+    largest-|component| positive).  No SQL oracle — eigendecomposition
+    is not expressible in the oracle dialect; the covariance feeding
+    it is the oracle-checked part, and the whitening contract
+    (identity covariance out) is pinned by pytest.
+
+    Output: (id_col, whitened array<double> of length k).
+    """
+    import numpy as np
+
+    v = F.col(vec_col).cast("array<double>")
+    n = emb.count()
+    rows = embedding_covariance(emb, vec_col, id_col).collect()
+    dim = max(r["j"] for r in rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    mean_rows = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in mean_rows:
+        mean[r["i"]] = r["s"] / n
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    k = dim if k is None else min(k, dim)
+    w, vecs = w[order[:k]], vecs[:, order[:k]]
+    # sign convention: largest-|component| of each axis positive
+    for c in range(vecs.shape[1]):
+        m = np.argmax(np.abs(vecs[:, c]))
+        if vecs[m, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    proj = vecs / np.sqrt(np.maximum(w, eps))  # (dim, k)
+    pdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, row)) for row in proj],
+          [float(x) for x in mean])],
+        "__proj array<array<double>>, __mean array<double>",
+    )
+    centered = F.zip_with(v, F.col("__mean"), lambda x, m: x - m)
+    # project: out_k = sum_d centered[d] * proj[d][k] — a sequential
+    # fold per output axis, deterministic like every dot product here
+    out = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda kk: F.aggregate(
+            F.zip_with(
+                centered,
+                F.transform(F.col("__proj"), lambda row: F.element_at(row, kk)),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(pdf))
+        .select(F.col(id_col), out.alias("whitened"))
+    )

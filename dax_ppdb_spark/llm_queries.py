@@ -1609,6 +1609,61 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+_EMB_COV_SQL = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM e),
+m AS (
+    SELECT i, SUM(x) AS s FROM (
+        SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e
+    ) GROUP BY i
+),
+ma AS (SELECT list(s / (SELECT n FROM nn) ORDER BY i) AS mean FROM m),
+c AS (
+    SELECT list_transform(range(1, len(v) + 1), i -> v[i] - mean[i]) AS cv
+    FROM e CROSS JOIN ma
+),
+pi AS (SELECT cv, unnest(range(1, len(cv) + 1)) AS i FROM c),
+pj AS (SELECT cv, i, unnest(range(i, len(cv) + 1)) AS j FROM pi),
+p AS (
+    SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+           cv[i] * cv[j] AS prod
+    FROM pj
+)
+SELECT i, j, round(SUM(prod) / (SELECT n FROM nn), 6) AS cov
+FROM p GROUP BY i, j
+"""
+
+
+@register("embedding_covariance", _EMB_COV_SQL)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance (population divisor): two
+    aggregation passes — per-dimension means to the driver, then
+    centered cross-products with map-side partial aggregation bounding
+    the shuffle at d*(d+1)/2 rows per task."""
+    from .llm.embeddings import embedding_covariance
+
+    cov = embedding_covariance(_read_spread(spark, sf_dir, "embeddings"))
+    return cov.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "cov",
+    )
+
+
+@register("embedding_whiten", None)
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening to 8 axes (FAISS-style PCAW preprocessing): the
+    d x d covariance aggregates distributedly, the eigendecomposition
+    runs driver-side (model-sized), and the projection broadcasts back
+    — map-side transform, corpus never shuffles.  No SQL oracle
+    (eigendecomposition is outside the oracle dialect); the covariance
+    feeding it is the oracle-checked half and the identity-covariance
+    output contract is pinned by pytest."""
+    from .llm.embeddings import pca_whiten
+
+    return pca_whiten(_read_spread(spark, sf_dir, "embeddings"), k=8)
+
+
 def _text_clean_sql() -> str:
     from .llm.text import clean_text_sql
 

@@ -1169,3 +1169,26 @@ def test_clean_text_rules(spark):
     assert out[3] == "x y z"  # control char -> space, runs collapsed, trimmed
     assert out[4] == "en-dash em-dash"
     assert out[5] == ""
+
+
+def test_pca_whiten_identity_covariance(spark):
+    """Whitened embeddings have ~identity covariance on the kept axes,
+    the transform is deterministic, and k truncates."""
+    import numpy as np
+
+    from dax_ppdb_spark.llm.embeddings import pca_whiten
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11) / 10.0 + (d % 3) * 0.5 for d in range(6)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = pca_whiten(emb, k=4)
+    W = np.array([r.whitened for r in out.orderBy("vec_id").collect()])
+    assert W.shape == (50, 4)
+    cov = np.cov(W.T, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=1e-4)
+    W2 = np.array(
+        [r.whitened for r in pca_whiten(emb, k=4).orderBy("vec_id").collect()]
+    )
+    assert np.array_equal(W, W2)
