@@ -1609,6 +1609,122 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+_CORPUS_CUBE_SQL = f"""
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+@register("corpus_cube", _CORPUS_CUBE_SQL)
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (source, lang): every marginal of the
+    corpus-composition report in ONE shuffle (grouping-set expansion
+    is map-side) — the datamix dashboard query.  NULL grouping levels
+    label as 'ALL' for null-safe hash compare."""
+    from .llm.text import token_count
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    """Recall@5 of the IVF-SQ8 index against the exact scan, replayed
+    end to end: both top-k chains (the Lloyd CTEs + SQ8 reconstruction
+    vs brute force), joined per query."""
+    return f"""{_kmeans_cte(8, 3, 2)},
+sq AS (
+    SELECT vec_id, cid, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM asg
+),
+rec AS (
+    SELECT vec_id, cid,
+           list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+               ELSE greatest(-127, least(127, floor(x / scale + 0.5)))
+               END AS BIGINT) * scale) AS rv
+    FROM sq
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.rv), 6) DESC,
+                            c.vec_id) AS rank
+        FROM asg q JOIN rec c USING (cid)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id) AS rank
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       round(COUNT(a.neighbor_id) / 5.0, 6) AS recall_at_5
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall", _ann_recall_sql)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the IVF-SQ8 index against
+    the exact scan, per query — the measurement loop a 100 TB ANN
+    deployment runs on a sampled query set before trusting an index
+    tier.  Composes the registered operators; the oracle replays BOTH
+    chains end to end."""
+    from .llm.similarity import topk_bruteforce, topk_ivf_sq8
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, k=5)
+    approx = topk_ivf_sq8(emb, q, k=5, n_clusters=8, sample_mod=2)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
 _EMB_COV_SQL = """
 WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 nn AS (SELECT COUNT(*) AS n FROM e),
