@@ -114,14 +114,15 @@ def auto_semdedup_levels(n: int) -> tuple[int, int]:
     an implementation cost), but assignment is ``N*(k1+k2) =
     O(N^1.25)`` distance evaluations instead of the flat tier's
     ``N*sqrt(N) = O(N^1.5)`` — at N = 1e9 that is ~356 multiplies per
-    row instead of ~31623.  Tradeoff, measured on the synthetic
-    corpus: product cells are geometrically cruder than one learned
-    flat partition of equal count, so recall on DIFFUSE similarity
-    (low thresholds) is lower; near-identical pairs (the actual
-    SemDeDup target) co-locate in both designs thanks to residual
-    sign canonicalization.  The rule runs driver-side in plain Python
-    for BOTH the engine and the oracle-SQL builder, so replay is
-    exact.
+    row instead of ~31623.  Product cells are geometrically cruder
+    than one learned flat partition of equal count; the default
+    2-probe fine assignment (see :func:`semdedup_pairs_two_level`)
+    recovers that and then some — measured at sf0.01: flat 211,
+    single-probe 97, 2-probe 254 of 990 diffuse (cosine>=0.3) pairs —
+    and near-identical pairs (the actual SemDeDup target) co-locate
+    in all designs thanks to residual sign canonicalization.  The
+    rule runs driver-side in plain Python for BOTH the engine and the
+    oracle-SQL builder, so replay is exact.
     """
     k = max(4, round(max(n, 1) ** 0.25))
     return k, k
@@ -135,6 +136,7 @@ def semdedup_pairs_two_level(
     iters: int = 3,
     sample_mod: int | None = None,
     max_cell: int | None = 1000,
+    probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -152,17 +154,27 @@ def semdedup_pairs_two_level(
     flat quantizer, but with ``k1*k2`` effective cells for only
     ``k1 + k2`` assignment distance evaluations per row.
 
+    ``probes`` (default 2) assigns each vector to its ``probes``
+    nearest FINE cells, so a pair straddling a fine-cell boundary
+    still meets in the neighbor's cell — measured at sf0.01 this
+    lifts diffuse-pair recall ABOVE the flat tier (254 vs 211 of 990
+    cosine>=0.3 pairs; single-probe found 97) for probes x the
+    assignment rows and a bounded pair fan-out (``max_cell`` applies
+    to the probe-expanded cells).
+
     Every step reuses the deterministic machinery the oracle already
-    replays: lowest-id init, first-wins argmin, round-6 means,
-    broadcast-data centroids (never literal expression trees), and
-    residuals are exact IEEE subtractions so the DuckDB replay is
+    replays: lowest-id init, first-wins argmin (multi-probe = the
+    same distance fold ranked, ``rn <= probes`` in SQL), round-6
+    means, broadcast-data centroids (never literal expression trees),
+    and residuals are exact IEEE subtractions so the DuckDB replay is
     bit-identical.  ``n_coarse``/``n_fine`` are required — derive
     them with :func:`auto_semdedup_levels` from a corpus count the
     caller already has (no hidden eager ``count()`` action here).
 
-    Output: (cid, vec_a, vec_b, cosine round 6) with ``vec_a <
-    vec_b`` and cosine >= ``threshold`` — same shape as the flat
-    variant.
+    Output: DISTINCT (vec_a, vec_b, cosine round 6) with ``vec_a <
+    vec_b`` and cosine >= ``threshold`` (a pair can meet in several
+    probed cells; the cell id is an implementation detail and is not
+    exposed).
     """
     from .similarity import two_level_centroids
 
@@ -194,8 +206,10 @@ def semdedup_pairs_two_level(
         )
         .drop("__c1")
     )
+    from .similarity import assign_cells_multi
+
     assigned = (
-        assign_cells(res, cents2, vec_col="r", out_col="cid2")
+        assign_cells_multi(res, cents2, probes, vec_col="r", out_col="cid2")
         .withColumn("cid", F.col("cid1") * n_fine + F.col("cid2"))
         .select("cid", "id", "v")
     )
@@ -215,7 +229,8 @@ def semdedup_pairs_two_level(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("cid", "vec_a", "vec_b", "cosine")
+        .select("vec_a", "vec_b", "cosine")
+        .distinct()
     )
 
 

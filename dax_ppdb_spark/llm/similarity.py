@@ -128,6 +128,57 @@ def _argmin_dist(vec: Column, cents: Column) -> Column:
     return F.array_min(tagged)["i"].cast("int")
 
 
+def _argmin_multi(vec: Column, cents: Column, probes: int) -> Column:
+    """Indices of the ``probes`` nearest centroids, nearest first —
+    the multi-probe generalization of :func:`_argmin_dist` (identical
+    distance fold; ``array_sort`` on (d, i) structs gives the same
+    first-index tie-break as the struct-min, and the SQL oracle
+    replays it as ``ROW_NUMBER() ... WHERE rn <= probes``)."""
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    tagged = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(tagged), 1, probes), lambda s: s["i"].cast("int")
+    )
+
+
+def assign_cells_multi(
+    df: DataFrame,
+    centroids: list[list[float]],
+    probes: int,
+    vec_col: str = "v",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Multi-probe :func:`assign_cells`: one output row per (input
+    row, probe), ``out_col`` exploding over the ``probes`` nearest
+    cells — the recall lever for product-quantized pair mining (a
+    pair near a fine-cell boundary meets in the neighbor's cell).
+    Same broadcast-data centroid shipping as the single-probe path.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    cdf = df.sparkSession.createDataFrame(
+        [(cents,)], "__cents: array<array<double>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            out_col,
+            F.explode(_argmin_multi(F.col(vec_col), F.col("__cents"), probes)),
+        )
+        .drop("__cents")
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],

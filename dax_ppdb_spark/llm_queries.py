@@ -976,15 +976,18 @@ def _lloyd_dist2(vcol: str, ccol: str) -> str:
 
 
 def _lloyd_chain(tr: str, full: str, pfx: str,
-                 n_clusters: int, iters: int) -> str:
+                 n_clusters: int, iters: int,
+                 final_probes: int = 1) -> str:
     """CTE suffix (leading comma) replaying one deterministic Lloyd
     training: init = lowest-id vectors of CTE ``tr`` (vec_id, v),
     per-iteration argmin assignment (lowest-cid tie break, matching
     Spark's first-wins struct-min) and a round-6 element-wise mean
     (kills partial-agg ulp noise on both engines), ending at
     ``{pfx}asg`` — CTE ``full`` (vec_id, v) assigned to the final
-    centroids.  ``pfx`` namespaces the chain so the two-level
-    (coarse + residual) oracle can stack two trainings in one query.
+    centroids (``final_probes`` rows per vector for multi-probe
+    assignment: the same ranked distances, ``rn <= probes``).
+    ``pfx`` namespaces the chain so the two-level (coarse + residual)
+    oracle can stack two trainings in one query.
     """
     dist2 = _lloyd_dist2
     sql = f""",
@@ -1025,7 +1028,7 @@ def _lloyd_chain(tr: str, full: str, pfx: str,
                                   ORDER BY {dist2(full + '.v', prev + '.c')},
                                            {prev}.cid) AS rn
         FROM {full} CROSS JOIN {prev}
-    ) WHERE rn = 1
+    ) WHERE rn <= {final_probes}
 )"""
     return sql
 
@@ -1917,15 +1920,18 @@ def _semdedup_sql() -> str:
     chains — the coarse one over the hash-sampled corpus, the fine one
     over the sign-canonicalized RESIDUALS against the final coarse
     centroids — then pair within the product cell ``cid1 * k2 +
-    cid2``.  Every arithmetic step (exact IEEE residual subtraction,
-    exact +-1 sign canonicalization with first-index abs-tie breaks,
-    round-6 means, first-index argmin ties) mirrors the engine term
-    for term."""
+    cid2``, with each vector probing its 2 nearest fine cells
+    (``rn <= 2`` in the fine assignment) and pairs deduped.  Every
+    arithmetic step (exact IEEE residual subtraction, exact +-1 sign
+    canonicalization with first-index abs-tie breaks, round-6 means,
+    first-index ranked-distance ties) mirrors the engine term for
+    term."""
     from .driver_queries import oracle_table_rows
     from .llm.embeddings import auto_semdedup_levels
 
     k1, k2 = auto_semdedup_levels(oracle_table_rows("embeddings"))
     iters = 3
+    probes = 2
     hash_filter = f"{md5_long_sql('CAST(vec_id AS VARCHAR)')} % 2 = 0"
     return (
         f"""{_kmeans_cte(n_clusters=k1, iters=iters, sample_mod=2)},
@@ -1942,7 +1948,7 @@ res AS (
     FROM res0
 ),
 ftr AS (SELECT vec_id, v FROM res WHERE {hash_filter})"""
-        + _lloyd_chain("ftr", "res", "f", k2, iters)
+        + _lloyd_chain("ftr", "res", "f", k2, iters, final_probes=probes)
         + f""",
 casg AS (
     SELECT e.vec_id, e.v, r.cid1 * {k2} + f.cid AS cid
@@ -1951,7 +1957,7 @@ casg AS (
     JOIN fasg f ON e.vec_id = f.vec_id
 ),
 cell AS (SELECT cid FROM casg GROUP BY cid HAVING COUNT(*) <= 1000)
-SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM casg a
 JOIN casg b USING (cid)

@@ -243,24 +243,23 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry, qname):
     assert "CartesianProduct" not in plan
     # The ONLY nested-loop joins allowed are the one-row broadcast
     # centroid attaches (assign_cells ships the centroid table as a
-    # single broadcast row of constant bytes — identified by its
-    # __cents column in the node's detail block).  Any other nested
-    # loop would be an all-pairs scan.  Catalyst makes an equi-key
-    # dodge impossible: a single-valued key constant-propagates into
-    # a build-side filter and the join degenerates to condition-free.
-    # Every BNLJ in the tree has a numbered "(N) BroadcastNestedLoop
-    # Join" detail block; counting tree occurrences against audited
-    # blocks guarantees no nested loop escapes the __cents check.
-    audited = 0
-    for block in plan.split("\n\n"):
-        if "BroadcastNestedLoopJoin" in block and block.startswith("("):
-            assert "__cents" in block, block
-            audited += 1
-    tree = plan.split("\n\n")[0]
-    in_tree = sum(
-        "BroadcastNestedLoopJoin" in line for line in tree.splitlines()
-    )
-    assert in_tree == audited, f"{in_tree} tree BNLJs vs {audited} audited"
+    # single broadcast row of constant bytes).  A BNLJ's build side is
+    # the one BroadcastExchange in IdentityBroadcastMode (hash joins
+    # broadcast HashedRelations), so the audit is: every
+    # IdentityBroadcastMode exchange carries the __cents column, and
+    # their count equals the BNLJ count — a rogue all-pairs nested
+    # loop would need an identity-mode build WITHOUT __cents.
+    blocks = [b for b in plan.split("\n\n") if b.startswith("(")]
+    bnlj = sum("BroadcastNestedLoopJoin" in b.splitlines()[0] for b in blocks)
+    identity = [
+        b
+        for b in blocks
+        if "BroadcastExchange" in b.splitlines()[0]
+        and "IdentityBroadcastMode" in b
+    ]
+    for b in identity:
+        assert "__cents" in b, b
+    assert bnlj == len(identity), f"{bnlj} BNLJs vs {len(identity)} centroid builds"
     # The O(N) pair stage itself must be an equi join on the cell id.
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
