@@ -815,18 +815,26 @@ def source_overlap_matrix(
     each other before weighting them independently.
 
     One (source, shingle) distinct relation, self-joined on the
-    shingle: a pair row appears once per SHARED shingle, so a plain
-    count is the shared-shingle cardinality.  ``max_sources`` is the
-    usual skew guard — a shingle present in more than that many
-    sources (universal boilerplate) is dropped before the pair
-    expansion, bounding the per-shingle fan-out at
-    ``max_sources^2`` instead of (number of domains)^2.
+    shingle — the shingle fingerprinted to a 64-bit md5 long at the
+    scan, so every shingle-keyed exchange (the distinct, the cap
+    aggregation, the self-join) shuffles 8-byte keys instead of
+    n-word strings (the same contract note as
+    ``duplicated_span_stats``: a collision merges two shingles
+    identically on both engines).  A pair row appears once per
+    SHARED shingle, so a plain count is the shared-shingle
+    cardinality.  ``max_sources`` is the usual skew guard — a shingle
+    present in more than that many sources (universal boilerplate) is
+    dropped before the pair expansion, bounding the per-shingle
+    fan-out at ``max_sources^2`` instead of (number of domains)^2.
     """
+    from .text import md5_long
+
     ss = (
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
         )
+        .select("source", md5_long(F.col("sh")).alias("sh"))
         .distinct()
     )
     if max_sources is not None:

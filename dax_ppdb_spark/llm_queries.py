@@ -2123,7 +2123,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_OVERLAP_SQL = f"""
 WITH ss AS (
-    SELECT DISTINCT source, sh FROM (
+    SELECT DISTINCT source, {md5_long_sql('sh')} AS sh FROM (
         SELECT source, unnest({_SHINGLES3}) AS sh FROM documents
     )
 ),
