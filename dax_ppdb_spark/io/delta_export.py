@@ -60,12 +60,18 @@ def _log_versions(table_root: str) -> list[int]:
     return sorted(out)
 
 
-def delta_live_files(table_root: str) -> dict[str, dict]:
+def delta_live_files(table_root: str, at: int | None = None) -> dict[str, dict]:
     """Replay the log the way a Delta READER does: apply add/remove
     actions in commit order; the surviving ``add`` set is the table.
+    ``at`` stops the replay after that commit number — TIME TRAVEL,
+    valid while the table retains the superseded version directories
+    (``ParquetTable(keep_versions=N)``; a vacuum invalidates older
+    commits exactly as Delta's VACUUM does).
     Returns {relative_path: add_action}."""
     live: dict[str, dict] = {}
     for v in _log_versions(table_root):
+        if at is not None and v > at:
+            break
         fname = os.path.join(_log_path(table_root), f"{v:020d}.json")
         with open(fname) as f:
             for line in f:

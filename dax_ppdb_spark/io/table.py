@@ -48,14 +48,75 @@ class ParquetTable:
 
     CURRENT = "_CURRENT"
     LOCK = "_COMMIT_LOCK"
+    JOURNAL = "_VERSIONS"
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, keep_versions: int = 0) -> None:
+        """``keep_versions``: how many SUPERSEDED version directories
+        to retain after a commit (0 = delete immediately, the
+        classic truncate-swap).  With retention, earlier snapshots
+        stay readable — :meth:`versions` lists them oldest-first from
+        the commit journal, :meth:`read_version` opens one, and a
+        ``_delta_log`` exported per commit gives external engines
+        time travel over the same files (``io/delta_export.py``).
+        :meth:`vacuum` prunes beyond the retention window."""
         self.path = path
+        self.keep_versions = keep_versions
 
     # -- version plumbing ---------------------------------------------------
 
     def _pointer(self) -> str:
         return os.path.join(self.path, self.CURRENT)
+
+    def _journal(self) -> str:
+        return os.path.join(self.path, self.JOURNAL)
+
+    def versions(self) -> list[str]:
+        """Committed version names, oldest first (from the journal
+        appended under the commit lock; versions whose directories
+        were vacuumed are excluded)."""
+        try:
+            with open(self._journal()) as f:
+                names = [line.strip() for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+        return [
+            v for v in names if os.path.isdir(os.path.join(self.path, v))
+        ]
+
+    def read_version(self, spark: SparkSession, version: str) -> DataFrame:
+        """Time-travel read of a RETAINED version (see
+        ``keep_versions``)."""
+        d = os.path.join(self.path, version)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {version!r} is not retained in {self.path}"
+            )
+        return spark.read.parquet(d)
+
+    def _retire(self, old: str | None) -> None:
+        """Post-commit handling of the superseded version: delete it
+        (keep_versions=0) or retain it and prune the tail beyond the
+        retention window."""
+        if old is None:
+            return
+        if self.keep_versions <= 0:
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+            return
+        self.vacuum(self.keep_versions)
+
+    def vacuum(self, keep: int | None = None) -> list[str]:
+        """Drop superseded version directories beyond the newest
+        ``keep`` (defaults to ``keep_versions``); the CURRENT version
+        is never dropped.  Returns the removed names.  External
+        readers of an exported ``_delta_log`` lose time travel into
+        vacuumed commits — same contract as Delta's VACUUM."""
+        keep = self.keep_versions if keep is None else keep
+        current = self.current_version()
+        superseded = [v for v in self.versions() if v != current]
+        drop = superseded[: max(len(superseded) - keep, 0)]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+        return drop
 
     def current_version(self) -> str | None:
         try:
@@ -91,6 +152,11 @@ class ParquetTable:
             with open(tmp, "w") as f:
                 f.write(version)
             os.replace(tmp, self._pointer())  # atomic on POSIX
+            # ordered commit history (still under the lock): the
+            # retention/vacuum/time-travel machinery needs version
+            # ORDER, which uuid names don't carry
+            with open(self._journal(), "a") as j:
+                j.write(version + "\n")
 
     # -- operations ---------------------------------------------------------
 
@@ -116,8 +182,7 @@ class ParquetTable:
         old = self.current_version()
         version = self._write_version(df, partition_by)
         self._commit(version, expected=old)
-        if old:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        self._retire(old)
 
     def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
         """S7-style append into the current version directory."""
@@ -141,8 +206,7 @@ class ParquetTable:
         dst = os.path.join(self.path, version)
         shutil.copytree(src, dst, copy_function=os.link)
         self._commit(version, expected=old)
-        if old:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        self._retire(old)
 
     def replace_partitions(
         self, df: DataFrame, partition_col: str, values: list
@@ -205,8 +269,7 @@ class ParquetTable:
             shutil.move(os.path.join(tmp, name), os.path.join(dst, name))
         shutil.rmtree(tmp, ignore_errors=True)
         self._commit(version, expected=old)
-        if old:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        self._retire(old)
 
     def compact(
         self,

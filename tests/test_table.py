@@ -146,3 +146,65 @@ def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
 
     # idempotent: nothing left over the threshold
     assert t.compact(spark, "k", max_files_per_partition=4) == []
+
+
+def test_version_retention_and_time_travel(spark, tmp_path):
+    """keep_versions retains superseded snapshots: versions() lists
+    them oldest-first, read_version time-travels, vacuum prunes and
+    never touches the current version."""
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"), keep_versions=2)
+    t.overwrite(spark.range(0, 10).withColumnRenamed("id", "k"))
+    v1 = t.current_version()
+    t.overwrite(spark.range(100, 105).withColumnRenamed("id", "k"))
+    v2 = t.current_version()
+    t.overwrite(spark.range(200, 203).withColumnRenamed("id", "k"))
+    v3 = t.current_version()
+    assert t.versions() == [v1, v2, v3]
+    assert t.read_version(spark, v1).count() == 10
+    assert t.read_version(spark, v2).count() == 5
+    # fourth commit: v1 falls outside keep_versions=2
+    t.overwrite(spark.range(300, 302).withColumnRenamed("id", "k"))
+    assert t.versions() == [v2, v3, t.current_version()]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_version(spark, v1)
+    # explicit vacuum to zero superseded versions keeps only current
+    dropped = t.vacuum(keep=0)
+    assert set(dropped) == {v2, v3}
+    assert t.read(spark).count() == 2
+
+
+def test_keep_versions_zero_is_classic_truncate(spark, tmp_path):
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3).withColumnRenamed("id", "k"))
+    v1 = t.current_version()
+    t.overwrite(spark.range(4).withColumnRenamed("id", "k"))
+    assert t.versions() == [t.current_version()]
+    assert not (tmp_path / "t" / v1).exists()
+
+
+def test_delta_time_travel_over_retained_versions(spark, tmp_path):
+    from dax_ppdb_spark.io.delta_export import delta_live_files, export_delta_log
+    from dax_ppdb_spark.io.table import ParquetTable
+
+    import os
+
+    root = str(tmp_path / "t")
+    t = ParquetTable(root, keep_versions=2)
+    t.overwrite(spark.range(0, 7).withColumnRenamed("id", "k"))
+    export_delta_log(t, spark)
+    t.overwrite(spark.range(0, 3).withColumnRenamed("id", "k"))
+    export_delta_log(t, spark)
+    # commit 0's snapshot is still materialized (retention) and the
+    # log replay at=0 reads exactly it
+    live0 = delta_live_files(root, at=0)
+    paths = [os.path.join(root, p) for p in live0]
+    assert spark.read.parquet(*paths).count() == 7
+    assert spark.read.parquet(
+        *[os.path.join(root, p) for p in delta_live_files(root)]
+    ).count() == 3
