@@ -889,6 +889,43 @@ def q_cone_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+w1 AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+    FROM e GROUP BY user_id
+),
+w2 AS (
+    SELECT e.user_id, w1.t1,
+           MIN(CASE WHEN event_type = 'click' AND ts_us > w1.t1
+                    THEN ts_us END) AS t2
+    FROM e JOIN w1 USING (user_id) GROUP BY e.user_id, w1.t1
+),
+w3 AS (
+    SELECT e.user_id, w2.t1, w2.t2,
+           MIN(CASE WHEN event_type = 'purchase' AND ts_us > w2.t2
+                    THEN ts_us END) AS t3
+    FROM e JOIN w2 USING (user_id) GROUP BY e.user_id, w2.t1, w2.t2
+)
+SELECT user_id,
+       CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+            + (t3 IS NOT NULL)::INT AS BIGINT) AS steps_completed,
+       t1 AS ts1_us, t2 AS ts2_us, t3 AS ts3_us
+FROM w3
+"""
+
+
+@register("funnel", _FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user (each step
+    strictly after the previous): chained conditional-min windows
+    sharing ONE user_id exchange (plan-pinned), linear in events."""
+    from .ops.funnel import funnel
+
+    return funnel(_read_events(spark, sf_dir), ("view", "click", "purchase"))
+
+
 _WINDOWED_COUNTS_SQL = """
 SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
        event_type,

@@ -327,3 +327,11 @@ def test_url_block_filter_is_broadcast_anti(spark, sf_dir, registry):
     plan = plan_of(registry["url_block_filter"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir, registry):
+    """Every funnel window and the final per-user aggregate must share
+    one hashpartitioning(user_id) exchange."""
+    plan = plan_of(registry["funnel"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan

@@ -260,3 +260,31 @@ def test_assert_update_targets_raises_on_missing(spark):
     bad_target = spark.createDataFrame([(100001,)], "diaSourceId LONG")
     with _pytest.raises(ValueError, match="100002"):
         assert_update_targets(bad_target, patch, ("diaSourceId",))
+
+
+def test_funnel_semantics(spark):
+    """Step order is enforced strictly: purchases before the click
+    don't count, broken funnels leave later steps NULL, same-timestamp
+    events don't chain."""
+    from dax_ppdb_spark.ops.funnel import funnel
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # user 2: purchase BEFORE click -> funnel stops at click
+        (2, "view", 100), (2, "purchase", 150), (2, "click", 200),
+        # user 3: click only -> zero steps (no view)
+        (3, "click", 100),
+        # user 4: same-timestamp click doesn't chain off the view
+        (4, "view", 100), (4, "click", 100),
+        # user 5: multiple candidates -> earliest valid chain
+        (5, "view", 50), (5, "view", 10), (5, "click", 30), (5, "click", 60),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts_us LONG")
+    out = {r.user_id: r for r in funnel(df, ("view", "click", "purchase")).collect()}
+    assert out[1].steps_completed == 3 and out[1].ts3_us == 300
+    assert out[2].steps_completed == 2 and out[2].ts3_us is None
+    assert out[3].steps_completed == 0
+    assert out[4].steps_completed == 1 and out[4].ts2_us is None
+    # earliest view at 10, earliest click after it at 30
+    assert (out[5].ts1_us, out[5].ts2_us) == (10, 30)
