@@ -45,6 +45,7 @@ HEADLINE = [
     "cone_search_sorted",
     "windowed_counts",
     "sessionize",
+    "funnel",
     "distinct_sketch",
     "asof_attribution",
     "range_join",

@@ -48,6 +48,7 @@ QUERIES = [
     "cone_search",
     "windowed_counts",
     "sessionize",
+    "funnel",
     "asof_attribution",
     "range_join",
     "crossmatch",
