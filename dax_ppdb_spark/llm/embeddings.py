@@ -301,6 +301,7 @@ def embedding_covariance(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Upper-triangle sample covariance of the embedding columns:
     ``(i, j, cov)`` with 0-based ``i <= j``, round 6 — the statistics
@@ -318,6 +319,15 @@ def embedding_covariance(
 
     Divisor is ``n`` (population covariance) — one fewer branch for
     the oracle to mirror and the difference vanishes at corpus scale.
+
+    With the default ``round_to``, each centered product is cast to
+    ``DECIMAL(38,12)`` BEFORE the SUM: decimal addition is exact and
+    associative, so the aggregate is invariant under shuffle-merge
+    order — a plain double SUM can flip a cell sitting within an ulp
+    of the 0.5e-6 rounding boundary between runs (the CORRECTNESS_r05
+    flake).  ``round_to=None`` skips rounding and the decimal detour
+    (float sum) for internal consumers like :func:`pca_whiten` that
+    need full precision and tolerate 1e-12 run-to-run noise.
     """
     v = F.col(vec_col).cast("array<double>")
     n = emb.count()
@@ -343,10 +353,16 @@ def embedding_covariance(
         F.posexplode(F.col("c2")).alias("j", "xj"),
         F.col("xi"),
     ).filter(F.col("j") >= F.col("i"))
-    return (
-        pairs.groupBy("i", "j")
-        .agg(F.round(F.sum(F.col("xi") * F.col("xj")) / n, 6).alias("cov"))
-    )
+    prod = F.col("xi") * F.col("xj")
+    if round_to is None:
+        agg = (F.sum(prod) / n).alias("cov")
+    else:
+        # exact, order-insensitive decimal sum; + 0.0 flushes any -0.0
+        agg = (
+            F.round(F.sum(prod.cast("decimal(38,12)")).cast("double") / n, round_to)
+            + F.lit(0.0)
+        ).alias("cov")
+    return pairs.groupBy("i", "j").agg(agg)
 
 
 def pca_whiten(
@@ -379,7 +395,7 @@ def pca_whiten(
 
     v = F.col(vec_col).cast("array<double>")
     n = emb.count()
-    rows = embedding_covariance(emb, vec_col, id_col).collect()
+    rows = embedding_covariance(emb, vec_col, id_col, round_to=None).collect()
     dim = max(r["j"] for r in rows) + 1
     cov = np.zeros((dim, dim))
     for r in rows:

@@ -2,15 +2,24 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet tables, then compares row count, sorted
-column names, and order-insensitive values (columns sorted by name,
-rows sorted, floats rounded to 9 significant-ish decimals).
+column names, and an EXACT value hash after the driver's
+canonicalization (columns sorted by name, rows sorted by all columns,
+values stringified verbatim — no float tolerance: the driver hashes
+exactly, and a 1e-9-tolerant compare masked both CORRECTNESS_r05
+failures).  Oracle-less queries still go through canonicalization so
+driver-crashing outputs (e.g. unsortable ``array`` columns) fail HERE
+first.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [sf_dir] [--repeat N] [query ...]
+
+``--repeat N`` re-runs each Spark query N times and fails if the
+canonical hash differs between runs — the net for order-sensitive
+float aggregations (shuffle-merge order flakes).
 """
 
 from __future__ import annotations
 
-import math
+import hashlib
 import os
 import sys
 import time
@@ -26,40 +35,34 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization: columns sorted by name, rows
+    sorted by every column.  Raises (like the driver does) on
+    unsortable cell types such as lists."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
-def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
-    if a.shape != b.shape:
-        return False
-    for c in a.columns:
-        av, bv = a[c], b[c]
-        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
-            af = av.astype(float)
-            bf = bv.astype(float)
-            both_nan = af.isna() & bf.isna()
-            close = pd.Series(
-                [
-                    (x == y) or (math.isfinite(x) and math.isfinite(y) and abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)))
-                    for x, y in zip(af.fillna(0.0), bf.fillna(0.0))
-                ]
-            )
-            if not (close | both_nan).all():
-                return False
-        else:
-            if not (av.astype(str).values == bv.astype(str).values).all():
-                return False
-    return True
+def _value_hash(df: pd.DataFrame) -> str:
+    """Exact hash over the canonical frame's stringified cells."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        for v in df[c].tolist():
+            h.update(repr(v).encode())
+            h.update(b"\x00")
+    return h.hexdigest()
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(argv[1:]) if argv and os.path.isdir(argv[0]) else set(argv)
     # Lazily-resolved oracles (size-derived SQL) must see the same
     # corpus the views below read.
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
@@ -76,37 +79,54 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failures += 1
-            continue
+        hashes: list[str] = []
+        sdf_canon = None
+        err = None
+        for r in range(repeat):
+            try:
+                raw = fn(spark, sf_dir).toPandas()
+                sdf_canon = _canon(raw)
+                hashes.append(_value_hash(sdf_canon))
+            except Exception as e:  # spark error OR canon crash (driver parity)
+                err = e
+                break
         t_spark = time.time() - t0
-        if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)  [{t_spark:.1f}s]")
-            continue
-        try:
-            odf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+        if err is not None:
+            print(f"FAIL  {name}: spark/canon error: {err!r}")
             failures += 1
             continue
-        a, b = _canon(sdf), _canon(odf)
+        if len(set(hashes)) > 1:
+            print(f"FAIL  {name}: UNSTABLE across {repeat} runs (order-sensitive)")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(
+                f"ROWS  {name}: {len(sdf_canon)} rows, canon ok (no oracle)"
+                f"  [{t_spark:.1f}s]"
+            )
+            continue
+        try:
+            odf = _canon(con.execute(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb/canon error: {e!r}")
+            failures += 1
+            continue
+        a, b = sdf_canon, odf
         if sorted(a.columns) != sorted(b.columns):
             print(f"FAIL  {name}: columns {sorted(a.columns)} vs {sorted(b.columns)}")
             failures += 1
         elif len(a) != len(b):
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             failures += 1
-        elif not _values_match(a, b):
-            print(f"FAIL  {name}: value mismatch")
-            mask = ~(a.astype(str) == b.astype(str)).all(axis=1)
+        elif hashes[0] != _value_hash(b):
+            print(f"FAIL  {name}: value-hash mismatch (exact compare)")
+            mask = ~(a.astype(str).values == b.astype(str).values).all(axis=1)
             print(a[mask].head(5))
             print(b[mask].head(5))
             failures += 1
         else:
-            print(f"OK    {name}: {len(a)} rows  [{t_spark:.1f}s]")
+            tag = f" x{repeat}" if repeat > 1 else ""
+            print(f"OK    {name}: {len(a)} rows{tag}  [{t_spark:.1f}s]")
     spark.stop()
     return 1 if failures else 0
 
