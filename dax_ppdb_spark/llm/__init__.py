@@ -45,6 +45,7 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,
     md5_long,
+    md5_wide_long,
     quality_metrics,
     token_count,
     tokens,

@@ -17,8 +17,12 @@ Scale design (the point of each variant):
   equal-signature grouping finds near-dups with single-bit tolerance
   handled by probing bit-flipped signatures.
 
-All hashes derive from md5 hex (see ``text.md5_long``) so results are
-engine-identical and the DuckDB oracle can replay them exactly.
+All hashes derive from md5 hex (see ``text.md5_long`` /
+``text.md5_wide_long``) so results are engine-identical and the DuckDB
+oracle can replay them exactly.  Width rule: 32-bit ``md5_long`` for
+bucketing and hash families (collisions only co-locate rows); 60-bit
+``md5_wide_long`` wherever hash equality stands in for value equality
+(gram/shingle fingerprints driving dedup decisions or span deletion).
 """
 
 from __future__ import annotations
@@ -668,12 +672,46 @@ def embedding_neardup_pairs(
     )
 
 
+def _dup_grams(
+    docs: DataFrame,
+    n: int,
+    min_doc_freq: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Fingerprints of n-grams occurring in >= ``min_doc_freq`` distinct
+    docs — the shared document-frequency pass of the span-dedup family.
+
+    Positionless by construction: per-doc ``array_distinct`` grams are
+    fingerprinted (60-bit, :func:`text.md5_wide_long`) BEFORE the
+    count-distinct, so the one gram-keyed exchange carries 8-byte keys
+    for distinct (doc, gram) pairs only — position rows never enter.
+    count_distinct (not count over pre-distinct rows) keeps collision
+    semantics identical to the oracle's ``COUNT(DISTINCT doc_id)``.
+    """
+    from .text import md5_wide_long, ngrams
+
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    ).select("doc_id", md5_wide_long(F.col("gram")).alias("gram"))
+    return (
+        dg.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("gram")
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     n: int = 5,
     min_doc_freq: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_dup: bool = True,
 ) -> DataFrame:
     """Duplicated-span statistics: for every document, how much of it
     is made of word n-grams that also occur in OTHER documents — the
@@ -692,39 +730,41 @@ def duplicated_span_stats(
       (~longest shared substring, in tokens: run + n - 1),
     - ``dup_frac`` — n_dup / n_grams, round 6.
 
-    Scale shape: explode n-gram positions (O(tokens) rows) and
-    FINGERPRINT each gram to a 64-bit md5 hash at the scan — the two
-    gram-keyed exchanges (the document-frequency aggregation and the
-    qualifying-gram join back) then shuffle longs instead of n-word
-    strings, ~5x fewer shuffle bytes at n = 5 (a hash collision
-    merges two grams' df counts identically on both engines — the
-    oracle replays the same fingerprint, so the contract holds).
-    The df aggregation is map-side combinable count-distinct on ids;
-    qualifying grams join back (the duplicated subset — typically a
-    small fraction of the distinct-gram table, and hot grams cost a
-    count here, never a pair expansion), then per-doc windows run
-    over only the duplicated positions.  Runs are grouped by the
-    classic gap-and-islands key ``pos - row_number()`` — no
-    self-join, no cartesian anywhere.
+    Scale shape: the document-frequency aggregation runs on a
+    POSITIONLESS relation — per-doc ``array_distinct`` grams,
+    fingerprinted to 60-bit md5 longs (``text.md5_wide_long``; 32
+    bits would birthday-collide at corpus scale and falsely qualify
+    grams) — so its gram-keyed exchange carries one 8-byte key per
+    distinct (doc, gram), nothing more (a hash collision merges two
+    grams' df counts identically on both engines — the oracle replays
+    the same fingerprint, so the contract holds).  The qualifying
+    grams (the duplicated subset — typically a small fraction of the
+    distinct-gram table) then BROADCAST back onto the position
+    explode, so the wide (doc, pos, gram) relation never shuffles at
+    all: singleton grams — the vast majority — die at a map-side
+    hash probe.  Per-doc windows run over only the duplicated
+    positions.  Runs are grouped by the classic gap-and-islands key
+    ``pos - row_number()`` — no self-join, no cartesian anywhere.
+    Pass ``broadcast_dup=False`` for corpora whose duplicated-gram
+    table exceeds the broadcast budget; the join falls back to
+    shuffle (AQE still converts it back when the runtime size
+    allows).
     """
     from pyspark.sql import Window
 
-    from .text import md5_long, ngrams
+    from .text import md5_wide_long, ngrams
 
     g = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams(tokens(F.col(text_col)), n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("gram"))
+    ).select("doc_id", "pos", md5_wide_long(F.col("gram")).alias("gram"))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.size(tokens(F.col(text_col))) - (n - 1)).alias("n_grams"),
     ).filter(F.col("n_grams") >= 1)
-    dup_grams = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_doc_freq)
-        .select("gram")
-    )
+    dup_grams = _dup_grams(docs, n, min_doc_freq, text_col, id_col)
+    if broadcast_dup:
+        dup_grams = F.broadcast(dup_grams)
     dup_pos = g.join(dup_grams, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -815,26 +855,27 @@ def source_overlap_matrix(
     each other before weighting them independently.
 
     One (source, shingle) distinct relation, self-joined on the
-    shingle — the shingle fingerprinted to a 64-bit md5 long at the
-    scan, so every shingle-keyed exchange (the distinct, the cap
-    aggregation, the self-join) shuffles 8-byte keys instead of
-    n-word strings (the same contract note as
-    ``duplicated_span_stats``: a collision merges two shingles
-    identically on both engines).  A pair row appears once per
+    shingle — the shingle fingerprinted to a 60-bit md5 long
+    (``text.md5_wide_long``; 32 bits would birthday-collide at corpus
+    scale and inflate every overlap count) at the scan, so every
+    shingle-keyed exchange (the distinct, the cap aggregation, the
+    self-join) shuffles 8-byte keys instead of n-word strings (the
+    same contract note as ``duplicated_span_stats``: a collision
+    merges two shingles identically on both engines).  A pair row appears once per
     SHARED shingle, so a plain count is the shared-shingle
     cardinality.  ``max_sources`` is the usual skew guard — a shingle
     present in more than that many sources (universal boilerplate) is
     dropped before the pair expansion, bounding the per-shingle
     fan-out at ``max_sources^2`` instead of (number of domains)^2.
     """
-    from .text import md5_long
+    from .text import md5_wide_long
 
     ss = (
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
         )
-        .select("source", md5_long(F.col("sh")).alias("sh"))
+        .select("source", md5_wide_long(F.col("sh")).alias("sh"))
         .distinct()
     )
     if max_sources is not None:
@@ -861,6 +902,7 @@ def remove_duplicated_spans(
     min_doc_freq: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_dup: bool = True,
 ) -> DataFrame:
     """Span REMOVAL — the transformation the substring-dedup signal
     (:func:`duplicated_span_stats`) exists to drive: rebuild each
@@ -875,31 +917,30 @@ def remove_duplicated_spans(
     (original), ``n_removed``.  Docs whose every token is covered
     clean to the empty string.
 
-    Scale shape: the same inverted-index aggregation as
-    ``duplicated_span_stats`` finds duplicated gram positions — gram
-    strings fingerprinted to 64-bit md5 longs at the scan, so both
-    gram-keyed exchanges shuffle longs, not n-word strings; each
-    expands to its n covered token indices (ids+ints only), the token
-    relation anti-joins the covered set, and one per-doc aggregation
-    rebuilds the text (``array_sort`` of (idx, token) structs — a
-    deterministic in-group sort, bounded by document length).
+    Scale shape: the shared positionless df pass (``_dup_grams``,
+    60-bit fingerprints — 32 bits would birthday-collide at corpus
+    scale and this operator DELETES text on collision) finds
+    duplicated grams, which broadcast back onto the position explode
+    (``broadcast_dup=False`` falls back to a shuffle join); each
+    match expands to its n covered token indices (ids+ints only),
+    the token relation anti-joins the covered set, and one per-doc
+    aggregation rebuilds the text (``array_sort`` of (idx, token)
+    structs — a deterministic in-group sort, bounded by document
+    length).
     """
     toks = tokens(F.col(text_col))
     tk = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("idx", "tok")
     )
-    from .text import md5_long, ngrams
+    from .text import md5_wide_long, ngrams
 
     g = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams(toks, n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("gram"))
-    dup_grams = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_doc_freq)
-        .select("gram")
-    )
+    ).select("doc_id", "pos", md5_wide_long(F.col("gram")).alias("gram"))
+    dup_grams = _dup_grams(docs, n, min_doc_freq, text_col, id_col)
+    if broadcast_dup:
+        dup_grams = F.broadcast(dup_grams)
     covered = (
         g.join(dup_grams, "gram")
         .select(

@@ -76,6 +76,27 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def md5_wide_long(c: Column) -> Column:
+    """Deterministic 60-bit integer hash: the first 15 hex chars of md5
+    parsed as an unsigned integer (fits a signed 64-bit long).
+
+    Use this — NOT :func:`md5_long` — wherever hash equality stands in
+    for VALUE equality (gram/shingle fingerprints that drive joins,
+    dedup decisions, or destructive edits): the 32-bit space saturates
+    around 10^5 distinct keys (birthday bound), so at corpus scale
+    colliding grams would falsely acquire df >= min_df and span
+    removal would delete legitimate text.  32 bits stays fine for
+    bucketing/sampling (``md5_long % k``) where collisions only
+    co-locate rows.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_wide_long_sql(expr: str) -> str:
+    """The DuckDB-dialect twin of :func:`md5_wide_long`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def hex_window_long(hexcol: Column, offset: int) -> Column:
     """Integer hash from an 8-char window of a hex digest at ``offset``.
 

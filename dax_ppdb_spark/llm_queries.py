@@ -32,6 +32,7 @@ from .llm.text import (
     hex_window_long_sql,
     language_id,
     md5_long_sql,
+    md5_wide_long_sql,
     quality_metrics,
     redact_pii,
     repetition_ratio,
@@ -1391,7 +1392,7 @@ g0 AS (
 ),
 g AS (
     SELECT doc_id, i - 1 AS pos,
-           {md5_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
+           {md5_wide_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
     FROM g0
 ),
 base AS (SELECT doc_id, len(toks) - 4 AS n_grams FROM t WHERE len(toks) >= 5),
@@ -2149,7 +2150,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_OVERLAP_SQL = f"""
 WITH ss AS (
-    SELECT DISTINCT source, {md5_long_sql('sh')} AS sh FROM (
+    SELECT DISTINCT source, {md5_wide_long_sql('sh')} AS sh FROM (
         SELECT source, unnest({_SHINGLES3}) AS sh FROM documents
     )
 ),
@@ -2180,7 +2181,7 @@ tk AS (
 ),
 g AS (
     SELECT doc_id, i - 1 AS pos,
-           {md5_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
+           {md5_wide_long_sql("array_to_string(toks[i:i+4], ' ')")} AS gram
     FROM (SELECT doc_id, toks,
                  unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM t)
 ),

@@ -269,10 +269,19 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry, qname):
 
 def test_dup_spans_no_cartesian_single_gram_shuffle(spark, sf_dir, registry):
     """The duplicated-span join is gram-equi (inverted index); a
-    nested loop here would be O(docs x grams)."""
+    nested loop here would be O(docs x grams).  The qualifying grams
+    must BROADCAST back onto the position explode (the wide relation
+    never shuffles on gram), and the df pass must aggregate the
+    positionless per-doc-distinct relation — so the only gram-keyed
+    exchange is the df aggregation's."""
     plan = plan_of(registry["dup_spans"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(gram") <= 1
+    # 60-bit fingerprints: hash-equality stands in for value equality
+    # here; the 32-bit window would birthday-collide at corpus scale.
+    assert "substring(md5(cast(gram" in plan and ", 1, 15)" in plan
 
 
 def test_embedding_quantize_is_map_only(spark, sf_dir, registry):

@@ -109,13 +109,14 @@ ANNOTATED = {
         " cosine is scored once per surviving in-cell pair."
     ),
     "dup_spans": (
-        "Duplicated-span stats: gram positions explode once and"
-        " fingerprint to 64-bit md5 longs at the scan (both gram-keyed"
-        " exchanges shuffle 8-byte keys, not 5-word strings), document"
-        " frequency is a map-side-combinable count per gram, and ONLY"
-        " the qualifying (duplicated) grams join back — the big"
-        " relation never meets itself. Runs come from the"
-        " gap-and-islands window key (pos - row_number), no self-join."
+        "Duplicated-span stats: document frequency aggregates over a"
+        " POSITIONLESS per-doc-distinct gram relation fingerprinted to"
+        " 60-bit md5 longs (the one gram-keyed exchange shuffles 8-byte"
+        " keys, not 5-word strings), and only the qualifying"
+        " (duplicated) grams BROADCAST back onto the position explode —"
+        " the wide relation never shuffles and never meets itself. Runs"
+        " come from the gap-and-islands window key (pos - row_number),"
+        " no self-join."
     ),
     "embedding_quantize": (
         "int8 quantization: a pure scan-side map — no join, no hash"
