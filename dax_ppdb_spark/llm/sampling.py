@@ -238,10 +238,16 @@ def exact_stratified_k(
     means no sort by any data-dependent value.
 
     The per-stratum rank is part of the output under ``out_col``
-    (default ``"rank"``) — rename it when the input already carries a
-    column of that name, which would otherwise be overwritten.
+    (default ``"rank"``); a collision with an existing input column is
+    an error rather than a silent overwrite.
     """
     from .text import md5_long
+
+    if out_col in df.columns:
+        raise ValueError(
+            f"exact_stratified_k: input already has a column named "
+            f"{out_col!r}; pass a different out_col"
+        )
 
     order = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
@@ -260,7 +266,7 @@ def token_budget_mixture(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "mix",
-    coarse_buckets: int = 0,
+    coarse_buckets: int | None = None,
 ) -> DataFrame:
     """Greedy per-source token-budget sampling — the datamix assembly
     step (DoReMi / Dolma-style): given a target budget of tokens per
@@ -287,7 +293,17 @@ def token_budget_mixture(
     cumsum runs only inside the one crossing bucket per source —
     1/``coarse_buckets`` of the data.  Both phases implement the same
     greedy order, so the simple single-window SQL remains the oracle.
+
+    ``coarse_buckets=None`` (the default) derives the bucket count
+    from the corpus (``max(32, n // 50_000)`` — constant ~50k-row
+    buckets as N grows, the :func:`auto_bands` rule), so the
+    scale-safe two-phase plan cannot silently degrade to a hot-source
+    serial sort when a caller omits the parameter; the derivation
+    costs one count.  ``coarse_buckets=0`` is the explicit
+    single-window escape hatch (small inputs, plan comparisons).
     """
+    if coarse_buckets is None:
+        coarse_buckets = max(32, df.count() // 50_000)
     h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     budget = None
     for src, b in sorted(budgets.items()):
@@ -345,7 +361,7 @@ def sequence_pack(
     size_col: str = "n_tokens",
     id_col: str = "doc_id",
     salt: str = "seq",
-    coarse_buckets: int = 0,
+    coarse_buckets: int | None = None,
 ) -> DataFrame:
     """Pretraining sequence packing: concatenate documents in a
     deterministic salted-hash order and cut the token stream into
@@ -374,9 +390,17 @@ def sequence_pack(
     — so no single task ever sorts the corpus.  Both phases compute
     the same integer offsets, so the simple single-window SQL remains
     the oracle.
+
+    ``coarse_buckets=None`` (the default) derives the bucket count
+    from the corpus (``max(32, n // 50_000)``, one count) so the
+    partition-less global window cannot reappear when a caller omits
+    the parameter; ``coarse_buckets=0`` is the explicit single-window
+    escape hatch.
     """
     h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     base = df.filter(F.col(size_col) >= 1).withColumn("__h", h)
+    if coarse_buckets is None:
+        coarse_buckets = max(32, base.count() // 50_000)
     if coarse_buckets <= 0:
         w = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
         t = base.withColumn(

@@ -825,7 +825,7 @@ def test_token_budget_mixture_greedy_and_two_phase_agree(spark):
     rows = [(i, f"src{i % 3}", 10 + (i % 7)) for i in range(120)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     budgets = {"src0": 150, "src1": 40}  # src2 absent -> dropped
-    simple = token_budget_mixture(df, budgets)
+    simple = token_budget_mixture(df, budgets, coarse_buckets=0)
     phased = token_budget_mixture(df, budgets, coarse_buckets=8)
     ids_simple = sorted(r.doc_id for r in simple.collect())
     ids_phased = sorted(r.doc_id for r in phased.collect())
@@ -1092,7 +1092,7 @@ def test_sequence_pack_invariants(spark):
     rows = [(i, 1 + (i * 13) % 40) for i in range(60)] + [(99, 0)]
     df = spark.createDataFrame(rows, "doc_id LONG, n_tokens INT")
     L = 32
-    out = sequence_pack(df, seq_len=L).collect()
+    out = sequence_pack(df, seq_len=L, coarse_buckets=0).collect()
     assert all(r.doc_id != 99 for r in out)  # zero-token doc dropped
 
     # per-sequence: spans tile [0, L) contiguously

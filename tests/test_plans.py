@@ -344,3 +344,28 @@ def test_funnel_single_exchange(spark, sf_dir, registry):
     plan = plan_of(registry["funnel"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_sequence_pack_default_is_two_phase(spark):
+    """A partition-less Window.orderBy moves the corpus into ONE task
+    (Exchange SinglePartition).  The corpus-derived coarse_buckets
+    default must keep the cumsum two-phase so omitting the parameter
+    can never reintroduce the global sort; token_budget_mixture's
+    default must likewise window by (source, bucket), not source."""
+    from dax_ppdb_spark.llm.sampling import sequence_pack, token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [(i, 5) for i in range(200)], "doc_id LONG, n_tokens LONG"
+    )
+    plan = plan_of(sequence_pack(docs, seq_len=32))
+    assert "SinglePartition" not in plan
+    # explicit escape hatch still exists (and IS the global sort)
+    plan0 = plan_of(sequence_pack(docs, seq_len=32, coarse_buckets=0))
+    assert "SinglePartition" in plan0
+
+    mix_in = spark.createDataFrame(
+        [(i, f"s{i % 3}", 5) for i in range(200)],
+        "doc_id LONG, source STRING, n_chars LONG",
+    )
+    mplan = plan_of(token_budget_mixture(mix_in, {"s0": 100, "s1": 100}))
+    assert "__b" in mplan  # bucketed windows, not one range per source
