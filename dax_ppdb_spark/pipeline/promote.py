@@ -56,7 +56,7 @@ from ..ops.merge import merge_patch
 from ..ops.spatial import with_geo_point
 from ..ops.updates import TABLE_PATCHES, expand_updates, latest_updates, table_patch
 from ..ops.validity import fill_validity_end
-from ..schema.registry import CHUNK_COLUMN, ChunkStatus
+from ..schema.registry import CHUNK_COLUMN, ChunkStatus, validity_columns
 
 DIA_TABLES = ("DiaObject", "DiaSource", "DiaForcedSource")
 
@@ -251,8 +251,11 @@ class Promoter:
         ids = staged.select("diaObjectId").distinct()
         buckets = self._buckets_of(ids, "diaObjectId")
         target = self.promotion["DiaObject"].read(self.spark)
+        start_col, end_col = validity_columns(target.columns)
         touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
-        filled = fill_validity_end(touched, ids)
+        filled = fill_validity_end(
+            touched, ids, start_col=start_col, end_col=end_col
+        )
         self.promotion["DiaObject"].replace_partitions(
             self._id_sorted(filled, "DiaObject"), OBJ_BUCKET, buckets
         )
@@ -330,11 +333,11 @@ class Promoter:
     def _create_public_snapshot_full(self) -> None:
         from ..ops.spatial import zorder_cell
 
+        src = self.internal["DiaObject"].read(self.spark)
+        _, end_col = validity_columns(src.columns)
         cur = (
-            self.internal["DiaObject"]
-            .read(self.spark)
-            .filter(F.col("validityEndMjdTai").isNull())
-            .drop("validityEndMjdTai", OBJ_BUCKET)
+            src.filter(F.col(end_col).isNull())
+            .drop(end_col, OBJ_BUCKET)
             .withColumn("geo_cell", zorder_cell(F.col("geo_point"), self.GEO_LEVEL))
         )
         clustered = cur.repartitionByRange(F.col("geo_point")).sortWithinPartitions(
@@ -389,9 +392,10 @@ class Promoter:
         ]
         if not cells:
             return
+        _, end_col = validity_columns(internal.columns)
         new_rows = (
-            versions.filter(F.col("validityEndMjdTai").isNull())
-            .drop("validityEndMjdTai", OBJ_BUCKET)
+            versions.filter(F.col(end_col).isNull())
+            .drop(end_col, OBJ_BUCKET)
             .withColumn("geo_cell", zorder_cell(F.col("geo_point"), self.GEO_LEVEL))
         )
         pub = self.public_diaobject.read(self.spark)

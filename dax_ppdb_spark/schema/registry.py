@@ -149,3 +149,42 @@ EXPANDED_UPDATES = StructType(
 # Staging copies of the three DIA tables carry the chunk id column
 # (reference: dataset_builder.py:202-218).
 CHUNK_COLUMN = "apdb_replica_chunk"
+
+# DiaObject validity-interval column names, per schema generation.
+# Pre-rename APDB schemas (before DM-52215) use TIMESTAMP-typed
+# validityStart/validityEnd; newer schemas use MJD-TAI doubles.  The
+# reference sniffs the DiaObject columns to pick the set
+# (``sql/_ppdb_sql.py:86-90`` at connect time, ``:456-471`` at schema
+# read, ``:189-195`` per store) — mirror that, never hardcode.
+VALIDITY_MJD_TAI = ("validityStartMjdTai", "validityEndMjdTai")
+VALIDITY_LEGACY = ("validityStart", "validityEnd")
+
+
+def validity_columns(dia_object_columns) -> tuple[str, str]:
+    """(start, end) validity column names for a DiaObject relation.
+
+    Accepts any iterable of column names (``df.columns``, a
+    ``StructType``'s ``fieldNames()``).  MJD-TAI names win when
+    present; otherwise the legacy timestamp names — the same
+    presence-sniff the reference runs (``sql/_ppdb_sql.py:86-90``).
+    A user replicating a pre-rename APDB hits this on day one.
+    """
+    cols = set(dia_object_columns)
+    if VALIDITY_MJD_TAI[0] in cols:
+        return VALIDITY_MJD_TAI
+    return VALIDITY_LEGACY
+
+
+# The pre-rename DiaObject shape (timestamp validity interval), for
+# pipelines replicating a legacy APDB.
+DIA_OBJECT_LEGACY = StructType(
+    [
+        _f("diaObjectId", LongType(), False),
+        _f("validityStart", TimestampType(), False),
+        _f("validityEnd", TimestampType(), True),
+        _f("ra", DoubleType(), False),
+        _f("dec", DoubleType(), False),
+        _f("parallax", FloatType(), True),
+        _f("nDiaSources", IntegerType(), False),
+    ]
+)

@@ -120,3 +120,35 @@ def test_overlap_violations_detects_non_adjacent(spark):
         for r in overlap_violations(df, id_col="oid").collect()
     }
     assert bad == {(1, 10.0), (1, 50.0)}
+
+
+def test_legacy_schema_name_switch(spark):
+    """Pre-rename APDB schemas carry TIMESTAMP validityStart/validityEnd
+    (reference sql/_ppdb_sql.py:86-90,189-195 sniffs the DiaObject
+    columns to pick the name set).  The golden chain-fill semantics
+    must hold under the legacy names, and validity_columns must pick
+    the right set from each schema generation."""
+    import datetime as dt
+
+    from dax_ppdb_spark.schema.registry import (
+        DIA_OBJECT,
+        DIA_OBJECT_LEGACY,
+        VALIDITY_LEGACY,
+        VALIDITY_MJD_TAI,
+        validity_columns,
+    )
+
+    assert validity_columns(DIA_OBJECT.fieldNames()) == VALIDITY_MJD_TAI
+    assert validity_columns(DIA_OBJECT_LEGACY.fieldNames()) == VALIDITY_LEGACY
+
+    t = lambda h: dt.datetime(2025, 1, 1, h)
+    df = spark.createDataFrame(
+        [(1, t(1), None), (1, t(2), None), (1, t(3), None)],
+        "diaObjectId LONG, validityStart TIMESTAMP, validityEnd TIMESTAMP",
+    )
+    start_col, end_col = validity_columns(df.columns)
+    out = fill_validity_end(
+        df, _ids(spark, [1]), start_col=start_col, end_col=end_col
+    )
+    got = sorted((r.diaObjectId, r.validityStart, r.validityEnd) for r in out.collect())
+    assert got == [(1, t(1), t(2)), (1, t(2), t(3)), (1, t(3), None)]
