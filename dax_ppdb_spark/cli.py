@@ -97,6 +97,10 @@ def _cmd_run(args: argparse.Namespace) -> int:
     # partitioned read and stored with the standard chunk layout +
     # manifest (store_chunk), i.e. the reference's _replicate_one
     # (replicator.py:165-181) with Spark doing the data movement.
+    # Note: a JDBC source replicates the DATA tables (cfg.jdbc_tables)
+    # only — retroactive-update streams are a directory-source feature
+    # (the reference's update records arrive as exported files, not
+    # APDB tables); `root` is guaranteed non-None by the check above.
     is_jdbc = hasattr(source, "get_table_data_chunks")
     export_dir = cfg.export_root or os.path.join(cfg.root, "export")
 

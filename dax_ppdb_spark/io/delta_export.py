@@ -172,9 +172,16 @@ def export_delta_log(table: ParquetTable, spark: SparkSession) -> int:
                 }
             )
     for path in sorted(new_paths):
-        if prev_live.get(path, {}).get("size") == new_paths[path]["size"]:
+        prev = prev_live.get(path, {})
+        if (
+            prev.get("size") == new_paths[path]["size"]
+            and prev.get("modificationTime") == new_paths[path]["modificationTime"]
+        ):
             # unchanged file already live in the log — re-adding is
-            # legal but noisy; skip for a minimal diff
+            # legal but noisy; skip for a minimal diff.  Size alone is
+            # not identity (same-length rewrites exist even though
+            # ParquetTable currently always writes fresh file names);
+            # mtime must match too.
             continue
         actions.append({"add": new_paths[path]})
 

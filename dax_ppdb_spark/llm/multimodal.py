@@ -68,14 +68,20 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWxC uint8: PIL when installed
     (every format), else the stdlib PNG decoder.  Raises
     ``NotImplementedError`` for formats neither tier handles (e.g.
-    JPEG without PIL)."""
+    JPEG without PIL).
+
+    The PIL tier falls THROUGH to the stdlib tier on any decode
+    failure, not just ImportError: a corrupt or non-image payload
+    raises ``PIL.UnidentifiedImageError`` (an OSError), and one bad
+    row must degrade to the per-row fallback, never kill a whole
+    Arrow batch."""
     try:
         from PIL import Image  # optional dependency
 
         import io as _io
 
         return np.asarray(Image.open(_io.BytesIO(bytes(payload))))
-    except ImportError:
+    except (ImportError, OSError, ValueError):
         pass
     from .codecs import decode_png, sniff_media
 
@@ -231,7 +237,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
         try:
             px = decode_image(payload)
-        except (NotImplementedError, ValueError):
+        except (NotImplementedError, ValueError, OSError):
+            # undecodable row (unknown format, corrupt bytes) degrades
+            # to the deterministic stub — never kills the batch
             return _fake_resize(payload, w0, h0)
         return encode_png(resize_nearest(px, width, height))
 

@@ -84,23 +84,45 @@ def filter_blocked_domains(
     url_col: str = "url",
     domain_col: str = "domain",
 ) -> DataFrame:
-    """Drop documents whose URL's registered domain appears in a
-    blocklist — the safety/robots/licensing gate every crawl pipeline
-    runs before anything touches the text.
+    """Drop documents whose URL host matches a blocklist entry — the
+    safety/robots/licensing gate every crawl pipeline runs before
+    anything touches the text.
 
-    The blocklist is a dimension table (thousands to low millions of
-    domains — broadcastable by construction); the corpus anti-joins it
-    on :func:`url_registered_domain` with an explicit broadcast hint,
-    so the corpus side never shuffles at any scale (plan-pinned).
+    Match semantics are HOST-SUFFIX at label boundaries: a document is
+    dropped when its host equals an entry or ends with ``.`` + entry,
+    so an entry names exactly the subtree it spells —
+    ``example.com`` blocks ``example.com`` and every subdomain;
+    ``docs.example.com`` blocks only that subtree (a registered-domain
+    equi-match silently no-ops for subdomain-scoped entries, turning a
+    safety gate into a hole).
+
+    Scale shape: a theta ``endswith`` join would be a nested loop
+    (O(corpus x blocklist) compares).  Instead the blocklist's
+    distinct label DEPTHS are collected (the blocklist is a dimension
+    table; its depth set is a handful of small integers) and each
+    depth becomes one broadcast LEFT ANTI equi-join between that
+    depth's entries and the host's last-``d``-label suffix — the
+    corpus side never shuffles and never meets a nested loop
+    (plan-pinned).
     """
-    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("__blocked")))
-    keyed = docs.withColumn(
-        "__dom", url_registered_domain(F.col(url_col))
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__blocked")).filter(
+        F.col("__blocked") != ""
     )
-    return (
-        keyed.join(bl, keyed["__dom"] == bl["__blocked"], "left_anti")
-        .drop("__dom")
+    depth = F.size(F.split(F.col("__blocked"), r"\."))
+    depths = sorted(
+        r[0] for r in bl.select(depth.alias("d")).distinct().collect()
     )
+    host = F.regexp_replace(url_host(F.col(url_col)), r":\d+$", "")
+    out = docs.withColumn("__host", host)
+    for d in depths:
+        bld = F.broadcast(bl.filter(depth == d))
+        # last d labels of the host; fewer-label hosts extract to ""
+        # which never equals a (nonempty) entry
+        sfx = F.regexp_extract(
+            F.col("__host"), r"((?:[^.]+\.){%d}[^.]+)$" % (d - 1), 1
+        )
+        out = out.join(bld, sfx == bld["__blocked"], "left_anti")
+    return out.drop("__host")
 
 
 def url_dedup(

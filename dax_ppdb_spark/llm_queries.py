@@ -1853,7 +1853,12 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOCKED_DOMAINS = ("src1-site.org", "src3-site.org", "src12-site.org")
+_BLOCKED_DOMAINS = (
+    "src1-site.org",
+    "src3-site.org",
+    "src12-site.org",
+    "www.src5-site.org",  # subdomain-scoped entry: suffix match only
+)
 
 _URL_BLOCK_SQL = f"""
 WITH u AS (
@@ -1864,26 +1869,27 @@ WITH u AS (
 ),
 d AS (
     SELECT doc_id, lang, url,
-           regexp_extract(
-               regexp_replace(
-                   lower(regexp_extract(
-                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
-                       '^([^/?#]*)', 1)),
-                   ':\\d+$', ''),
-               '([^.]+\\.[^.]+)$', 1) AS dom
+           regexp_replace(
+               lower(regexp_extract(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                   '^([^/?#]*)', 1)),
+               ':\\d+$', '') AS host
     FROM u
 )
 SELECT doc_id, lang FROM d
-WHERE dom NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)})
+WHERE {" AND ".join(
+    f"(host <> '{b}' AND host NOT LIKE '%.{b}')" for b in _BLOCKED_DOMAINS
+)}
 """
 
 
 @register("url_block_filter", _URL_BLOCK_SQL)
 def q_url_block_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocklist domain filtering: drop documents whose registered
-    domain (last-two-label heuristic over the synthesized per-source
-    host) is on a broadcast blocklist — broadcast LEFT ANTI, the
-    corpus never shuffles (plan-pinned)."""
+    """Blocklist domain filtering: drop documents whose URL host
+    matches a blocklist entry at a label boundary (host == entry or
+    host endswith '.' + entry — subdomain-scoped entries block exactly
+    their subtree).  One broadcast LEFT ANTI equi-join per blocklist
+    label depth; the corpus never shuffles (plan-pinned)."""
     from .llm.urls import filter_blocked_domains
 
     url = F.concat(

@@ -183,3 +183,32 @@ def test_decode_real_dispatch():
     assert rate == 16000 and samples.shape == (10, 1)
     with pytest.raises(NotImplementedError):
         decode_real(b"some video bytes", "video")
+
+
+def test_decode_image_pil_failure_falls_through(monkeypatch):
+    """A corrupt/non-image payload under an installed PIL raises
+    UnidentifiedImageError (an OSError) from Image.open; decode_image
+    must fall through to the stdlib tier (and ultimately
+    NotImplementedError), so _resize_one degrades one row to the stub
+    instead of the OSError killing the whole Arrow batch."""
+    import sys
+    import types
+
+    from dax_ppdb_spark.llm.multimodal import decode_image
+
+    pil = types.ModuleType("PIL")
+    img_mod = types.ModuleType("PIL.Image")
+
+    class _Boom(OSError):  # PIL.UnidentifiedImageError subclasses OSError
+        pass
+
+    def _open(_fp):
+        raise _Boom("cannot identify image file")
+
+    img_mod.open = _open
+    pil.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"definitely not an image")

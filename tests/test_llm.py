@@ -1149,6 +1149,29 @@ def test_filter_blocked_domains(spark):
     assert kept == [3, 4]
 
 
+def test_filter_blocked_domains_subdomain_scoped(spark):
+    """A blocklist entry deeper than two labels must match exactly the
+    subtree it names (suffix at label boundaries) — a registered-domain
+    equi-match silently no-ops for such entries, turning the safety
+    gate into a hole."""
+    from dax_ppdb_spark.llm.urls import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://docs.example.com/a"),       # the named subtree
+            (2, "https://a.docs.example.com/b"),     # deeper subdomain
+            (3, "https://example.com/c"),            # parent: NOT blocked
+            (4, "https://www.example.com/d"),        # sibling: NOT blocked
+            (5, "https://xdocs.example.com/e"),      # boundary: NOT blocked
+            (6, "https://DOCS.Example.com/f"),       # case-insensitive host
+        ],
+        "doc_id LONG, url STRING",
+    )
+    bl = spark.createDataFrame([("docs.example.com",)], "domain STRING")
+    kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+    assert kept == [3, 4, 5]
+
+
 def test_clean_text_rules(spark):
     from dax_ppdb_spark.llm.text import clean_text
 

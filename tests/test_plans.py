@@ -260,6 +260,18 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry, qname):
     for b in identity:
         assert "__cents" in b, b
     assert bnlj == len(identity), f"{bnlj} BNLJs vs {len(identity)} centroid builds"
+    # ...and audit the BNLJ nodes THEMSELVES.  The count equality alone
+    # had a blind spot — a rogue all-pairs nested loop paired with a
+    # removed centroid build keeps the counts equal.  Every BNLJ must
+    # be a centroid attach: either a condition referencing __cents, or
+    # a condition-less Cross (the one-row broadcast attach — whose
+    # build is one of the identity-mode __cents exchanges counted
+    # above, so a rogue Cross would break the count equality).
+    for b in blocks:
+        if "BroadcastNestedLoopJoin" in b.splitlines()[0]:
+            assert "__cents" in b or "Join condition: None" in b, (
+                f"nested loop without centroid attach:\n{b}"
+            )
     # The O(N) pair stage itself must be an equi join on the cell id.
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
