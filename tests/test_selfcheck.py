@@ -32,12 +32,23 @@ def sc():
     return _load()
 
 
-def test_tolerance_masked_mismatch_is_caught(sc):
-    # identical to 1e-12 — the old 1e-9-relative compare called this a
-    # match; the driver's exact hash does not, and neither must we.
-    a = pd.DataFrame({"i": [0, 1], "cov": [1.0, 0.5]})
-    b = pd.DataFrame({"i": [0, 1], "cov": [1.0, 0.5 + 1e-12]})
+def test_round6_boundary_flip_is_caught(sc):
+    # the r5 covariance failure class: a cell flipped at the 6th
+    # decimal.  The old 1e-9-RELATIVE compare scaled its tolerance by
+    # |value| and its intermittency meant local runs matched; the
+    # round-9 hash always distinguishes a 6th-decimal flip.
+    a = pd.DataFrame({"i": [0, 1], "cov": [1.0, 0.004083]})
+    b = pd.DataFrame({"i": [0, 1], "cov": [1.0, 0.004084]})
     assert sc._value_hash(sc._canon(a)) != sc._value_hash(sc._canon(b))
+
+
+def test_last_ulp_sum_noise_is_tolerated(sc):
+    # ...but the driver's hash demonstrably passes last-ulp
+    # cross-engine double-sum noise (lm_score, green every round), so
+    # the local gate must not false-alarm on it.
+    a = pd.DataFrame({"v": [-3.487173201371499]})
+    b = pd.DataFrame({"v": [-3.487173201371501]})
+    assert sc._value_hash(sc._canon(a)) == sc._value_hash(sc._canon(b))
 
 
 def test_exact_match_hashes_equal_regardless_of_order(sc):

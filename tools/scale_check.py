@@ -81,6 +81,7 @@ QUERIES = [
     "url_dedup",
     "url_block_filter",
     "sequence_pack",
+    "embedding_covariance",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
