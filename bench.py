@@ -88,6 +88,7 @@ HEADLINE = [
     "hybrid_search",
     "source_overlap",
     "dedup_span_removal",
+    "dedup_paragraphs",
     "mixture_sample",
     "perplexity_buckets",
     "leak_safe_split",

@@ -969,3 +969,87 @@ def remove_duplicated_spans(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str = r"\n{2,}",
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dup: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact dedup with a keep-first winner — the
+    Dolma/CCNet-style boilerplate stripper: a paragraph that appears
+    verbatim in >= ``min_doc_freq`` distinct documents (cookie
+    banners, newsletter footers, license blurbs) survives only in its
+    lowest-id document and is deleted everywhere else.  Coarser than
+    :func:`remove_duplicated_spans` (exact paragraphs, not n-gram
+    spans) and cheaper: no position arithmetic, one fingerprint per
+    paragraph.
+
+    The reference pipelines do this with a streaming Bloom filter
+    ("seen before -> drop"); the deterministic batch analog elects the
+    min-``id_col`` document as the single keeper, which re-runs and
+    the DuckDB oracle reproduce exactly (a Bloom pass depends on
+    arrival order and false-positive rate).
+
+    Output per doc: ``cleaned`` (kept paragraphs joined by a blank
+    line, original order), ``n_paragraphs``, ``n_removed``.  Empty /
+    whitespace-only paragraphs are dropped before counting.
+
+    Scale shape: paragraphs explode once with their position and
+    fingerprint to 60-bit md5 longs (``text.md5_wide_long`` — hash
+    equality stands in for value equality here and this operator
+    DELETES text on collision); the document-frequency-and-owner
+    aggregation groups the POSITIONLESS (fingerprint, doc) projection
+    — its one exchange carries 8-byte keys with map-side partial
+    min/count-distinct — and only the duplicated fingerprints (with
+    their owner id) BROADCAST back onto the position relation, so the
+    wide (doc, pos, para-text) relation never shuffles; the per-doc
+    rebuild groups by ``doc_id`` over kept paragraphs only.
+    ``broadcast_dup=False`` falls back to a shuffle join for corpora
+    whose duplicated-paragraph table exceeds the broadcast budget.
+    """
+    from .text import md5_wide_long
+
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    keyed = paras.withColumn("fp", md5_wide_long(F.col("para")))
+    owners = (
+        keyed.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("df") >= min_doc_freq)
+        .select("fp", "owner")
+    )
+    if broadcast_dup:
+        owners = F.broadcast(owners)
+    kept = (
+        keyed.join(owners, "fp", "left")
+        .filter(F.col("owner").isNull() | (F.col("owner") == F.col("doc_id")))
+        .select("doc_id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.para,
+            ),
+            "\n\n",
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        "n_paragraphs",
+        (F.col("n_paragraphs") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

@@ -2345,3 +2345,80 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(keyed, id_col="split_key").select(
         "doc_id", "split_key", "split"
     )
+
+
+# Deterministic paragraph structure for the paragraph-dedup probe:
+# every occurrence of the (common) token "table" becomes a paragraph
+# break, and every document gains the SAME trailing boilerplate
+# paragraph — the cookie-banner/newsletter-footer case the operator
+# exists to strip.  The dedup must keep the boilerplate only in the
+# lowest-id document.
+_PARA_BOILERPLATE = "subscribe to our newsletter today"
+
+_DEDUP_PARAGRAPHS_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_replace(text, ' table ', chr(10) || chr(10), 'g')
+           || chr(10) || chr(10) || '{_PARA_BOILERPLATE}' AS t
+    FROM documents
+),
+p AS (
+    SELECT doc_id, i AS pos, parts[i] AS para
+    FROM (SELECT doc_id, string_split_regex(t, '\\n{{2,}}') AS parts FROM d),
+         unnest(range(1, len(parts) + 1)) AS u(i)
+    WHERE trim(parts[i]) <> ''
+),
+k AS (
+    SELECT doc_id, pos, para,
+           {md5_wide_long_sql('para')} AS fp
+    FROM p
+),
+owners AS (
+    SELECT fp, MIN(doc_id) AS owner
+    FROM k GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT k.doc_id, k.pos, k.para
+    FROM k LEFT JOIN owners USING (fp)
+    WHERE owners.owner IS NULL OR owners.owner = k.doc_id
+),
+rebuilt AS (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM p GROUP BY doc_id)
+SELECT base.doc_id, COALESCE(cleaned, '') AS cleaned,
+       CAST(n_paragraphs AS BIGINT) AS n_paragraphs,
+       CAST(n_paragraphs - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+@register("dedup_paragraphs", _DEDUP_PARAGRAPHS_SQL)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (Dolma/CCNet boilerplate stripping):
+    paragraphs appearing verbatim in >= 2 documents survive only in
+    their lowest-id document.  Both engines synthesize the same
+    paragraph structure (every " table " token becomes a break; every
+    doc gains an identical trailing boilerplate paragraph), so the
+    keep-first election is exercised on a real cross-corpus duplicate.
+    Positionless df+owner aggregation, duplicated fingerprints
+    broadcast back, wide relation never shuffles (plan-pinned)."""
+    from .llm.dedup import dedup_paragraphs
+
+    dirty = F.concat(
+        F.regexp_replace(F.col("text"), " table ", "\n\n"),
+        F.lit("\n\n" + _PARA_BOILERPLATE),
+    )
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", dirty.alias("text")
+    )
+    out = dedup_paragraphs(docs)
+    return out.select(
+        "doc_id",
+        "cleaned",
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -1215,3 +1215,32 @@ def test_pca_whiten_identity_covariance(spark):
         [r.whitened for r in pca_whiten(emb, k=4).orderBy("vec_id").collect()]
     )
     assert np.array_equal(W, W2)
+
+
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    """Boilerplate paragraph survives only in the lowest-id doc;
+    unique paragraphs always survive; order is preserved; a doc made
+    entirely of duplicated paragraphs cleans to empty; intra-doc
+    repeats with df==1 survive."""
+    from dax_ppdb_spark.llm.dedup import dedup_paragraphs
+
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta\n\n{boiler}\n\ngamma"),
+            (2, f"{boiler}\n\ndelta"),
+            (3, boiler),                       # all-dup -> empty
+            (4, "solo\n\nsolo"),               # intra-doc repeat, df=1
+            (5, "one\n\n\n\ntwo\n\n  \n\nthree"),  # ragged seps, blank para
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert rows[1].cleaned == f"alpha beta\n\n{boiler}\n\ngamma"
+    assert rows[1].n_removed == 0
+    assert rows[2].cleaned == "delta" and rows[2].n_removed == 1
+    assert rows[3].cleaned == "" and rows[3].n_removed == 1
+    assert rows[3].n_paragraphs == 1
+    assert rows[4].cleaned == "solo\n\nsolo" and rows[4].n_removed == 0
+    assert rows[5].cleaned == "one\n\ntwo\n\nthree"
+    assert rows[5].n_paragraphs == 3  # whitespace-only para dropped

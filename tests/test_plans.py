@@ -381,3 +381,16 @@ def test_sequence_pack_default_is_two_phase(spark):
     )
     mplan = plan_of(token_budget_mixture(mix_in, {"s0": 100, "s1": 100}))
     assert "__b" in mplan  # bucketed windows, not one range per source
+
+
+def test_dedup_paragraphs_broadcasts_owner_map(spark, sf_dir, registry):
+    """The duplicated-fingerprint owner map must broadcast back onto
+    the paragraph explode (the wide relation never shuffles on fp);
+    the only fp-keyed exchange is the df/owner aggregation's, and the
+    fingerprint is the 60-bit window."""
+    plan = plan_of(registry["dedup_paragraphs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(fp") <= 1
+    assert ", 1, 15)" in plan

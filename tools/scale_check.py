@@ -82,6 +82,7 @@ QUERIES = [
     "url_block_filter",
     "sequence_pack",
     "embedding_covariance",
+    "dedup_paragraphs",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
