@@ -685,3 +685,132 @@ def topk_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def build_ivf_sq8_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> None:
+    """Build a PERSISTED IVF-SQ8 index: train the deterministic Lloyd
+    quantizer, assign every corpus vector to its cell, scalar-quantize
+    to int8 codes, and write the index PARTITIONED BY ``cid`` — the
+    build-once/query-many separation every 100 TB ANN deployment needs
+    (the per-call variants :func:`topk_kmeans`/:func:`topk_ivf_sq8`
+    re-train and re-assign on every query batch, which is the right
+    shape for one-shot analytics and the wrong one for serving).
+
+    Layout under ``index_root``: two :class:`..io.table.ParquetTable`
+    s — ``index`` holding ``(cid, neighbor_id, scale, codes
+    array<tinyint>)`` partitioned by ``cid``, and ``centroids``
+    holding one row per centroid ``(cid, centroid array<double>)``.
+    Both commit via the table's CAS pointer, so a REBUILD is an atomic
+    swap readers never observe half-written, and retention/vacuum/time
+    travel apply to index generations like any other managed table.
+
+    The int8 tier stores ~4x less than raw doubles; a probe reads one
+    cell's partition (pruned at the parquet-metadata level — pinned by
+    plan test) and dequantizes in the scan expression.
+    """
+    import os
+
+    from ..io.table import ParquetTable
+
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
+    assigned = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        cents,
+        vec_col="cv",
+    )
+    scale = F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.transform(
+        F.col("cv"),
+        lambda x: F.when(scale == 0, F.lit(0).cast("tinyint")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("tinyint"),
+                F.least(
+                    F.lit(127).cast("tinyint"),
+                    F.floor(x / scale + F.lit(0.5)).cast("tinyint"),
+                ),
+            )
+        ),
+    )
+    rows = assigned.select(
+        "cid",
+        "neighbor_id",
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+    ParquetTable(os.path.join(index_root, "index")).overwrite(
+        rows, partition_by=("cid",)
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid INT, centroid ARRAY<DOUBLE>",
+    )
+    ParquetTable(os.path.join(index_root, "centroids")).overwrite(cdf)
+
+
+def topk_ivf_sq8_index(
+    spark: "SparkSession",
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a :func:`build_ivf_sq8_index` index: assign each query to
+    its nearest persisted centroid, read ONLY the probed cells'
+    partitions (the cid list is a literal ``isin`` so partition
+    pruning happens at parquet metadata — cells no query probes are
+    never read, the plan-test-pinned point of persisting), dequantize
+    in the scan expression, and window the asymmetric cosine to the
+    top ``k``.  Bit-identical results to :func:`topk_ivf_sq8` run with
+    the same parameters — pinned by the shared oracle.
+    """
+    import os
+
+    from ..io.table import ParquetTable
+
+    cents_rows = (
+        ParquetTable(os.path.join(index_root, "centroids")).read(spark).collect()
+    )
+    cents = [r.centroid for r in sorted(cents_rows, key=lambda r: r.cid)]
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        cents,
+        vec_col="qv",
+    )
+    probed_cells = sorted({r.cid for r in q.select("cid").distinct().collect()})
+    idx = (
+        ParquetTable(os.path.join(index_root, "index"))
+        .read(spark)
+        .filter(F.col("cid").isin(probed_cells))
+    )
+    rv = F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
+    joined = (
+        idx.select("cid", "neighbor_id", rv.alias("rv"))
+        .join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("rv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

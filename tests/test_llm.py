@@ -1244,3 +1244,40 @@ def test_dedup_paragraphs_keep_first_semantics(spark):
     assert rows[4].cleaned == "solo\n\nsolo" and rows[4].n_removed == 0
     assert rows[5].cleaned == "one\n\ntwo\n\nthree"
     assert rows[5].n_paragraphs == 3  # whitespace-only para dropped
+
+
+def test_ann_persisted_index_matches_per_call_chain(spark, tmp_path):
+    """build_ivf_sq8_index + topk_ivf_sq8_index must reproduce
+    topk_ivf_sq8 bit for bit (same quantizer, codes, scoring), and a
+    rebuild must be an atomic pointer swap (old generation retained
+    under the table's versioning)."""
+    from dax_ppdb_spark.io.table import ParquetTable
+    from dax_ppdb_spark.llm.similarity import (
+        build_ivf_sq8_index,
+        topk_ivf_sq8,
+        topk_ivf_sq8_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "idx")
+
+    build_ivf_sq8_index(emb, root, n_clusters=4)
+    got = topk_ivf_sq8_index(spark, root, q, k=3).collect()
+    want = topk_ivf_sq8(emb, q, k=3, n_clusters=4).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # rebuild = atomic swap: same answers, new committed version
+    import os
+
+    t = ParquetTable(os.path.join(root, "index"))
+    v1 = t.current_version()
+    build_ivf_sq8_index(emb, root, n_clusters=4)
+    assert t.current_version() != v1
+    again = topk_ivf_sq8_index(spark, root, q, k=3).collect()
+    assert sorted(map(key, again)) == sorted(map(key, want))

@@ -394,3 +394,19 @@ def test_dedup_paragraphs_broadcasts_owner_map(spark, sf_dir, registry):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(fp") <= 1
     assert ", 1, 15)" in plan
+
+
+def test_ann_persisted_index_probes_prune_partitions(spark, sf_dir, registry):
+    """The persisted IVF index is partitioned by cid; a probe must
+    read only the probed cells' partitions — PartitionFilters on cid
+    at the index scan, never a full-index read or a nested loop."""
+    plan = plan_of(registry["ann_index_persisted"](spark, sf_dir))
+    assert "PartitionFilters" in plan and "cid" in plan
+    assert "cid#" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "CartesianProduct" not in plan
+    # the only nested loops allowed are the one-row centroid attaches
+    # (condition-less Cross or a condition referencing __cents) — the
+    # same audit rule as the semdedup pin above
+    for b in (x for x in plan.split("\n\n") if x.startswith("(")):
+        if "BroadcastNestedLoopJoin" in b.splitlines()[0]:
+            assert "__cents" in b or "Join condition: None" in b, b
