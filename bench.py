@@ -61,6 +61,7 @@ HEADLINE = [
     "text_stats",
     "repetition_ratio",
     "lm_score",
+    "bigram_lm_score",
     "pii_redact",
     "token_count_bpe",
     "doc_fingerprint",

@@ -502,3 +502,92 @@ def perplexity_buckets(
             label.alias("tier_name"),
         )
     )
+
+
+def bigram_logprob_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.4,
+):
+    """Stupid-backoff bigram LM score (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): the next quality tier
+    above :func:`unigram_logprob_score` — average log-score of each
+    token given its predecessor under the corpus's own bigram
+    distribution, backing off to the min-count-pruned unigram model
+    with penalty ``alpha`` when the bigram was pruned:
+
+        S(w | v) = c2(v, w) / c1(v)            if c2 >= min_count
+                 = alpha * P_uni(w)            otherwise
+
+    with ``c1`` the corpus unigram count of the context and ``P_uni``
+    exactly the unigram scorer's pooled-OOV model.  Stupid backoff is
+    the LM real web-scale pipelines actually run (no normalization =
+    no second pass over contexts); low scores flag locally-incoherent
+    text — shuffled tokens, keyword stuffing — that per-token unigram
+    statistics cannot see.
+
+    Same single-tokenize shape as the unigram scorer: one exploded
+    bigram-pair relation aggregated to distinct (doc, v, w) counts
+    with truncated lineage feeds BOTH the model fit and the scoring.
+    The bigram model CANNOT be broadcast-hinted at corpus scale (the
+    min-count-pruned bigram table still grows with the corpus, unlike
+    the pooled unigram vocab), so its join is left to AQE — runtime
+    sizes pick broadcast when it is actually small, and a hot context
+    splits under AQE skew-join.  Docs with fewer than two tokens have
+    no bigrams and are absent from the output (both engines agree).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    )
+    dbig = (
+        docs.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        .groupBy(id_col, "v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    kept_uni = freq.filter(F.col("n") >= min_count).select(
+        F.col("t").alias("w"), F.col("n").alias("n_w")
+    )
+    ctx = freq.select(F.col("t").alias("v"), F.col("n").alias("c1"))
+    totals = freq.agg(
+        F.sum("n").alias("z"),
+        F.sum(F.when(F.col("n") < min_count, F.col("n"))).alias("n_oov"),
+    )
+    big_model = (
+        dbig.groupBy("v", "w")
+        .agg(F.sum("c").alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    scored = (
+        dbig.join(big_model, ["v", "w"], "left")
+        .join(ctx, "v")
+        .join(kept_uni, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("c1"))
+            ).otherwise(
+                F.log(
+                    F.lit(alpha)
+                    * F.coalesce(F.col("n_w"), F.col("n_oov"))
+                    / F.col("z")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        (F.sum(F.col("c") * F.col("lp")) / F.sum("c")).alias("avg_bigram_logprob")
+    )

@@ -2450,3 +2450,43 @@ def q_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf_sq8_index(
         spark, root, emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bp AS (
+    SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+          FROM t WHERE len(toks) >= 2)
+),
+dbig AS (SELECT doc_id, v, w, COUNT(*) AS c FROM bp GROUP BY doc_id, v, w),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+freq AS (SELECT tk, COUNT(*) AS n FROM tok GROUP BY tk),
+totals AS (
+    SELECT SUM(n) AS z, SUM(CASE WHEN n < 2 THEN n END) AS n_oov FROM freq
+),
+big AS (SELECT v, w, SUM(c) AS c2 FROM dbig GROUP BY v, w HAVING SUM(c) >= 2)
+SELECT dbig.doc_id,
+       SUM(c * CASE WHEN big.c2 IS NOT NULL THEN ln(big.c2 / ctx.n)
+                    ELSE ln(0.4 * COALESCE(ku.n, totals.n_oov) / totals.z)
+               END) / SUM(c) AS avg_bigram_logprob
+FROM dbig
+LEFT JOIN big USING (v, w)
+JOIN freq ctx ON ctx.tk = dbig.v
+LEFT JOIN (SELECT tk, n FROM freq WHERE n >= 2) ku ON ku.tk = dbig.w
+CROSS JOIN totals
+GROUP BY dbig.doc_id
+"""
+
+
+@register("bigram_lm_score", _BIGRAM_LM_SQL)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM quality score (Brants et al. 2007) —
+    the tier above the unigram lm_score: each token scored given its
+    predecessor, pruned bigrams backing off to alpha * the pooled-OOV
+    unigram model.  Single-tokenize checkpointed relation feeds fit
+    and scoring; the bigram model join is left to AQE (it grows with
+    the corpus, unlike the pooled unigram vocab)."""
+    from .llm.text import bigram_logprob_score
+
+    return bigram_logprob_score(_read_spread(spark, sf_dir, "documents"))

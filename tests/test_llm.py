@@ -1321,3 +1321,31 @@ def test_ann_index_incremental_append(spark, tmp_path):
     w_ids = {r.neighbor_id for r in wider}
     assert 1000 in w_ids
     assert {r.cosine for r in wider if r.neighbor_id in (12, 1000)} == {top.cosine}
+
+
+def test_bigram_lm_score_backoff_semantics(spark):
+    """Hand-checkable corpus: seen bigrams score c2/c1; pruned bigrams
+    back off to alpha * pooled unigram; docs under two tokens are
+    absent."""
+    import math
+
+    from dax_ppdb_spark.llm.text import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: (a,b) x2, (b,a) x1
+            (2, "a b"),       # (a,b) again -> corpus c2(a,b)=3
+            (3, "solo"),      # <2 tokens: no output row
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r.avg_bigram_logprob
+            for r in bigram_logprob_score(docs, min_count=2).collect()}
+    assert 3 not in rows and set(rows) == {1, 2}
+    # corpus: a x3, b x3, solo x1(OOV). z=7, n_oov=1.
+    # c2(a,b)=3 kept; c2(b,a)=1 pruned -> backoff alpha*P_uni(a)=0.4*3/7
+    c1_a, c1_b = 3, 3
+    lp_ab = math.log(3 / c1_a)
+    lp_ba = math.log(0.4 * 3 / 7)
+    assert abs(rows[2] - lp_ab) < 1e-12
+    assert abs(rows[1] - (2 * lp_ab + 1 * lp_ba) / 3) < 1e-12

@@ -83,6 +83,7 @@ QUERIES = [
     "sequence_pack",
     "embedding_covariance",
     "dedup_paragraphs",
+    "bigram_lm_score",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent

@@ -37,8 +37,17 @@ import __spark_entry__ as entry_mod  # noqa: E402
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """The driver's canonicalization: columns sorted by name, rows
     sorted by every column.  Raises (like the driver does) on
-    unsortable cell types such as lists."""
+    unsortable cell types such as lists.
+
+    Float columns are rounded to the hash precision BEFORE the row
+    sort: two rows whose scores differ only in the last ulp between
+    engines would otherwise sort in different orders and fail the
+    hash even though every rounded value matches (row order feeds the
+    hash)."""
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
