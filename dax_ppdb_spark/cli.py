@@ -271,6 +271,46 @@ def _cmd_export_delta(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build (or atomically rebuild) a persisted IVF-SQ8 ANN index
+    over an embeddings parquet table — the build-once/query-many
+    serving path (llm/similarity.py: build_ivf_sq8_index)."""
+    from .llm.similarity import build_ivf_sq8_index
+
+    spark = get_spark("ppdb-ann-build")
+    emb = spark.read.parquet(args.embeddings)
+    build_ivf_sq8_index(
+        emb,
+        args.index,
+        n_clusters=args.clusters,
+        sample_mod=args.sample_mod,
+        vec_col=args.vec_col,
+        id_col=args.id_col,
+    )
+    print(f"built IVF-SQ8 index ({args.clusters} cells) at {args.index}")
+    return 0
+
+
+def _cmd_ann_query(args: argparse.Namespace) -> int:
+    """Answer a top-k batch from a persisted index: probes read only
+    the probed cells' partitions (partition-pruned)."""
+    from .llm.similarity import topk_ivf_sq8_index
+
+    spark = get_spark("ppdb-ann-query")
+    queries = spark.read.parquet(args.queries)
+    out = topk_ivf_sq8_index(
+        spark, args.index, queries, k=args.k,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote top-{args.k} results to {args.out}")
+    else:
+        for r in out.orderBy("query_id", "rank").collect():
+            print(f"{r.query_id}\t{r.rank}\t{r.neighbor_id}\t{r.cosine}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ppdb-replication", description="PPDB replication tools (Spark)"
@@ -343,6 +383,23 @@ def build_parser() -> argparse.ArgumentParser:
         _cmd_export_delta,
     )
     p.add_argument("table", help="ParquetTable directory")
+
+    p = add("ann-build", "build/rebuild a persisted IVF-SQ8 ANN index", _cmd_ann_build)
+    p.add_argument("embeddings", help="embeddings parquet path")
+    p.add_argument("index", help="index root directory")
+    p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--sample-mod", type=int, default=None,
+                   help="train the quantizer on a 1/N md5 hash sample")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+
+    p = add("ann-query", "top-k batch against a persisted ANN index", _cmd_ann_query)
+    p.add_argument("index", help="index root directory")
+    p.add_argument("queries", help="query vectors parquet path")
+    p.add_argument("-k", type=int, default=5)
+    p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
 
     return parser
 

@@ -325,3 +325,26 @@ def test_run_with_live_jdbc_source(spark, tmp_path, capsys):
     assert "promoted: [1]" in capsys.readouterr().out
     pub = Promoter(spark, root).public_diaobject.read(spark)
     assert pub.count() == 2
+
+
+def test_cli_ann_build_and_query(tmp_path, capsys):
+    from dax_ppdb_spark.cli import main
+
+    from dax_ppdb_spark.session import get_spark
+
+    spark = get_spark("test-cli-ann")
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(50)
+    ]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>").write.parquet(emb_path)
+    idx = str(tmp_path / "index")
+    assert main(["ann-build", emb_path, idx, "--clusters", "4"]) == 0
+    q_path = str(tmp_path / "q.parquet")
+    spark.createDataFrame(rows[:2], "vec_id LONG, embedding ARRAY<DOUBLE>").write.parquet(q_path)
+    out_path = str(tmp_path / "hits.parquet")
+    assert main(["ann-query", idx, q_path, "-k", "3", "--out", out_path]) == 0
+    hits = spark.read.parquet(out_path)
+    assert hits.count() == 6  # 2 queries x top-3
+    assert set(hits.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
