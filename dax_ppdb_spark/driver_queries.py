@@ -980,55 +980,73 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-4 tail: 35 long-stable queries, all green in CORRECTNESS_r03
-# (and r1), none touched by round-4 changes (merge_upsert was tailed
-# early in the round, then its implementation was rewritten — the
-# full-outer-to-left+anti split — so it returned to the head per the
-# never-tail-changed-queries rule; dedup_minhash_lsh, untouched and
-# double-green, took its slot).  The round-3 tail (the 17 queries
-# with no r3 row) is back in the head, as are the eighteen
-# queries NEW in round 4 (gopher_quality, top_ngrams, dedup_keep_best,
-# asof_tolerance, asof_forward, embedding_quantize, dup_spans,
-# dsir_weights, semdedup, tfidf_keywords, sample_exact_k, dedup_edit,
-# hybrid_search, source_overlap, dedup_span_removal, mixture_sample,
-# perplexity_buckets, leak_safe_split — never verified, so never
-# tailed).
+# Round-6 tail (49 = registry 99 - head 50; the round-5 tail held 35
+# while the registry had grown to 96, so 11 queries overflowed the
+# head unchecked in r5 — this round's tail is sized exactly).  Tail
+# contents: the 46 queries green in CORRECTNESS_r05 whose
+# implementation round 6 did not touch, plus 3 deferred re-tails
+# (union_concat, split_assign, pii_redact — trivial map-side plans,
+# green at every check since r3, locally exact-hash green this round;
+# with 99 registered queries and a 50-row external window, 53
+# candidates competed for 50 head slots and these three were the
+# lowest-risk deferrals).  The head therefore holds: every query
+# whose implementation or oracle changed in round 6
+# (embedding_covariance, embedding_whiten, dup_spans,
+# dedup_span_removal, source_overlap, url_block_filter), every query
+# never externally checked (semdedup_flat — the one r01-r05 rotation
+# gap — plus new dedup_paragraphs, ann_index_persisted,
+# bigram_lm_score), and the 40 queries the r5 round left unchecked
+# (its 35-query tail and 8 overflow, minus the 3 deferrals).
 _VERIFY_TAIL = (
-    "distinct_sketch",
-    "dedup_ngram_jaccard",
-    "text_stats",
-    "decontaminate",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "quality_quantiles",
-    "overlap_violations",
-    "snapshot_asof",
-    "topk_per_key",
-    "pii_redact",
-    "doc_fingerprint",
-    "lang_id",
-    "stratified_sample",
-    "shard_pack",
-    "validity_fill",
-    "latest_only",
-    "dedup_minhash_lsh",
-    "pricing_summary",
-    "pivot_patch",
-    "update_explode",
+    "validity_fill_pruned",
+    "rank_versions",
+    "replication_diff",
+    "semi_prune",
+    "consistency_lookup",
+    "merge_upsert",
+    "merge_composite",
+    "ledger_scan",
+    "inlist_filter",
+    "existence_probe",
+    "notin_filter",
+    "contiguous_run",
+    "distinct_ids",
+    "spatial_box",
+    "cone_search",
+    "cone_search_sorted",
+    "funnel",
+    "asof_attribution",
+    "asof_tolerance",
+    "asof_forward",
+    "range_join",
+    "rollup_revenue",
+    "except_ids",
+    "intersect_ids",
+    "dedup_verified",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_embedding_banded",
+    "lm_score",
+    "multimodal_frame_sample",
+    "multimodal_decode",
+    "multimodal_resize",
+    "corpus_curate",
+    "ann_topk_ivf_sq8",
+    "ann_topk_kmeans",
+    "gopher_quality",
+    "top_ngrams",
+    "dedup_keep_best",
+    "embedding_quantize",
+    "dsir_weights",
+    "sequence_pack",
+    "url_dedup",
+    "corpus_cube",
+    "ann_recall",
+    "text_clean",
     "union_concat",
-    "updates_pipeline",
-    "update_validate",
-    "revenue_by_nation",
-    "windowed_counts",
-    "sessionize",
-    "dedup_exact",
-    "dedup_simhash",
     "split_assign",
-    "doc_chunks",
-    "token_count_bpe",
-    "crossmatch",
-    "repetition_ratio",
-    "ann_topk_multiprobe",
+    "pii_redact",
 )
 
 
