@@ -130,6 +130,33 @@ ANNOTATED = {
         " regardless of corpus scale), so the scoring join never"
         " shuffles the corpus side by bucket."
     ),
+    "dedup_paragraphs": (
+        "Paragraph-level dedup with a keep-first winner: the df+owner"
+        " aggregation groups the positionless (60-bit fingerprint, doc)"
+        " projection — one 8-byte-keyed exchange — and only the"
+        " duplicated fingerprints (with their owner ids) BROADCAST back"
+        " onto the paragraph explode, so the wide (doc, pos, para-text)"
+        " relation never shuffles on the fingerprint; the per-doc"
+        " rebuild groups kept paragraphs only."
+    ),
+    "ann_index_persisted": (
+        "Persisted IVF-SQ8 probe: the query batch assigns against the"
+        " persisted centroids (one-row broadcast attach), the probed"
+        " cell ids become a literal isin on the cid-PARTITIONED index"
+        " table — PartitionFilters at the parquet scan, so unprobed"
+        " cells are never read — and dequantization (code * scale)"
+        " rides the scan expression into the broadcast-hash join with"
+        " the query side."
+    ),
+    "bigram_lm_score": (
+        "Stupid-backoff bigram LM: one bigram-pair explode aggregated"
+        " to a checkpointed distinct (doc, v, w, c) relation feeds both"
+        " the model fit and the scoring; the pruned bigram model joins"
+        " without a broadcast hint (it grows with the corpus — AQE"
+        " upgrades to broadcast when runtime size allows, and a hot"
+        " context splits under AQE skew-join); only the single-row"
+        " totals broadcast explicitly."
+    ),
 }
 
 
