@@ -4,4 +4,7 @@ from .chunks import (  # noqa: F401
     stream_chunks,
     windowed_event_counts,
 )
-from .stateful import running_event_totals  # noqa: F401
+from .stateful import (  # noqa: F401
+    running_event_totals,
+    streaming_paragraph_dedup,
+)

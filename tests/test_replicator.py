@@ -324,3 +324,49 @@ def test_session_window_batch_stream_parity(spark, tmp_path):
     )
     q.awaitTermination()
     assert got == got_batch
+
+
+def test_streaming_paragraph_dedup_first_arrival_wins(spark, tmp_path):
+    """Keyed-state paragraph dedup across two availableNow drains
+    sharing one checkpoint: the first-arrived copy of each fingerprint
+    survives; later batches' copies are dropped (state restore); new
+    paragraphs always pass."""
+    from dax_ppdb_spark.streaming import streaming_paragraph_dedup
+
+    src = str(tmp_path / "paras")
+    os.makedirs(src)
+    schema = "fp LONG, doc_id LONG, pos LONG, para STRING"
+    spark.createDataFrame(
+        [(100, 7, 0, "boiler"), (100, 3, 1, "boiler"), (200, 7, 1, "unique a")],
+        schema,
+    ).write.parquet(os.path.join(src, "b0"))
+    survivors: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "b0")).schema
+        ).parquet(src + "/*")
+        q = (
+            streaming_paragraph_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: survivors.extend(
+                    (r.fp, r.doc_id, r.pos) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # within one batch the (doc_id, pos)-least copy wins
+    assert sorted(survivors) == [(100, 3, 1), (200, 7, 1)]
+    # batch 2: a re-arrival of fp 100 is dropped; fp 300 is new
+    spark.createDataFrame(
+        [(100, 9, 0, "boiler"), (300, 9, 1, "unique b")], schema
+    ).write.mode("append").parquet(os.path.join(src, "b1"))
+    survivors.clear()
+    run_once()
+    assert sorted(survivors) == [(300, 9, 1)]
