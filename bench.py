@@ -91,6 +91,7 @@ HEADLINE = [
     "source_overlap",
     "dedup_span_removal",
     "dedup_paragraphs",
+    "corpus_drift",
     "mixture_sample",
     "perplexity_buckets",
     "leak_safe_split",

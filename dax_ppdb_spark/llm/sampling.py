@@ -441,3 +441,76 @@ def sequence_pack(
         ).alias("doc_to"),
         F.greatest(F.lit(0).cast("long"), F.col("__off") - sstart).alias("seq_off"),
     )
+
+
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora over hashed
+    unigram buckets — the datamix drift monitor: compare this week's
+    crawl against last week's, a candidate source against the current
+    mixture, or pre- vs post-filter distributions, without shipping a
+    vocabulary anywhere.
+
+    Features are the DSIR hashed buckets (``md5_long % n_buckets`` —
+    engine-replayable, model size fixed regardless of corpus scale).
+    Each side's bucket distribution gets add-one smoothing, and the
+    output is one row per OBSERVED bucket with both raw counts and the
+    bucket's JS contribution (``0.5 * pa * ln(pa / m) + 0.5 * pb *
+    ln(pb / m)``, m the midpoint, floored at 1e-9) — ``SUM(js_contrib)``
+    is the divergence, per-bucket rows are the drill-down (WHICH
+    buckets moved).  Buckets observed on neither side are omitted;
+    their smoothed contribution is ~0 (identical add-one mass on both
+    sides when the corpora are comparably sized).  All values are
+    deterministic arithmetic on exact integer counts, so the DuckDB
+    oracle replays them value for value.
+
+    Scale shape: both corpora tokenize in one union pass with a side
+    tag; the single exchange carries (bucket, side-tagged partial
+    counts) — 8-byte keys, map-side combined — and the output is
+    model-sized (``n_buckets`` rows).
+    """
+    from .text import tokens
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("__side"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+
+    ex = side(docs_a, 0).unionByName(side(docs_b, 1)).select(
+        "__side", (md5_long(F.col("t")) % n_buckets).alias("b")
+    )
+    counts = ex.groupBy("b").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == 0, F.lit(1))), F.lit(0)
+        ).alias("ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == 1, F.lit(1))), F.lit(0)
+        ).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("za"), F.sum("cb").alias("zb")
+    )
+    k = F.lit(float(n_buckets))
+    pa = (F.col("ca") + 1.0) / (F.col("za") + k)
+    pb = (F.col("cb") + 1.0) / (F.col("zb") + k)
+    m = (pa + pb) / F.lit(2.0)
+    js = F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(pb / m)
+    # floor-at-1e-9 instead of decimal rounding: both engines compute
+    # the identical double from identical integer counts, and floor of
+    # an identical double is engine-exact (decimal rounding of doubles
+    # can diverge on shortest-repr boundaries).  JS contributions are
+    # nonnegative by construction, so floor is a pure truncation.
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.col("ca").cast("long").alias("ca"),
+            F.col("cb").cast("long").alias("cb"),
+            (F.floor(js * F.lit(1e9)) / F.lit(1e9)).alias("js_contrib"),
+        )
+    )

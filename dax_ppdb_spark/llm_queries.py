@@ -2490,3 +2490,48 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import bigram_logprob_score
 
     return bigram_logprob_score(_read_spread(spark, sf_dir, "documents"))
+
+
+_CORPUS_DRIFT_SQL = f"""
+WITH tok AS (
+    SELECT doc_id % 2 AS side, unnest({_TOKS}) AS t FROM documents
+),
+ex AS (
+    SELECT side, {md5_long_sql('t')} % 1024 AS b FROM tok
+),
+counts AS (
+    SELECT b,
+           COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS ca,
+           COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS cb
+    FROM ex GROUP BY b
+),
+totals AS (SELECT SUM(ca) AS za, SUM(cb) AS zb FROM counts)
+SELECT b, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       floor((0.5 * ((ca + 1.0) / (za + 1024.0))
+                  * ln(((ca + 1.0) / (za + 1024.0))
+                       / ((((ca + 1.0) / (za + 1024.0))
+                           + ((cb + 1.0) / (zb + 1024.0))) / 2.0))
+            + 0.5 * ((cb + 1.0) / (zb + 1024.0))
+                  * ln(((cb + 1.0) / (zb + 1024.0))
+                       / ((((ca + 1.0) / (za + 1024.0))
+                           + ((cb + 1.0) / (zb + 1024.0))) / 2.0)))
+             * 1e9) / 1e9 AS js_contrib
+FROM counts CROSS JOIN totals
+"""
+
+
+@register("corpus_drift", _CORPUS_DRIFT_SQL)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-bucket Jensen-Shannon contributions
+    between two sub-corpora (here the even/odd doc_id halves — the
+    deterministic stand-in for this-week-vs-last-week) over 1024
+    hashed unigram buckets.  One union tokenize pass, one 8-byte-keyed
+    exchange, model-sized output; SUM(js_contrib) is the divergence,
+    rows are the which-buckets-moved drill-down."""
+    from .llm.sampling import corpus_divergence
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

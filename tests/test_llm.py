@@ -1349,3 +1349,21 @@ def test_bigram_lm_score_backoff_semantics(spark):
     lp_ba = math.log(0.4 * 3 / 7)
     assert abs(rows[2] - lp_ab) < 1e-12
     assert abs(rows[1] - (2 * lp_ab + 1 * lp_ba) / 3) < 1e-12
+
+
+def test_corpus_divergence_semantics(spark):
+    """Identical corpora diverge by exactly zero in every bucket;
+    disjoint-vocabulary corpora produce strictly positive total JS;
+    counts are exact."""
+    from dax_ppdb_spark.llm.sampling import corpus_divergence
+
+    a = _docs(spark, ["x y z", "x y"])
+    same = corpus_divergence(a, a, n_buckets=64).collect()
+    assert all(r.js_contrib == 0.0 for r in same)
+    assert all(r.ca == r.cb for r in same)
+    assert sum(r.ca for r in same) == 5
+
+    b = _docs(spark, ["p q r", "p q"])
+    diff = corpus_divergence(a, b, n_buckets=64).collect()
+    assert sum(r.js_contrib for r in diff) > 0.01
+    assert all(r.js_contrib >= 0.0 for r in diff)
