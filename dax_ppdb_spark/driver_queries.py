@@ -985,11 +985,11 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # head unchecked in r5 — this round's tail is sized exactly).  Tail
 # contents: the 46 queries green in CORRECTNESS_r05 whose
 # implementation round 6 did not touch, plus 3 deferred re-tails
-# (union_concat, split_assign, pii_redact — trivial map-side plans,
-# green at every check since r3, locally exact-hash green this round;
-# with 99 registered queries and a 50-row external window, 53
-# candidates competed for 50 head slots and these three were the
-# lowest-risk deferrals).  The head therefore holds: every query
+# (union_concat, split_assign, pii_redact, doc_fingerprint — trivial
+# map-side plans, green at every check since r3, locally exact-hash
+# green this round; with 100 registered queries and a 50-row external
+# window, 54 candidates competed for 50 head slots and these four
+# were the lowest-risk deferrals).  The head therefore holds: every query
 # whose implementation or oracle changed in round 6
 # (embedding_covariance, embedding_whiten, dup_spans,
 # dedup_span_removal, source_overlap, url_block_filter), every query
@@ -1047,6 +1047,7 @@ _VERIFY_TAIL = (
     "union_concat",
     "split_assign",
     "pii_redact",
+    "doc_fingerprint",
 )
 
 
