@@ -84,6 +84,8 @@ QUERIES = [
     "embedding_covariance",
     "dedup_paragraphs",
     "bigram_lm_score",
+    "corpus_drift",
+    "ann_index_persisted",
 ]
 
 # id column to shift per replica so keys stay unique (tables absent
