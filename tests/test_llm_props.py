@@ -260,3 +260,85 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     out, r = decode_wav(encode_wav(samples if ch > 1 else samples[:, 0], rate))
     assert r == rate
     assert np.array_equal(out, samples.reshape(n, ch))
+
+
+_para_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee boiler", "ff x y"]),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(data=_para_texts)
+def test_dedup_paragraphs_matches_bruteforce(spark, data):
+    """Brute-force replay of the keep-first rule: a paragraph present
+    in >= 2 distinct docs survives only in the min-id doc (all copies
+    there, in order); df==1 paragraphs always survive; counts add up."""
+    from dax_ppdb_spark.llm.dedup import dedup_paragraphs
+
+    docs = [(i, "\n\n".join(paras)) for i, paras in enumerate(data)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+
+    # brute force
+    owner: dict[str, int] = {}
+    df_count: dict[str, set] = {}
+    for i, paras in enumerate(data):
+        for p in paras:
+            df_count.setdefault(p, set()).add(i)
+            owner.setdefault(p, i)
+    for i, paras in enumerate(data):
+        keep = [
+            p for p in paras
+            if len(df_count[p]) < 2 or min(df_count[p]) == i
+        ]
+        if not paras:
+            assert i not in got  # no paragraphs -> no row
+            continue
+        r = got[i]
+        assert r.n_paragraphs == len(paras)
+        assert r.cleaned == "\n\n".join(keep)
+        assert r.n_removed == len(paras) - len(keep)
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=20),
+    b=st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=20),
+)
+def test_corpus_divergence_bruteforce(spark, a, b):
+    """Brute-force JS replay over the hashed buckets: counts exact,
+    contributions nonnegative, and total matches the definition."""
+    import hashlib
+
+    from dax_ppdb_spark.llm.sampling import corpus_divergence
+
+    da = spark.createDataFrame([(0, " ".join(a))], "doc_id LONG, text STRING")
+    db = spark.createDataFrame([(0, " ".join(b))], "doc_id LONG, text STRING")
+    n_buckets = 64
+    rows = corpus_divergence(da, db, n_buckets=n_buckets).collect()
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for t in a:
+        ca[bucket(t)] = ca.get(bucket(t), 0) + 1
+    for t in b:
+        cb[bucket(t)] = cb.get(bucket(t), 0) + 1
+    za, zb = len(a), len(b)
+    assert {r.b for r in rows} == set(ca) | set(cb)
+    for r in rows:
+        assert r.ca == ca.get(r.b, 0) and r.cb == cb.get(r.b, 0)
+        assert r.js_contrib >= 0.0
+        pa = (r.ca + 1.0) / (za + n_buckets)
+        pb = (r.cb + 1.0) / (zb + n_buckets)
+        m = (pa + pb) / 2.0
+        want = 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
+        assert math.floor(want * 1e9) / 1e9 == r.js_contrib
