@@ -766,15 +766,21 @@ def topk_ivf_sq8_index(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Query a :func:`build_ivf_sq8_index` index: assign each query to
-    its nearest persisted centroid, read ONLY the probed cells'
+    its nearest persisted centroid(s), read ONLY the probed cells'
     partitions (the cid list is a literal ``isin`` so partition
     pruning happens at parquet metadata — cells no query probes are
     never read, the plan-test-pinned point of persisting), dequantize
     in the scan expression, and window the asymmetric cosine to the
-    top ``k``.  Bit-identical results to :func:`topk_ivf_sq8` run with
-    the same parameters — pinned by the shared oracle.
+    top ``k``.  With ``probes=1``, bit-identical results to
+    :func:`topk_ivf_sq8` run with the same parameters — pinned by the
+    shared oracle.  ``probes > 1`` explodes each query over its
+    nearest cells (:func:`assign_cells_multi`) — the recall lever for
+    queries near a cell boundary, at the cost of reading that many
+    partitions; results are a superset-derived refinement (never worse
+    recall, pinned by test).
     """
     import os
 
@@ -784,14 +790,14 @@ def topk_ivf_sq8_index(
         ParquetTable(os.path.join(index_root, "centroids")).read(spark).collect()
     )
     cents = [r.centroid for r in sorted(cents_rows, key=lambda r: r.cid)]
-    q = assign_cells(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        ),
-        cents,
-        vec_col="qv",
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
+    if probes > 1:
+        q = assign_cells_multi(qsel, cents, probes, vec_col="qv")
+    else:
+        q = assign_cells(qsel, cents, vec_col="qv")
     probed_cells = sorted({r.cid for r in q.select("cid").distinct().collect()})
     idx = (
         ParquetTable(os.path.join(index_root, "index"))

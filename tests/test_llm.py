@@ -1367,3 +1367,36 @@ def test_corpus_divergence_semantics(spark):
     diff = corpus_divergence(a, b, n_buckets=64).collect()
     assert sum(r.js_contrib for r in diff) > 0.01
     assert all(r.js_contrib >= 0.0 for r in diff)
+
+
+def test_ann_persisted_index_multiprobe_recall(spark, tmp_path):
+    """probes=2 reads one more cell per query and can only improve
+    recall against the exact scan; each corpus vector lives in exactly
+    one cell, so no (query, neighbor) pair duplicates across probes."""
+    from dax_ppdb_spark.llm.similarity import (
+        build_ivf_sq8_index,
+        topk_bruteforce,
+        topk_ivf_sq8_index,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) - 8.0 for j in range(8)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") < 6)
+    root = str(tmp_path / "idx")
+    build_ivf_sq8_index(emb, root, n_clusters=6)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, q, k=5).collect()
+    }
+
+    def recall(probes):
+        got = topk_ivf_sq8_index(spark, root, q, k=5, probes=probes).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in got]
+        assert len(pairs) == len(set(pairs))  # no duplicate pairs
+        return len(set(pairs) & exact)
+
+    assert recall(2) >= recall(1)
