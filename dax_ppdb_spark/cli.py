@@ -300,7 +300,7 @@ def _cmd_ann_query(args: argparse.Namespace) -> int:
     queries = spark.read.parquet(args.queries)
     out = topk_ivf_sq8_index(
         spark, args.index, queries, k=args.k,
-        vec_col=args.vec_col, id_col=args.id_col,
+        vec_col=args.vec_col, id_col=args.id_col, probes=args.probes,
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
@@ -397,6 +397,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("index", help="index root directory")
     p.add_argument("queries", help="query vectors parquet path")
     p.add_argument("-k", type=int, default=5)
+    p.add_argument("--probes", type=int, default=1,
+                   help="probe the N nearest cells per query (recall lever)")
     p.add_argument("--out", default=None, help="write results parquet here instead of stdout")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
