@@ -721,6 +721,13 @@ def build_ivf_sq8_index(
     from ..io.table import ParquetTable
 
     cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
+    if not cents:
+        # an empty quantizer would "build" an index every later query
+        # crashes on — fail at build time with the actionable message
+        raise ValueError(
+            "build_ivf_sq8_index: corpus (or its sample_mod sample) is "
+            "empty — nothing to train the quantizer on"
+        )
     assigned = assign_cells(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -1400,3 +1400,11 @@ def test_ann_persisted_index_multiprobe_recall(spark, tmp_path):
         return len(set(pairs) & exact)
 
     assert recall(2) >= recall(1)
+
+
+def test_ann_index_build_rejects_empty_corpus(spark, tmp_path):
+    from dax_ppdb_spark.llm.similarity import build_ivf_sq8_index
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_sq8_index(empty, str(tmp_path / "idx"), n_clusters=4)
