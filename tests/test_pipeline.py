@@ -350,3 +350,45 @@ def test_promote_with_delta_export_publishes_log(spark, tmp_path):
     paths = [os.path.join(pub_root, p) for p in live]
     got = spark.read.parquet(*paths)
     assert got.count() == promoter.public_diaobject.read(spark).count() == 2
+
+
+def test_promote_legacy_validity_schema_end_to_end(spark, tmp_path):
+    """A pre-rename APDB chunk (TIMESTAMP validityStart/validityEnd)
+    must replicate end to end: the validity fill closes the open
+    interval under the LEGACY names (schema sniff threaded through
+    the promoter) and the public snapshot keeps current rows only,
+    dropping the legacy end column."""
+    import datetime as dt
+
+    root = str(tmp_path)
+    promoter = Promoter(spark, root)
+    t = lambda h: dt.datetime(2024, 6, 1, h)
+    legacy = spark.createDataFrame(
+        [
+            (10, t(1), None, 45.0, -30.0, 1),
+            (10, t(2), None, 45.0, -30.0, 2),
+            (20, t(1), None, 46.0, -31.0, 1),
+        ],
+        "diaObjectId LONG, validityStart TIMESTAMP, validityEnd TIMESTAMP, "
+        "ra DOUBLE, dec DOUBLE, nDiaSources INT",
+    )
+    c_dir = store_chunk(
+        spark, root + "/export", 1, {"DiaObject": legacy}, ledger=promoter.ledger
+    )
+    promoter.stage_chunk_dir(c_dir, 1)
+    assert promoter.promote() == [1]
+
+    objs = promoter.internal["DiaObject"].read(spark)
+    rows = {
+        (r.diaObjectId, r.validityStart): r.validityEnd for r in objs.collect()
+    }
+    assert rows[(10, t(1))] == t(2)   # chain filled under legacy names
+    assert rows[(10, t(2))] is None
+    assert rows[(20, t(1))] is None
+
+    pub = promoter.public_diaobject.read(spark)
+    assert "validityEnd" not in pub.columns
+    assert sorted((r.diaObjectId, r.validityStart) for r in pub.collect()) == [
+        (10, t(2)),
+        (20, t(1)),
+    ]
