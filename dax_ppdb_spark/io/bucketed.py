@@ -1,0 +1,121 @@
+"""Bucketed corpus layout: pay the shuffle ONCE at write time.
+
+A dedup/join-heavy training-data pipeline keeps re-shuffling the same
+corpus on the same key — ``doc_id`` for span/paragraph joins, the
+cluster id for keep-best, the chunk id for replication diffs.  At
+100 TB that recurring exchange dominates every job.  Spark's bucketed
+tables (``bucketBy`` + ``sortBy`` + ``saveAsTable``) persist the hash
+partitioning in the catalog so the optimizer can PROVE the
+distribution at read time:
+
+- a join of two tables bucketed on the same key with the same bucket
+  count runs with **zero Exchange on either side** (and with matching
+  ``sortBy`` no Sort either — the sort-merge join reads both sides
+  pre-sorted);
+- a ``groupBy`` on the bucket key aggregates in place — no exchange
+  before the final HashAggregate;
+- an equality filter on the bucket key prunes to a single bucket
+  (``SelectedBucketsCount: 1 out of N`` in the scan), the catalog
+  analogue of the IVF index's partition-pruned probe
+  (``llm/similarity.py``).
+
+This is the catalog-backed twin of the two layout levers the package
+already uses: the promotion store's RANGE-bucketed directories
+(``pipeline/promote.py`` — pruned by directory name, mirroring the
+reference's clustered internal tables, cf.
+``/root/reference/python/lsst/dax/ppdb/bigquery/_ppdb.py`` clustering
+fields) and the persisted IVF index's cell-partitioned parquet.  Use
+THIS layout for tables consumed repeatedly by key-equi joins and
+aggregations; bucket count is a layout-time decision — size it so one
+bucket of the biggest table fits an executor core's working set
+(~128-512 MB of parquet per bucket at 100 TB scale).
+
+Plan properties are pinned by ``tests/test_bucketed.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str] | str,
+    buckets: int,
+    sort: list[str] | str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed catalog table (overwriting).
+
+    ``keys`` drive the bucket hash; ``sort`` (defaults to ``keys``)
+    orders rows inside each bucket file so downstream sort-merge joins
+    skip their Sort.  ``path`` makes it an external table — the data
+    lands there instead of the session warehouse.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort = keys if sort is None else ([sort] if isinstance(sort, str) else list(sort))
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*sort)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its distribution metadata (a
+    plain ``spark.table`` — named for call-site symmetry)."""
+    return spark.table(table)
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
+    """Equality probe on the bucket key, pruned to ONE bucket.
+
+    Spark's auto-bucketed-scan rule (on by default) DISABLES the
+    bucketed read when no join/aggregation needs the distribution —
+    which also forfeits bucket pruning, so a bare
+    ``table.filter(key = v)`` scans every bucket.  This helper pins
+    the conf off for plan construction so the scan keeps its bucket
+    metadata and the filter prunes to ``SelectedBucketsCount: 1 out
+    of N`` — a 1/N-of-the-table read, the catalog twin of the IVF
+    probe's partition pruning.
+    """
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        # plan is resolved lazily, but bucketed-scan selection happens
+        # at physical planning — force it inside the conf scope
+        df = spark.table(table).filter(F.col(key) == F.lit(value))
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
+    """(num_buckets, bucket_columns) from the catalog, for asserting
+    two tables are co-located before relying on an exchange-free plan."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    n = int(info.get("Num Buckets", "0"))
+    cols_raw = info.get("Bucket Columns", "")
+    cols = [c.strip(" `") for c in cols_raw.strip("[]").split(",") if c.strip(" `")]
+    return n, cols
+
+
+def colocated(spark: SparkSession, left: str, right: str) -> bool:
+    """True when ``left`` and ``right`` bucket on the same columns with
+    the same bucket count — the precondition for an exchange-free join."""
+    ln, lc = bucket_spec(spark, left)
+    rn, rc = bucket_spec(spark, right)
+    return ln > 0 and ln == rn and lc == rc

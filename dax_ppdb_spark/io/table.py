@@ -360,11 +360,12 @@ def save_bucketed_table(
     MERGEs; this serves repeated large equi-joins, e.g. a permanent
     sources-to-objects attribution table.)  Plan behavior is pinned by
     ``tests/test_plans.py::test_bucketed_join_has_no_exchange``.
+
+    Thin single-key wrapper over :func:`dax_ppdb_spark.io.bucketed.
+    write_bucketed` — the full layout toolkit (multi-key, external
+    path, catalog introspection, bucket-pruned point lookup) lives
+    there.
     """
-    (
-        df.write.mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(name)
-    )
+    from .bucketed import write_bucketed
+
+    write_bucketed(df, name, key, buckets)

@@ -1,0 +1,114 @@
+"""Bucketed-layout plan pins: the write-once-shuffle-never contract.
+
+These are the properties a 100 TB deployment buys by bucketing the
+corpus on its join key — each asserted on the PHYSICAL plan, so a
+regression (Spark config drift, a refactor that loses the catalog
+metadata) fails here, not in a production profile.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.io.bucketed import (
+    bucket_spec,
+    colocated,
+    drop_bucketed,
+    point_lookup,
+    read_bucketed,
+    write_bucketed,
+)
+from tests.test_plans import plan_of
+
+
+@pytest.fixture(scope="module")
+def corpus_tables(spark, sf_dir):
+    """documents + a per-doc derived table, both bucketed on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    stats = docs.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    write_bucketed(docs, "bkt_docs", "doc_id", 4)
+    write_bucketed(stats, "bkt_stats", "doc_id", 4)
+    yield "bkt_docs", "bkt_stats"
+    drop_bucketed(spark, "bkt_docs")
+    drop_bucketed(spark, "bkt_stats")
+
+
+def test_bucket_spec_round_trips(spark, corpus_tables):
+    left, right = corpus_tables
+    assert bucket_spec(spark, left) == (4, ["doc_id"])
+    assert colocated(spark, left, right)
+
+
+def test_colocated_join_has_no_exchange(spark, corpus_tables):
+    left, right = corpus_tables
+    # forbid broadcast so the join must be sort-merge — the strategy
+    # bucketing accelerates; at 100 TB neither side broadcasts anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, left).join(
+            read_bucketed(spark, right), "doc_id"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n == spark.table(left).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_groupby_on_bucket_key_has_no_exchange(spark, corpus_tables):
+    left, _ = corpus_tables
+    agg = read_bucketed(spark, left).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = plan_of(agg)
+    assert "HashAggregate" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, corpus_tables):
+    left, _ = corpus_tables
+    some_id = spark.table(left).select("doc_id").head()[0]
+    probe = point_lookup(spark, left, "doc_id", some_id)
+    # the pruning marker only shows in the executed-plan string
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    assert probe.count() >= 1
+    # a bare filter (auto-bucketed-scan left on) must still be correct
+    bare = read_bucketed(spark, left).filter(F.col("doc_id") == some_id)
+    assert bare.count() == probe.count()
+
+
+def test_mismatched_layouts_are_detected(spark, sf_dir, corpus_tables):
+    left, _ = corpus_tables
+    other = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    write_bucketed(other, "bkt_other", "source", 4)
+    try:
+        assert not colocated(spark, left, "bkt_other")
+    finally:
+        drop_bucketed(spark, "bkt_other")
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, corpus_tables):
+    left, right = corpus_tables
+    bucketed = (
+        read_bucketed(spark, left)
+        .join(read_bucketed(spark, right), "doc_id")
+        .select("doc_id", "n_chars")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = docs.select("doc_id").join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
