@@ -11,6 +11,12 @@ from .updates import (  # noqa: F401
     validate_update_targets,
 )
 from .ranges import point_in_interval_join  # noqa: F401
+from .skew import (  # noqa: F401
+    SkewReport,
+    key_histogram,
+    skew_report,
+    suggest_salt_buckets,
+)
 from .sketches import kmv_estimate, kmv_merge, kmv_sketch  # noqa: F401
 from .spatial import crossmatch, with_geo_point, zorder_cell, zorder_index  # noqa: F401
 from .validity import fill_validity_end, overlap_violations, rank_versions, valid_at  # noqa: F401
