@@ -13,9 +13,12 @@ from .updates import (  # noqa: F401
 from .ranges import point_in_interval_join  # noqa: F401
 from .skew import (  # noqa: F401
     SkewReport,
+    estimated_size_bytes,
     key_histogram,
+    scan_partition_histogram,
     skew_report,
     suggest_salt_buckets,
+    suggest_shuffle_partitions,
 )
 from .sketches import kmv_estimate, kmv_merge, kmv_sketch  # noqa: F401
 from .spatial import crossmatch, with_geo_point, zorder_cell, zorder_index  # noqa: F401

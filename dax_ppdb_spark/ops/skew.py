@@ -100,6 +100,56 @@ def skew_report(
     )
 
 
+def scan_partition_histogram(df: DataFrame) -> DataFrame:
+    """Rows per physical scan partition — the direct view of input
+    balance (file splits, bucket files, coalesced scan tasks).  One
+    map-side-combined aggregation keyed by ``spark_partition_id``;
+    output is one row per task.
+
+    Reading this AFTER a repartition/exchange shows the post-shuffle
+    balance instead — the same question one stage later.
+    """
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan's output (file sizes for
+    a bare scan, selectivity-adjusted upstream of filters/joins) —
+    the input to :func:`suggest_shuffle_partitions`.  Driver-side plan
+    metadata; touches no data."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def suggest_shuffle_partitions(
+    size_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 100_000,
+) -> int:
+    """``spark.sql.shuffle.partitions`` such that one shuffle
+    partition of this relation lands near ``target_partition_bytes``
+    (default 128 MB — comfortably in-memory per executor core, and the
+    same default Spark uses for scan splits via
+    ``spark.sql.files.maxPartitionBytes``).
+
+    With AQE's partition coalescing ON (this package's session
+    default), err HIGH: AQE merges small post-shuffle partitions for
+    free, but cannot split an oversized one outside the skew-join
+    path — so the cost of too many is near zero and the cost of too
+    few is spill.
+    """
+    if size_bytes <= 0:
+        return min_partitions
+    return max(
+        min_partitions,
+        min(max_partitions, math.ceil(size_bytes / target_partition_bytes)),
+    )
+
+
 def suggest_salt_buckets(
     report: SkewReport, parallelism: int, threshold: float = 5.0
 ) -> int:

@@ -82,6 +82,45 @@ def test_suggested_salt_feeds_topk_identically(spark):
     )
 
 
+def test_scan_partition_histogram_sums_to_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dax_ppdb_spark.ops.skew import scan_partition_histogram
+
+    hist = scan_partition_histogram(docs).collect()
+    assert sum(r["n_rows"] for r in hist) == docs.count()
+    assert all(r["n_rows"] > 0 for r in hist)
+
+
+def test_estimated_size_tracks_file_size(spark, sf_dir):
+    import os
+
+    from dax_ppdb_spark.ops.skew import estimated_size_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = estimated_size_bytes(docs)
+    actual = sum(
+        os.path.getsize(f.replace("file:", ""))
+        for f in docs.inputFiles()
+    )
+    # for a bare scan the estimate is the file-size total (± metadata)
+    assert 0.5 * actual <= est <= 4 * actual
+
+
+def test_shuffle_partition_suggestion_bounds(spark):
+    from dax_ppdb_spark.ops.skew import suggest_shuffle_partitions
+
+    mb = 1024 * 1024
+    assert suggest_shuffle_partitions(0) == 1
+    assert suggest_shuffle_partitions(100 * mb) == 1
+    assert suggest_shuffle_partitions(129 * mb) == 2
+    # 100 TB at the default target -> 819200 capped to max
+    assert suggest_shuffle_partitions(100 * 1024 * 1024 * mb) == 100_000
+    assert (
+        suggest_shuffle_partitions(10 * 1024 * mb, target_partition_bytes=256 * mb)
+        == 40
+    )
+
+
 def test_multi_key_histogram(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rep = skew_report(docs, ["source"], top_n=3)
