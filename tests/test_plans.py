@@ -410,3 +410,29 @@ def test_ann_persisted_index_probes_prune_partitions(spark, sf_dir, registry):
     for b in (x for x in plan.split("\n\n") if x.startswith("(")):
         if "BroadcastNestedLoopJoin" in b.splitlines()[0]:
             assert "__cents" in b or "Join condition: None" in b, b
+
+
+def test_scan_hot_paths_are_whole_stage_codegen(spark, sf_dir, registry):
+    """The scan-and-aggregate hot paths must run inside whole-stage
+    codegen — a CodegenFallback expression in the per-row path turns
+    a JVM-fused pipeline into interpreted evaluation, a silent ~10x
+    CPU regression the bench only shows as drift.  AQE's formatted
+    explain hides codegen annotation until execution, so this reads
+    the executed-plan string, where ``*(n)`` marks each fused stage."""
+    hot = (
+        "pricing_summary",
+        "text_stats",
+        "gopher_quality",
+        "repetition_ratio",
+        "lm_score",
+        "token_count_bpe",
+        "dedup_exact",
+        "url_dedup",
+        "embedding_quantize",
+    )
+    for name in hot:
+        df = registry[name](spark, sf_dir)
+        df.collect()  # AQE materializes codegen per stage at runtime
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert "*(" in plan, f"{name} has no whole-stage codegen span:\n{plan}"
