@@ -4,6 +4,7 @@ from .pg_copy import pg_copy_tuples, read_pg_copy, write_pg_copy  # noqa: F401
 from .bucketed import (  # noqa: F401
     bucket_spec,
     colocated,
+    enable_sorted_bucket_scan,
     point_lookup,
     read_bucketed,
     write_bucketed,

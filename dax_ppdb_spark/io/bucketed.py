@@ -45,16 +45,31 @@ def write_bucketed(
     buckets: int,
     sort: list[str] | str | None = None,
     path: str | None = None,
+    single_file_buckets: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed catalog table (overwriting).
 
     ``keys`` drive the bucket hash; ``sort`` (defaults to ``keys``)
     orders rows inside each bucket file so downstream sort-merge joins
-    skip their Sort.  ``path`` makes it an external table — the data
-    lands there instead of the session warehouse.
+    can skip their Sort (see :func:`enable_sorted_bucket_scan`).
+    ``path`` makes it an external table — the data lands there instead
+    of the session warehouse.
+
+    ``single_file_buckets`` (default on) repartitions by the bucket
+    keys to ``buckets`` partitions before the write.  Without it every
+    write task emits its own file into every bucket it touches — a
+    tasks-x-buckets small-file explosion — and multi-file buckets are
+    not provably sorted, so the read side must re-Sort before every
+    merge join.  ``repartition(n, keys)`` uses the same
+    ``pmod(murmur3, n)`` placement as the bucket-id function, so each
+    task holds exactly one bucket and writes exactly one file.  Turn
+    it off only when one bucket exceeds a single task's disk/memory —
+    at that point the bucket count is too low for the data anyway.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     sort = keys if sort is None else ([sort] if isinstance(sort, str) else list(sort))
+    if single_file_buckets:
+        df = df.repartition(buckets, *[F.col(k) for k in keys])
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
@@ -64,6 +79,27 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def enable_sorted_bucket_scan(spark: SparkSession) -> None:
+    """Let merge joins trust the bucket files' sort order: co-located
+    joins of single-file-bucket tables become pure merge joins — no
+    Exchange AND no Sort on either side (sorting a 50 TB side is the
+    second-biggest cost after shuffling it).
+
+    Spark stopped reporting bucketed-scan output ordering by default
+    in 3.0 (``spark.sql.legacy.bucketedTableScan.outputOrdering``)
+    because a bucket spread over several files is only sorted within
+    each file.  The planner still proves the single-file condition
+    per scan before using the ordering — a multi-file bucketed table
+    keeps its Sort even with this flag on (pinned by
+    ``tests/test_bucketed.py``) — so enabling it is safe; it simply
+    restores the payoff of :func:`write_bucketed`'s
+    ``single_file_buckets`` layout.
+    """
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

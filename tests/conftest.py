@@ -13,6 +13,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     # Small core count + few shuffle partitions: unit tests are tiny and
     # dominated by scheduling overhead, not data volume.
+    # Each pytest run gets its own warehouse dir: saveAsTable catalogs
+    # are per-session (in-memory) but their DATA directories are not —
+    # two concurrent runs sharing a warehouse clobber each other's
+    # same-named tables.
+    import tempfile
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="dax_ppdb_wh_test_")
+    )
     s = get_spark("dax_ppdb_spark-tests", master="local[4]", shuffle_partitions=4)
     yield s
 

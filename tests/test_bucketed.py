@@ -16,6 +16,7 @@ from dax_ppdb_spark.io.bucketed import (
     bucket_spec,
     colocated,
     drop_bucketed,
+    enable_sorted_bucket_scan,
     point_lookup,
     read_bucketed,
     write_bucketed,
@@ -96,6 +97,60 @@ def test_mismatched_layouts_are_detected(spark, sf_dir, corpus_tables):
         assert not colocated(spark, left, "bkt_other")
     finally:
         drop_bucketed(spark, "bkt_other")
+
+
+def test_single_file_buckets_write_one_file_each(spark, sf_dir):
+    import glob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # force a many-task input; the default layout must still emit
+    # exactly one file per bucket (no tasks-x-buckets explosion)
+    write_bucketed(docs.repartition(7), "bkt_onefile", "doc_id", 4)
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        files = glob.glob(f"{wh}/bkt_onefile/*.parquet")
+        assert len(files) == 4, files
+    finally:
+        drop_bucketed(spark, "bkt_onefile")
+
+
+def test_sorted_scan_drops_sort_for_single_file_buckets(spark, sf_dir):
+    """With the sorted-bucket-scan flag and the default single-file
+    layout, a co-located join is a pure merge join — no Exchange, no
+    Sort.  A multi-file bucketed table must KEEP its Sort under the
+    same flag (the planner's single-file proof is what makes enabling
+    the flag safe)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    stats = docs.select("doc_id", F.length("source").alias("n"))
+    write_bucketed(docs, "bkt_sorted_a", "doc_id", 4)
+    write_bucketed(stats, "bkt_sorted_b", "doc_id", 4)
+    # multi-file twin: several write tasks per bucket
+    write_bucketed(
+        docs.repartition(7), "bkt_multi", "doc_id", 4,
+        single_file_buckets=False,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    enable_sorted_bucket_scan(spark)
+    try:
+        j = spark.table("bkt_sorted_a").join(spark.table("bkt_sorted_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Sort [" not in plan, plan
+        assert j.count() == spark.table("bkt_sorted_a").count()
+
+        j2 = spark.table("bkt_multi").join(spark.table("bkt_sorted_b"), "doc_id")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Sort [" in plan2, plan2  # multi-file side is not provably sorted
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        for t in ("bkt_sorted_a", "bkt_sorted_b", "bkt_multi"):
+            drop_bucketed(spark, t)
 
 
 def test_bucketed_join_matches_unbucketed(spark, sf_dir, corpus_tables):
