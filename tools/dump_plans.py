@@ -179,10 +179,63 @@ def main() -> None:
         df = registry[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
         out += [f"## {name}", "", note, "", "```", plan.strip(), "```", ""]
+    out += _bucketed_join_section(spark, sf_dir)
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(ANNOTATED)} plans)")
+    print(f"wrote PLANS.md ({len(ANNOTATED)} plans + bucketed join)")
     spark.stop()
+
+
+def _bucketed_join_section(spark, sf_dir: str) -> list[str]:
+    """The storage-layout flagship (not a registered query): a
+    co-located join of two bucketed tables — no Exchange, no Sort."""
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.io.bucketed import (
+        drop_bucketed,
+        enable_sorted_bucket_scan,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    write_bucketed(docs.select("doc_id", "source"), "plans_bkt_a", "doc_id", 4)
+    write_bucketed(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        "plans_bkt_b",
+        "doc_id",
+        4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    enable_sorted_bucket_scan(spark)
+    try:
+        j = spark.table("plans_bkt_a").join(spark.table("plans_bkt_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        drop_bucketed(spark, "plans_bkt_a")
+        drop_bucketed(spark, "plans_bkt_b")
+    note = (
+        "Co-located bucketed join (storage layout, `io/bucketed.py` —"
+        " not a registered query). Both sides were written with"
+        " single-file sorted buckets on doc_id; with the sorted-bucket"
+        " scan enabled the sort-merge join runs with NO Exchange and"
+        " NO Sort on either side: scan, merge, done. The write-time"
+        " shuffle amortizes over every subsequent join/groupBy on the"
+        " key (measured 1.8-2.5x per join, BASELINE.md)."
+    )
+    return [
+        "## bucketed_colocated_join",
+        "",
+        note,
+        "",
+        "```",
+        plan.strip(),
+        "```",
+        "",
+    ]
 
 
 if __name__ == "__main__":
