@@ -7,5 +7,6 @@ from .bucketed import (  # noqa: F401
     enable_sorted_bucket_scan,
     point_lookup,
     read_bucketed,
+    register_bucketed,
     write_bucketed,
 )

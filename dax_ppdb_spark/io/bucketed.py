@@ -102,6 +102,47 @@ def enable_sorted_bucket_scan(spark: SparkSession) -> None:
     )
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    keys: list[str] | str,
+    buckets: int,
+    sort: list[str] | str | None = None,
+) -> DataFrame:
+    """Re-attach bucketing metadata to an existing data directory.
+
+    Bucket layout lives in the CATALOG, not the files: a session that
+    merely ``spark.read.parquet(path)``s a directory written by
+    :func:`write_bucketed` gets correct rows but a layout-blind plan —
+    every join shuffles again, defeating the write-time investment.
+    On a cluster the metastore persists the metadata; with this
+    package's session-local in-memory catalog (and for any directory
+    handed over between deployments), call this once per session to
+    restore it.  ``keys``/``buckets``/``sort`` must match what the
+    directory was WRITTEN with — bucket ids are baked into the file
+    contents and names, and a wrong declaration silently mis-routes
+    co-located joins; :func:`bucket_spec` on the original table is the
+    source of truth.
+
+    The column list comes from the parquet footer (CREATE TABLE with
+    bucketing requires an explicit schema).  Returns the registered
+    table's DataFrame.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort = keys if sort is None else ([sort] if isinstance(sort, str) else list(sort))
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    sort_list = ", ".join(f"`{s}`" for s in sort)
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({sort_list}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its distribution metadata (a
     plain ``spark.table`` — named for call-site symmetry)."""

@@ -153,6 +153,39 @@ def test_sorted_scan_drops_sort_for_single_file_buckets(spark, sf_dir):
             drop_bucketed(spark, t)
 
 
+def test_register_bucketed_restores_layout(spark, sf_dir, tmp_path):
+    """An external bucketed directory re-registered in a fresh catalog
+    entry keeps its layout: the co-located join is still exchange-free
+    and bucket_spec round-trips."""
+    from dax_ppdb_spark.io.bucketed import register_bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    stats = docs.select("doc_id", F.length("source").alias("n"))
+    write_bucketed(docs, "reg_a", "doc_id", 4, path=str(tmp_path / "a"))
+    write_bucketed(stats, "reg_b", "doc_id", 4, path=str(tmp_path / "b"))
+    # simulate a fresh session: catalog entries gone, directories remain
+    spark.sql("DROP TABLE reg_a")
+    spark.sql("DROP TABLE reg_b")
+    ra = register_bucketed(spark, "reg_a2", str(tmp_path / "a"), "doc_id", 4)
+    register_bucketed(spark, "reg_b2", str(tmp_path / "b"), "doc_id", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert bucket_spec(spark, "reg_a2") == (4, ["doc_id"])
+        assert colocated(spark, "reg_a2", "reg_b2")
+        assert ra.count() == docs.count()
+        j = spark.table("reg_a2").join(spark.table("reg_b2"), "doc_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_bucketed(spark, "reg_a2")
+        drop_bucketed(spark, "reg_b2")
+
+
 def test_bucketed_join_matches_unbucketed(spark, sf_dir, corpus_tables):
     left, right = corpus_tables
     bucketed = (
