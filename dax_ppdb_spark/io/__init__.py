@@ -8,5 +8,6 @@ from .bucketed import (  # noqa: F401
     point_lookup,
     read_bucketed,
     register_bucketed,
+    validate_bucketing,
     write_bucketed,
 )

@@ -143,6 +143,38 @@ def register_bucketed(
     return spark.table(table)
 
 
+def validate_bucketing(spark: SparkSession, table: str) -> int:
+    """Audit that ``table``'s rows actually live in the bucket files
+    its catalog spec claims — the check that catches a wrong
+    :func:`register_bucketed` declaration BEFORE a co-located join
+    silently drops matches.
+
+    Spark's bucket id is ``pmod(murmur3(keys), n)`` — the same hash
+    ``F.hash`` exposes (seed 42, columns chained in order) — and each
+    file name carries its bucket id (``..._00003.c000...``).  One
+    distributed scan recomputes the id per row and compares it to the
+    id parsed from ``input_file_name``.  Raises ``ValueError`` with
+    the mismatch count on a bad layout; returns the validated row
+    count on a good one.
+    """
+    n, keys = bucket_spec(spark, table)
+    if n <= 0:
+        raise ValueError(f"{table} is not bucketed")
+    df = spark.table(table)
+    fid = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1).cast("int")
+    expected = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n))
+    counts = df.select(
+        (fid != expected).cast("long").alias("bad")
+    ).agg(F.sum("bad").alias("bad"), F.count(F.lit(1)).alias("total")).head()
+    if counts["bad"]:
+        raise ValueError(
+            f"{table}: {counts['bad']} of {counts['total']} rows are in "
+            f"the wrong bucket for spec ({n} buckets on {keys}) — the "
+            "registered layout does not match the files"
+        )
+    return int(counts["total"])
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its distribution metadata (a
     plain ``spark.table`` — named for call-site symmetry)."""

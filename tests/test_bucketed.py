@@ -186,6 +186,33 @@ def test_register_bucketed_restores_layout(spark, sf_dir, tmp_path):
         drop_bucketed(spark, "reg_b2")
 
 
+def test_validate_bucketing_passes_good_and_catches_bad(spark, sf_dir, tmp_path):
+    from dax_ppdb_spark.io.bucketed import register_bucketed, validate_bucketing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    write_bucketed(docs, "val_good", "doc_id", 4, path=str(tmp_path / "v"))
+    try:
+        assert validate_bucketing(spark, "val_good") == docs.count()
+    finally:
+        spark.sql("DROP TABLE val_good")
+    # same directory re-registered with a WRONG spec (different key)
+    register_bucketed(spark, "val_bad", str(tmp_path / "v"), "source", 4)
+    try:
+        with pytest.raises(ValueError, match="wrong bucket"):
+            validate_bucketing(spark, "val_bad")
+    finally:
+        spark.sql("DROP TABLE val_bad")
+    # and a wrong bucket COUNT on the right key
+    register_bucketed(spark, "val_badn", str(tmp_path / "v"), "doc_id", 8)
+    try:
+        with pytest.raises(ValueError, match="wrong bucket"):
+            validate_bucketing(spark, "val_badn")
+    finally:
+        spark.sql("DROP TABLE val_badn")
+
+
 def test_bucketed_join_matches_unbucketed(spark, sf_dir, corpus_tables):
     left, right = corpus_tables
     bucketed = (
