@@ -213,6 +213,50 @@ def test_validate_bucketing_passes_good_and_catches_bad(spark, sf_dir, tmp_path)
         spark.sql("DROP TABLE val_badn")
 
 
+def test_layout_properties_on_adversarial_frames(spark):
+    """Property sweep: for arbitrary key distributions (dup keys, null
+    payloads, negative and huge ints, single row), the written layout
+    validates and the co-located self-join equals the plain join."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dax_ppdb_spark.io.bucketed import validate_bucketing
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows_strategy, buckets=st.sampled_from([1, 3, 4]))
+    def check(rows, buckets):
+        df = spark.createDataFrame(rows, "k long, v string")
+        write_bucketed(df, "prop_bkt", "k", buckets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert validate_bucketing(spark, "prop_bkt") == len(rows)
+            t = spark.table("prop_bkt")
+            joined = t.join(t.select(F.col("k")), "k")
+            plain = df.join(df.select("k"), "k")
+            assert "Exchange" not in plan_of(joined)
+            assert sorted(
+                map(tuple, joined.collect())
+            ) == sorted(map(tuple, plain.collect()))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            drop_bucketed(spark, "prop_bkt")
+
+    check()
+
+
 def test_bucketed_join_matches_unbucketed(spark, sf_dir, corpus_tables):
     left, right = corpus_tables
     bucketed = (
