@@ -186,7 +186,7 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
 
 
 def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
-    """Equality probe on the bucket key, pruned to ONE bucket.
+    """Equality or IN-list probe on the bucket key, bucket-pruned.
 
     Spark's auto-bucketed-scan rule (on by default) DISABLES the
     bucketed read when no join/aggregation needs the distribution —
@@ -195,14 +195,20 @@ def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
     the conf off for plan construction so the scan keeps its bucket
     metadata and the filter prunes to ``SelectedBucketsCount: 1 out
     of N`` — a 1/N-of-the-table read, the catalog twin of the IVF
-    probe's partition pruning.
+    probe's partition pruning.  A list/tuple/set ``value`` becomes an
+    IN probe pruned to at most ``len(value)`` buckets (the
+    replication pipeline's chunk-batch shape).
     """
     prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try:
         # plan is resolved lazily, but bucketed-scan selection happens
         # at physical planning — force it inside the conf scope
-        df = spark.table(table).filter(F.col(key) == F.lit(value))
+        if isinstance(value, (list, tuple, set, frozenset)):
+            cond = F.col(key).isin(*value)
+        else:
+            cond = F.col(key) == F.lit(value)
+        df = spark.table(table).filter(cond)
         df._jdf.queryExecution().executedPlan()
         return df
     finally:

@@ -87,6 +87,20 @@ def test_point_lookup_prunes_to_one_bucket(spark, corpus_tables):
     assert bare.count() == probe.count()
 
 
+def test_inlist_lookup_prunes_to_probed_buckets(spark, corpus_tables):
+    left, _ = corpus_tables
+    ids = [r[0] for r in spark.table(left).select("doc_id").head(3)]
+    probe = point_lookup(spark, left, "doc_id", ids)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # 3 keys hit at most 3 of the 4 buckets — never the full table
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 4", plan)
+    assert m, plan
+    assert 1 <= int(m.group(1)) <= 3
+    assert probe.count() == len(set(ids))
+
+
 def test_mismatched_layouts_are_detected(spark, sf_dir, corpus_tables):
     left, _ = corpus_tables
     other = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
