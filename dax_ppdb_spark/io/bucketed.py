@@ -35,6 +35,8 @@ Plan properties are pinned by ``tests/test_bucketed.py``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -132,13 +134,16 @@ def register_bucketed(
     keys = [keys] if isinstance(keys, str) else list(keys)
     sort = keys if sort is None else ([sort] if isinstance(sort, str) else list(sort))
     schema = spark.read.parquet(path).schema
+    if "`" in table or any("`" in f.name for f in schema):
+        raise ValueError("backticks in table/column names are not supported")
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
     key_list = ", ".join(f"`{k}`" for k in keys)
     sort_list = ", ".join(f"`{s}`" for s in sort)
+    loc = path.replace("'", "''")  # SQL string-literal escape
     spark.sql(
         f"CREATE TABLE `{table}` ({cols}) USING parquet "
         f"CLUSTERED BY ({key_list}) SORTED BY ({sort_list}) "
-        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        f"INTO {buckets} BUCKETS LOCATION '{loc}'"
     )
     return spark.table(table)
 
@@ -161,11 +166,16 @@ def validate_bucketing(spark: SparkSession, table: str) -> int:
     if n <= 0:
         raise ValueError(f"{table} is not bucketed")
     df = spark.table(table)
-    fid = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1).cast("int")
+    # a file with no _NNNNN. marker (e.g. a plain-parquet directory
+    # registered as bucketed) must COUNT AS A MISMATCH, not crash the
+    # ANSI cast on '' or silently null out of the comparison
+    fid_str = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1)
+    fid = F.when(F.length(fid_str) > 0, fid_str.cast("int"))
     expected = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n))
-    counts = df.select(
-        (fid != expected).cast("long").alias("bad")
-    ).agg(F.sum("bad").alias("bad"), F.count(F.lit(1)).alias("total")).head()
+    bad = F.when(fid.isNull() | (fid != expected), F.lit(1)).otherwise(F.lit(0))
+    counts = df.select(bad.alias("bad")).agg(
+        F.sum("bad").alias("bad"), F.count(F.lit(1)).alias("total")
+    ).head()
     if counts["bad"]:
         raise ValueError(
             f"{table}: {counts['bad']} of {counts['total']} rows are in "
@@ -185,36 +195,47 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
-    """Equality or IN-list probe on the bucket key, bucket-pruned.
+@contextmanager
+def bucket_pruned_scan(spark: SparkSession):
+    """Scope in which filter-only scans of bucketed tables keep their
+    bucket metadata (and therefore bucket PRUNING).
 
-    Spark's auto-bucketed-scan rule (on by default) DISABLES the
+    Spark's auto-bucketed-scan rule (on by default) disables the
     bucketed read when no join/aggregation needs the distribution —
-    which also forfeits bucket pruning, so a bare
-    ``table.filter(key = v)`` scans every bucket.  This helper pins
-    the conf off for plan construction so the scan keeps its bucket
-    metadata and the filter prunes to ``SelectedBucketsCount: 1 out
-    of N`` — a 1/N-of-the-table read, the catalog twin of the IVF
-    probe's partition pruning.  A list/tuple/set ``value`` becomes an
-    IN probe pruned to at most ``len(value)`` buckets (the
-    replication pipeline's chunk-batch shape).
+    which also forfeits pruning, so a bare ``table.filter(key = v)``
+    scans every bucket.  Physical planning happens at ACTION time, so
+    the action must run inside this scope; a DataFrame built here but
+    collected outside replans under the restored conf and loses the
+    pruning.  Mutates a session conf — not safe under concurrent
+    planning from other threads of the same session.
     """
-    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
     try:
-        # plan is resolved lazily, but bucketed-scan selection happens
-        # at physical planning — force it inside the conf scope
+        yield
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def point_lookup(spark: SparkSession, table: str, key: str, value) -> list:
+    """Equality or IN-list probe on the bucket key, bucket-pruned,
+    EAGER: returns the matching ``Row``s.
+
+    Runs the collect inside :func:`bucket_pruned_scan` so the actual
+    read prunes to ``SelectedBucketsCount: 1 out of N`` (one bucket
+    per probed key; a list/tuple/set ``value`` becomes an IN probe
+    over at most ``len(value)`` buckets — the replication pipeline's
+    chunk-batch shape).  Eager by design: a point lookup is an
+    action, and a lazily returned DataFrame would silently lose the
+    pruning when collected outside the conf scope.
+    """
+    with bucket_pruned_scan(spark):
         if isinstance(value, (list, tuple, set, frozenset)):
             cond = F.col(key).isin(*value)
         else:
             cond = F.col(key) == F.lit(value)
-        df = spark.table(table).filter(cond)
-        df._jdf.queryExecution().executedPlan()
-        return df
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
-        )
+        return spark.table(table).filter(cond).collect()
 
 
 def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:

@@ -348,6 +348,7 @@ def save_bucketed_table(
     name: str,
     key: str,
     buckets: int = 32,
+    single_file_buckets: bool = True,
 ) -> None:
     """Persist a catalog table hash-bucketed (and in-bucket sorted) on
     its join key.
@@ -364,8 +365,9 @@ def save_bucketed_table(
     Thin single-key wrapper over :func:`dax_ppdb_spark.io.bucketed.
     write_bucketed` — the full layout toolkit (multi-key, external
     path, catalog introspection, bucket-pruned point lookup) lives
-    there.
+    there.  ``single_file_buckets`` passes through: keep the default
+    unless one bucket exceeds a single write task's disk/memory.
     """
     from .bucketed import write_bucketed
 
-    write_bucketed(df, name, key, buckets)
+    write_bucketed(df, name, key, buckets, single_file_buckets=single_file_buckets)

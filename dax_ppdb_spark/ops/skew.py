@@ -19,8 +19,9 @@ This module is that measurement:
   hottest key's per-task share down to the average task's load.
 
 Shape: one exchange on the key (with partial aggregation the map
-output is one row per key per task), one ``approx_percentile`` pass
-over the model-sized count relation.  Nothing here scans data twice.
+output is one row per key per task); the per-key count relation is
+persisted across the summary and top-N actions, so the input is
+scanned once.
 """
 
 from __future__ import annotations
@@ -72,19 +73,26 @@ def skew_report(
     default accuracy) over the per-key counts, not the rows.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    hist = key_histogram(df, keys)
-    summary = hist.agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.mean("n_rows").alias("mean"),
-        F.expr(
-            "approx_percentile(n_rows, array(0.5, 0.9, 0.99))"
-        ).alias("pct"),
-        F.max("n_rows").alias("max"),
-    ).head()
-    top = [
-        tuple(r) for r in hist.orderBy(F.col("n_rows").desc(), *keys).head(top_n)
-    ]
+    # persist the histogram across the two actions (summary + top-N):
+    # without it each action re-scans and re-shuffles the full input,
+    # doubling the cost of the diagnostic on the corpus it is sizing
+    hist = key_histogram(df, keys).persist()
+    try:
+        summary = hist.agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.mean("n_rows").alias("mean"),
+            F.expr(
+                "approx_percentile(n_rows, array(0.5, 0.9, 0.99))"
+            ).alias("pct"),
+            F.max("n_rows").alias("max"),
+        ).head()
+        top = [
+            tuple(r)
+            for r in hist.orderBy(F.col("n_rows").desc(), *keys).head(top_n)
+        ]
+    finally:
+        hist.unpersist()
     mx = int(summary["max"] or 0)
     mean = float(summary["mean"] or 0.0)
     return SkewReport(

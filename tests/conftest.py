@@ -17,13 +17,17 @@ def spark():
     # are per-session (in-memory) but their DATA directories are not —
     # two concurrent runs sharing a warehouse clobber each other's
     # same-named tables.
+    import shutil
     import tempfile
 
-    os.environ.setdefault(
-        "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="dax_ppdb_wh_test_")
-    )
+    created = None
+    if "SPARK_GRAFT_WAREHOUSE" not in os.environ:
+        created = tempfile.mkdtemp(prefix="dax_ppdb_wh_test_")
+        os.environ["SPARK_GRAFT_WAREHOUSE"] = created
     s = get_spark("dax_ppdb_spark-tests", master="local[4]", shuffle_partitions=4)
     yield s
+    if created is not None:
+        shutil.rmtree(created, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -75,30 +75,44 @@ def test_groupby_on_bucket_key_has_no_exchange(spark, corpus_tables):
 
 
 def test_point_lookup_prunes_to_one_bucket(spark, corpus_tables):
+    from dax_ppdb_spark.io.bucketed import bucket_pruned_scan
+
     left, _ = corpus_tables
     some_id = spark.table(left).select("doc_id").head()[0]
-    probe = point_lookup(spark, left, "doc_id", some_id)
-    # the pruning marker only shows in the executed-plan string
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "SelectedBucketsCount: 1 out of 4" in plan, plan
-    assert probe.count() >= 1
+    rows = point_lookup(spark, left, "doc_id", some_id)
+    assert len(rows) >= 1
     # a bare filter (auto-bucketed-scan left on) must still be correct
     bare = read_bucketed(spark, left).filter(F.col("doc_id") == some_id)
-    assert bare.count() == probe.count()
+    assert bare.count() == len(rows)
+    # pruning pin: inside the scope the scan selects exactly 1 bucket
+    # (the marker only shows in the executed-plan string)
+    with bucket_pruned_scan(spark):
+        df = spark.table(left).filter(F.col("doc_id") == some_id)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
 
 
 def test_inlist_lookup_prunes_to_probed_buckets(spark, corpus_tables):
+    from dax_ppdb_spark.io.bucketed import bucket_pruned_scan
+
     left, _ = corpus_tables
     ids = [r[0] for r in spark.table(left).select("doc_id").head(3)]
-    probe = point_lookup(spark, left, "doc_id", ids)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
+    rows = point_lookup(spark, left, "doc_id", ids)
+    assert len(rows) == len(set(ids))
     # 3 keys hit at most 3 of the 4 buckets — never the full table
     import re
 
-    m = re.search(r"SelectedBucketsCount: (\d+) out of 4", plan)
-    assert m, plan
-    assert 1 <= int(m.group(1)) <= 3
-    assert probe.count() == len(set(ids))
+    with bucket_pruned_scan(spark):
+        df = spark.table(left).filter(F.col("doc_id").isin(*ids))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of 4", plan)
+        assert m, plan
+        assert 1 <= int(m.group(1)) <= 3
+    # the conf is restored after the scope
+    assert (
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        == "true"
+    )
 
 
 def test_mismatched_layouts_are_detected(spark, sf_dir, corpus_tables):
@@ -225,6 +239,16 @@ def test_validate_bucketing_passes_good_and_catches_bad(spark, sf_dir, tmp_path)
             validate_bucketing(spark, "val_badn")
     finally:
         spark.sql("DROP TABLE val_badn")
+    # a PLAIN parquet directory misregistered as bucketed: file names
+    # carry no bucket id — must fail the audit, not crash the ANSI
+    # cast on '' or silently pass via a nulled comparison
+    docs.write.parquet(str(tmp_path / "plain"))
+    register_bucketed(spark, "val_plain", str(tmp_path / "plain"), "doc_id", 4)
+    try:
+        with pytest.raises(ValueError, match="wrong bucket"):
+            validate_bucketing(spark, "val_plain")
+    finally:
+        spark.sql("DROP TABLE val_plain")
 
 
 def test_layout_properties_on_adversarial_frames(spark):

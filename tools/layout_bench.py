@@ -114,9 +114,7 @@ def main() -> int:
             repeats,
         )
         pruned_s, hit2 = _time(
-            lambda: point_lookup(
-                spark, "lb_orders", "o_orderkey", some_key
-            ).collect(),
+            lambda: point_lookup(spark, "lb_orders", "o_orderkey", some_key),
             repeats,
         )
         assert len(hit) == len(hit2) == 1
