@@ -311,6 +311,43 @@ def _cmd_ann_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_bucket_table(args: argparse.Namespace) -> int:
+    """Lay out a parquet table as an external bucketed directory
+    (write-once shuffle; io/bucketed.py), then audit the layout.
+
+    The bucketing metadata lives in the catalog, so a later session
+    re-attaches it with register_bucketed (the printed spec is what it
+    must declare)."""
+    from .io.bucketed import validate_bucketing, write_bucketed
+
+    spark = get_spark("ppdb-bucket-table")
+    df = spark.read.parquet(args.input)
+    keys = [k.strip() for k in args.key.split(",") if k.strip()]
+    write_bucketed(df, args.table, keys, args.buckets, path=args.path)
+    n = validate_bucketing(spark, args.table)
+    print(
+        f"bucketed {n} rows into {args.buckets} buckets on ({', '.join(keys)})"
+        f" at {args.path}; re-register in a new session with this exact spec"
+    )
+    return 0
+
+
+def _cmd_bucket_validate(args: argparse.Namespace) -> int:
+    """Audit an external bucketed directory against a declared spec
+    (register + validate in one session): a wrong key or bucket count
+    fails loudly instead of silently mis-routing co-located joins."""
+    from .io.bucketed import register_bucketed, validate_bucketing
+
+    spark = get_spark("ppdb-bucket-validate")
+    keys = [k.strip() for k in args.key.split(",") if k.strip()]
+    register_bucketed(
+        spark, "bucket_validate_probe", args.path, keys, args.buckets
+    )
+    n = validate_bucketing(spark, "bucket_validate_probe")
+    print(f"layout ok: {n} rows, {args.buckets} buckets on ({', '.join(keys)})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ppdb-replication", description="PPDB replication tools (Spark)"
@@ -392,6 +429,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train the quantizer on a 1/N md5 hash sample")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--id-col", default="vec_id")
+
+    p = add("bucket-table", "lay out a parquet table as a bucketed directory", _cmd_bucket_table)
+    p.add_argument("input", help="source parquet path")
+    p.add_argument("path", help="external bucketed table directory")
+    p.add_argument("--table", default="bucketed_out", help="catalog name for this session")
+    p.add_argument("--key", required=True, help="bucket key column(s), comma-separated")
+    p.add_argument("--buckets", type=int, default=32)
+
+    p = add("bucket-validate", "audit a bucketed directory against a declared spec", _cmd_bucket_validate)
+    p.add_argument("path", help="bucketed table directory")
+    p.add_argument("--key", required=True, help="declared bucket key column(s)")
+    p.add_argument("--buckets", type=int, required=True, help="declared bucket count")
 
     p = add("ann-query", "top-k batch against a persisted ANN index", _cmd_ann_query)
     p.add_argument("index", help="index root directory")

@@ -348,3 +348,30 @@ def test_cli_ann_build_and_query(tmp_path, capsys):
     hits = spark.read.parquet(out_path)
     assert hits.count() == 6  # 2 queries x top-3
     assert set(hits.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+
+
+def test_bucket_table_and_validate_cmds(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(src)
+    out = str(tmp_path / "bkt")
+    assert (
+        cli.main(
+            ["bucket-table", src, out, "--key", "k", "--buckets", "4",
+             "--table", "cli_bkt"]
+        )
+        == 0
+    )
+    assert "bucketed 100 rows into 4 buckets" in capsys.readouterr().out
+    spark.sql("DROP TABLE IF EXISTS cli_bkt")
+    # audit with the right spec passes...
+    assert (
+        cli.main(["bucket-validate", out, "--key", "k", "--buckets", "4"]) == 0
+    )
+    assert "layout ok: 100 rows" in capsys.readouterr().out
+    spark.sql("DROP TABLE IF EXISTS bucket_validate_probe")
+    # ...and a wrong declared bucket count fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wrong bucket"):
+        cli.main(["bucket-validate", out, "--key", "k", "--buckets", "8"])
+    spark.sql("DROP TABLE IF EXISTS bucket_validate_probe")
