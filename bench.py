@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_verified",
+    "dedup_jaccard_prefix",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",

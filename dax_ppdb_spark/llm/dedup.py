@@ -145,6 +145,139 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard pairs >= ``threshold`` via PREFIX FILTERING — the
+    lossless set-similarity join (SSJoin / All-Pairs / PPJoin family),
+    the exact-threshold complement to :func:`ngram_jaccard_pairs`.
+
+    Where the plain inverted index expands candidate pairs under EVERY
+    shared shingle (and needs the lossy ``max_doc_freq`` stop-shingle
+    cap to survive boilerplate skew), prefix filtering indexes only
+    each document's *prefix*: its ``n_sh - ceil(t * n_sh) + 1`` rarest
+    shingles under a global (document-frequency, shingle) order.  Two
+    documents with Jaccard >= t MUST share a prefix shingle — with
+    ``a = |x ∩ y| >= ceil(t * max(|x|, |y|))`` common elements, if the
+    prefixes were disjoint then every common element would sit in one
+    document's (a - 1)-element suffix — so the filter loses NOTHING,
+    while the hottest (highest-df) shingles fall out of most prefixes
+    automatically and candidate fan-out tracks rare-shingle df, not
+    boilerplate df.  A length filter (min size >= ceil(t * max size))
+    prunes further; survivors are verified with an exact per-pair
+    ``array_intersect``.
+
+    Scale shape: df aggregation, one doc-partitioned window to rank
+    shingles by rarity, candidate expansion grouped per prefix
+    shingle, then two hash joins back to the shingle sets for
+    verification — all linear shuffles, no quadratic stage, no lossy
+    cap, so the output equals the brute-force pairwise Jaccard at any
+    corpus size (pinned by test).  The oracle therefore states the
+    PURE semantics (uncapped inverted-index pairwise Jaccard) with no
+    prefix logic to mirror.
+
+    The ``ceil`` is nudged down by 1e-9 before flooring so a float
+    product landing one ulp ABOVE an exact integer can only lengthen
+    a prefix (safe direction), never shorten it.
+    """
+    from pyspark.sql import Window
+
+    # The shingle relation feeds FOUR consumers (df aggregation,
+    # rarity ranking, both verification sides); a lazy localCheckpoint
+    # materializes the tokenize+shingle pass once instead of replaying
+    # it per lineage branch (the unigram_logprob_score pattern).
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("shs"),
+        )
+        .filter(F.size("shs") > 0)
+        .withColumn("n_sh", F.size("shs"))
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
+    df_tbl = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first global order; (df, shingle) is total — deterministic
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    pref_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    prefix = (
+        inv.join(df_tbl, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= pref_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+    members = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n_sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_sh"].alias("n_a"),
+                        y["n_sh"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    cand = (
+        members.select(pair_structs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        # length filter: jaccard <= min/max of the set sizes
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.ceil(
+                F.greatest("n_a", "n_b") * F.lit(threshold) - F.lit(1e-9)
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("__sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("__sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    # shuffle_hash: the set sides carry whole shingle ARRAYS — never
+    # broadcast them (AQE would happily ship the corpus to the driver
+    # when the candidate side looks bigger); candidates hash-join on
+    # the doc key instead.
+    return (
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .withColumn("n_inter", n_inter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signature(sh: Column, k: int = 8) -> Column:
     """k-element MinHash signature over a shingle-array column.
 

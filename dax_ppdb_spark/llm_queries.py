@@ -110,6 +110,42 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_read_spread(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+# Prefix filtering is LOSSLESS, so the oracle states the pure
+# semantics — uncapped pairwise Jaccard — with no prefix logic.
+_DEDUP_PREFIX_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES3} AS shs FROM documents
+    WHERE len({_TOKS}) >= 3
+),
+inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM sh),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS n_inter
+    FROM inv a JOIN inv b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+"""
+
+
+@register("dedup_jaccard_prefix", _DEDUP_PREFIX_SQL)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.6 via PREFIX FILTERING (SSJoin /
+    PPJoin family): only each doc's rarest ``n - ceil(t*n) + 1``
+    shingles enter the inverted index — a lossless candidate filter
+    (unlike ``max_doc_freq``, which trades recall for skew safety), so
+    the result equals brute-force pairwise Jaccard at any scale."""
+    from .llm.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _read_spread(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
+
 def _minhash_band_sql() -> str:
     mins = ", ".join(
         f"list_min(list_transform(shs, s -> {hex_window_long_sql('md5(s)', 3 * i)}))"

@@ -342,3 +342,38 @@ def test_corpus_divergence_bruteforce(spark, a, b):
         m = (pa + pb) / 2.0
         want = 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
         assert math.floor(want * 1e9) / 1e9 == r.js_contrib
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(words, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.6, 0.75, 1.0]),
+)
+def test_jaccard_prefix_is_lossless(spark, data, threshold):
+    """Prefix filtering must equal the UNCAPPED inverted-index join at
+    every threshold — the losslessness claim that lets its oracle state
+    pure pairwise-Jaccard semantics.  The tiny word alphabet makes
+    shingle collisions (shared boilerplate, identical docs, subset
+    docs) the common case, which is exactly where a broken prefix
+    bound would drop pairs."""
+    from dax_ppdb_spark.llm.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    n = 2
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(docs, n=n, threshold=threshold).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, n=n, threshold=threshold, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want

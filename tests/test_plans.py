@@ -436,3 +436,17 @@ def test_scan_hot_paths_are_whole_stage_codegen(spark, sf_dir, registry):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan, name
         assert "*(" in plan, f"{name} has no whole-stage codegen span:\n{plan}"
+
+
+def test_jaccard_prefix_no_cartesian(spark, sf_dir, registry):
+    """Prefix-filtered Jaccard must stay equi-join shaped end to end:
+    candidates expand per prefix-shingle group (no pair enumeration
+    via nested loop), and verification joins back to the shingle sets
+    by doc id.  A cartesian/BNLJ here would be the quadratic all-pairs
+    scan the prefix filter exists to avoid."""
+    plan = plan_of(registry["dedup_jaccard_prefix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # rarity ranking runs per doc, candidate index groups per shingle
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(shingle" in plan
