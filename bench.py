@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "corpus_drift",
     "mixture_sample",
+    "weighted_sample",
     "perplexity_buckets",
     "leak_safe_split",
     "url_dedup",

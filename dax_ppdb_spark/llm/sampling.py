@@ -443,6 +443,95 @@ def sequence_pack(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    coarse_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement: draw ``k``
+    documents with probability proportional to an integer weight
+    (token count, byte size) — the datamix draw step when the unit of
+    account is tokens, not documents (a 10k-token doc should be
+    sampled 100x as often as a 100-token one).
+
+    Pure integer arithmetic end to end, so both engines replay it
+    exactly: documents line up in salted-hash order; each occupies the
+    half-open interval ``[cum, cum + weight)`` of the exclusive
+    prefix-sum axis; probe ``j`` targets position
+    ``md5(salt-probe j) mod W`` on that axis and selects the one
+    document whose interval contains it.  (The A-ES exponential-key
+    scheme needs ``ln``/``pow`` whose last-ulp behavior differs
+    between engines — this interval formulation trades without-
+    replacement semantics for bit-exact reproducibility.)
+
+    Scale shape (the :func:`sequence_pack` two-phase pattern): the
+    cumsum runs per contiguous md5-range bucket with a driver-computed
+    bucket-base table (bucket count rows — model-sized, like the
+    k-means centroids); each probe's bucket is located driver-side by
+    bisect, and a semi join prunes the corpus to the <= k probed
+    buckets BEFORE the only window — so the per-row sort touches
+    ``k/coarse_buckets`` of the data and no task ever sorts the
+    corpus.  Probes join by bucket equality (broadcast, k rows); the
+    interval containment is a post-join filter, never a nested loop.
+
+    Output: ``(sample_id, id_col, weight_col)`` — exactly one row per
+    probe (k rows; duplicates across probes are the with-replacement
+    semantics).  Zero-weight documents are dropped (they occupy no
+    interval).
+    """
+    import hashlib
+    from bisect import bisect_right
+
+    spark = df.sparkSession
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.filter(F.col(weight_col) >= 1).withColumn("__h", h)
+    if coarse_buckets is None:
+        coarse_buckets = max(32, base.count() // 50_000)
+    span = (1 << 32) // max(coarse_buckets, 1) + 1
+    t = base.withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
+    sums = t.groupBy("__b").agg(F.sum(weight_col).alias("__bsz")).collect()
+    acc = 0
+    bases = []
+    for r in sorted(sums, key=lambda r: r["__b"]):
+        bases.append((r["__b"], acc))
+        acc += r["__bsz"]
+    total = acc
+    out_schema = f"sample_id LONG, {id_col} LONG, {weight_col} LONG"
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    probes = []
+    starts = [s for _, s in bases]
+    for j in range(k):
+        tgt = (
+            int(hashlib.md5(f"{salt}-probe{j}".encode()).hexdigest()[:8], 16)
+            % total
+        )
+        b = bases[bisect_right(starts, tgt) - 1][0]
+        probes.append((j, tgt, b))
+    pdf = spark.createDataFrame(probes, "sample_id LONG, __target LONG, __b LONG")
+    bdf = spark.createDataFrame(bases, "__b LONG, __base LONG")
+    wb = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    c = (
+        t.join(F.broadcast(pdf.select("__b").distinct()), "__b", "left_semi")
+        .join(F.broadcast(bdf), "__b")
+        .withColumn(
+            "__cum",
+            F.col("__base") + F.sum(weight_col).over(wb) - F.col(weight_col),
+        )
+    )
+    return (
+        c.join(F.broadcast(pdf), "__b")
+        .filter(
+            (F.col("__target") >= F.col("__cum"))
+            & (F.col("__target") < F.col("__cum") + F.col(weight_col))
+        )
+        .select("sample_id", id_col, F.col(weight_col).cast("long").alias(weight_col))
+    )
+
+
 def corpus_divergence(
     docs_a: DataFrame,
     docs_b: DataFrame,

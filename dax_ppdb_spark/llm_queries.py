@@ -2116,6 +2116,52 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_stratified_k(docs, ["lang"], k=30).select("lang", "doc_id", "rank")
 
 
+# Weighted sampling: pure integer interval arithmetic (cumsum of
+# token counts in salted-hash order; probe j lands at md5 % W), so
+# the oracle replays the draw bit-exactly with one window.
+_WSAMPLE_SALT_HASH = md5_long_sql("'wsample' || CAST(doc_id AS VARCHAR)")
+_WSAMPLE_PROBE_HASH = md5_long_sql("'wsample-probe' || CAST(j AS VARCHAR)")
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS weight,
+           {_WSAMPLE_SALT_HASH} AS h
+    FROM documents WHERE len({_TOKS}) >= 1
+),
+c AS (
+    SELECT doc_id, weight,
+           SUM(weight) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - weight AS cum
+    FROM d
+),
+tot AS (SELECT SUM(weight) AS w_total FROM d),
+p AS (
+    SELECT CAST(j AS BIGINT) AS sample_id,
+           {_WSAMPLE_PROBE_HASH} % (SELECT w_total FROM tot) AS target
+    FROM (SELECT unnest(range(0, 40)) AS j)
+)
+SELECT p.sample_id, c.doc_id, c.weight
+FROM p JOIN c ON p.target >= c.cum AND p.target < c.cum + c.weight
+"""
+
+
+@register("weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sampling with replacement (40 draws): each doc
+    occupies a [cum, cum+weight) interval of the token axis and probe
+    j picks the interval containing md5(j) mod total — exact integer
+    semantics both engines replay bit-for-bit, unlike the ln/pow of
+    exponential-key (A-ES) sampling.  The cumsum is two-phase
+    bucketed; only probed buckets are sorted."""
+    from .llm.sampling import weighted_sample_k
+    from .llm.text import tokens
+
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("weight")
+    )
+    return weighted_sample_k(docs, k=40, weight_col="weight")
+
+
 def _edit_verified_sql() -> str:
     return f"""
 WITH cand AS ({_minhash_band_sql()}),

@@ -377,3 +377,52 @@ def test_jaccard_prefix_is_lossless(spark, data, threshold):
         ).collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=12),
+    k=st.integers(min_value=1, max_value=6),
+    buckets=st.sampled_from([1, 4]),
+)
+def test_weighted_sample_matches_bruteforce(spark, weights, k, buckets):
+    """Plain-Python replay of the interval draw: hash-ordered exclusive
+    cumsum, probe j at md5('wsample-probe'||j) mod W — exact row match
+    including with-replacement duplicates; zero-weight docs never
+    selected; bucket count must not change the draw (the two-phase
+    cumsum is an execution detail, not a semantics knob)."""
+    import hashlib
+
+    from dax_ppdb_spark.llm.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id LONG, weight LONG"
+    )
+    got = {
+        (r.sample_id, r.doc_id, r.weight)
+        for r in weighted_sample_k(
+            df, k=k, weight_col="weight", coarse_buckets=buckets
+        ).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pos = sorted(
+        ((h(f"wsample{i}"), i, w) for i, w in enumerate(weights) if w >= 1)
+    )
+    total = sum(w for _, _, w in pos)
+    want = set()
+    if total:
+        cum = 0
+        intervals = []
+        for _, i, w in pos:
+            intervals.append((cum, cum + w, i, w))
+            cum += w
+        for j in range(k):
+            t = h(f"wsample-probe{j}") % total
+            for lo, hi, i, w in intervals:
+                if lo <= t < hi:
+                    want.add((j, i, w))
+    assert got == want
+    assert len(got) == (k if total else 0)

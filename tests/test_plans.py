@@ -450,3 +450,19 @@ def test_jaccard_prefix_no_cartesian(spark, sf_dir, registry):
     # rarity ranking runs per doc, candidate index groups per shingle
     assert "hashpartitioning(doc_id" in plan
     assert "hashpartitioning(shingle" in plan
+
+
+def test_weighted_sample_window_only_on_probed_buckets(spark, sf_dir, registry):
+    """The weighted draw must prune the corpus to the probed buckets
+    (broadcast semi join) BEFORE its only window — never a global
+    sort — and the probe join must be broadcast equi on the bucket,
+    never a nested-loop interval join."""
+    plan = plan_of(registry["weighted_sample"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    # the one window must be bucket-partitioned (never a global sort)
+    assert plan.count("Window") >= 1
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments") and "windowspecdefinition" in line:
+            assert "__b" in line, f"window not bucket-partitioned: {line}"

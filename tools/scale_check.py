@@ -53,6 +53,7 @@ QUERIES = [
     "range_join",
     "crossmatch",
     "dedup_verified",
+    "dedup_jaccard_prefix",
     "dedup_clusters",
     "dedup_incremental",
     "dedup_embedding_banded",
@@ -75,6 +76,7 @@ QUERIES = [
     "source_overlap",
     "dedup_span_removal",
     "mixture_sample",
+    "weighted_sample",
     "perplexity_buckets",
     "leak_safe_split",
     "ann_topk_ivf_sq8",
