@@ -67,6 +67,7 @@ HEADLINE = [
     "token_count_bpe",
     "doc_fingerprint",
     "doc_chunks",
+    "cdc_chunks",
     "split_assign",
     "stratified_sample",
     "shard_pack",

@@ -337,6 +337,89 @@ def doc_fingerprint(text: Column) -> Column:
     return total % HASH_PRIME
 
 
+def cdc_chunks(
+    docs,
+    window: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Content-defined chunking: cut each document where the hash of
+    the ``window``-char substring at that position satisfies
+    ``hash % divisor == 0`` — so chunk boundaries move WITH the
+    content, not the offsets.  Inserting or deleting a prefix shifts
+    every fixed-window chunk (:func:`~..sampling.chunk_documents`)
+    but leaves all CDC chunks after the edit region identical — the
+    property that makes chunk-fingerprint dedup robust to shifted/
+    edited near-copies (rsync/LBFS-style chunking applied to corpus
+    text; expected chunk length ~``divisor`` chars).
+
+    Entirely per-document array arithmetic inside codegen — one pass,
+    ZERO shuffles (the rebuild stays inside the row): candidate
+    positions come from ``sequence``, the boundary predicate is one
+    md5 per position (the engine-portable hash — both engines parse
+    the same hex window, the :func:`md5_long` contract), and chunks
+    are substrings between consecutive boundaries.  The classic
+    min/max-chunk-size refinement (FastCDC) is deliberately omitted:
+    boundary suppression makes each cut depend on the previous
+    accepted cut — a sequential scan per document — while the
+    stateless predicate keeps every position independent; chunk
+    length still cannot exceed the document.
+
+    Output: one row per chunk — ``(id_col, chunk_idx, start, n_chars,
+    chunk_fp)`` with 1-based ``start``, chunks tiling the document
+    exactly, and ``chunk_fp`` the md5 hex of the chunk text.
+    """
+    text = F.col(text_col)
+    length = F.length(text)
+    # interior boundary candidates: positions 2 .. L-window+1 (cut 1
+    # is implicit; Spark's sequence(2, 1) would count DOWN, so guard)
+    cand = F.when(
+        length - window + 1 >= 2,
+        F.sequence(F.lit(2).cast("long"), (length - window + 1).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    bounds = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.filter(
+            F.transform(
+                cand,
+                lambda i: F.when(
+                    md5_long(text.substr(i, F.lit(window).cast("long")))
+                    % divisor
+                    == 0,
+                    i,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.array((length + 1).cast("long")),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 2),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.element_at(bounds, j + 1).alias("start"),
+            (F.element_at(bounds, j + 2) - F.element_at(bounds, j + 1)).alias(
+                "n_chars"
+            ),
+        ),
+    )
+    out = (
+        docs.filter(length >= 1)
+        .select(F.col(id_col), text.alias("__t"), F.explode(spans).alias("c"))
+        .select(
+            id_col,
+            "c.chunk_idx",
+            "c.start",
+            "c.n_chars",
+            F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.n_chars"))).alias(
+                "chunk_fp"
+            ),
+        )
+    )
+    return out
+
+
 def unigram_logprob_score(
     docs,
     text_col: str = "text",

@@ -869,6 +869,47 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+# Content-defined chunking: both engines evaluate the identical
+# boundary predicate (md5-hex window parse % divisor) per position.
+_CDC_BOUND_HASH = md5_long_sql("substr(text, CAST(i AS INT), 8)")
+
+_CDC_CHUNKS_SQL = f"""
+WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents WHERE len(text) >= 1),
+b AS (
+    SELECT doc_id, text,
+           [CAST(1 AS BIGINT)]
+           || list_filter(
+                  list_transform(
+                      range(2, greatest(L - 8 + 2, 2)),
+                      i -> CASE WHEN {_CDC_BOUND_HASH} % 64 = 0
+                                THEN CAST(i AS BIGINT) END),
+                  x -> x IS NOT NULL)
+           || [CAST(L + 1 AS BIGINT)] AS bs
+    FROM d
+),
+s AS (
+    SELECT doc_id, text, bs, unnest(range(0, len(bs) - 1)) AS j FROM b
+)
+SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+       bs[j + 1] AS start,
+       bs[j + 2] - bs[j + 1] AS n_chars,
+       md5(substr(text, CAST(bs[j + 1] AS INT),
+                  CAST(bs[j + 2] - bs[j + 1] AS INT))) AS chunk_fp
+FROM s
+"""
+
+
+@register("cdc_chunks", _CDC_CHUNKS_SQL)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (window 8, expected ~64-char chunks):
+    boundaries where the per-position md5 window hash % 64 == 0, so
+    chunk fingerprints survive prefix edits — the shift-robust dedup
+    unit.  Pure per-row array arithmetic; zero shuffles."""
+    from .llm.text import cdc_chunks
+
+    return cdc_chunks(_read_spread(spark, sf_dir, "documents"))
+
+
 _DOC_CHUNKS_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 st AS (

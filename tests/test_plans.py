@@ -466,3 +466,14 @@ def test_weighted_sample_window_only_on_probed_buckets(spark, sf_dir, registry):
     for line in plan.splitlines():
         if line.strip().startswith("Arguments") and "windowspecdefinition" in line:
             assert "__b" in line, f"window not bucket-partitioned: {line}"
+
+
+def test_cdc_chunks_is_map_only(spark, sf_dir, registry):
+    """Content-defined chunking must stay a pure scan-side map: the
+    boundary predicate, chunk slicing, and fingerprints are per-row
+    array arithmetic — no join, no aggregation, no hash exchange
+    (only the input-spreading round-robin repartition)."""
+    plan = plan_of(registry["cdc_chunks"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

@@ -58,6 +58,7 @@ QUERIES = [
     "dedup_incremental",
     "dedup_embedding_banded",
     "doc_chunks",
+    "cdc_chunks",
     "gopher_quality",
     "top_ngrams",
     "overlap_violations",
