@@ -278,6 +278,121 @@ def jaccard_prefix_pairs(
     )
 
 
+def incremental_jaccard_prefix(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental EXACT-threshold Jaccard: every (new doc, corpus
+    doc) pair with shingle Jaccard >= ``threshold`` — the lossless
+    counterpart to :func:`incremental_neardup_pairs` (whose LSH
+    discovery misses pairs with banding probability) for pipelines
+    whose dedup gate must be exact (compliance-grade "is this already
+    in the training set" checks).
+
+    Same prefix-filtering bound as :func:`jaccard_prefix_pairs`, with
+    the global shingle order defined by the CORPUS document frequency
+    (new-batch shingles absent from the corpus take df 0 — any total
+    order on shingle values keeps the bound lossless as long as BOTH
+    sides rank by the same key function, and corpus df is the one the
+    standing index already has).  Candidates come from an equi-join of
+    the two prefix inverted indexes; at scale the corpus prefix index
+    is precomputed once and stored, making each batch O(batch +
+    matched-bucket df).  Verification is exact per-pair
+    ``array_intersect`` over the full shingle sets.
+
+    Output: (new_id, corpus_id, jaccard >= threshold).
+    """
+    from pyspark.sql import Window
+
+    def _sets(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                shingles(F.col(text_col), n).alias("shs"),
+            )
+            .filter(F.size("shs") > 0)
+            .withColumn("n_sh", F.size("shs"))
+            .localCheckpoint(eager=False)
+        )
+
+    def _prefix(sh: DataFrame, df_tbl: DataFrame, absent_df: int | None) -> DataFrame:
+        inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
+        if absent_df is None:
+            ranked = inv.join(df_tbl, "shingle")
+        else:
+            ranked = inv.join(df_tbl, "shingle", "left").withColumn(
+                "df", F.coalesce(F.col("df"), F.lit(absent_df))
+            )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("shingle").asc()
+        )
+        pref_len = (
+            F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+            + 1
+        )
+        return (
+            ranked.withColumn("__pos", F.row_number().over(w))
+            .filter(F.col("__pos") <= pref_len)
+            .select("doc_id", "n_sh", "shingle")
+        )
+
+    sh_new = _sets(new_docs)
+    sh_corp = _sets(corpus)
+    df_tbl = (
+        sh_corp.select(F.explode("shs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pn = _prefix(sh_new, df_tbl, absent_df=0).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("n_sh").alias("n_a"),
+        "shingle",
+    )
+    pc = _prefix(sh_corp, df_tbl, absent_df=None).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("n_sh").alias("n_b"),
+        "shingle",
+    )
+    cand = (
+        pn.join(pc, "shingle")
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.ceil(
+                F.greatest("n_a", "n_b") * F.lit(threshold) - F.lit(1e-9)
+            )
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sh_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shs").alias("__sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh_corp.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("shs").alias("__sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        cand.join(sa.hint("shuffle_hash"), "new_id")
+        .join(sb.hint("shuffle_hash"), "corpus_id")
+        .withColumn("n_inter", n_inter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_signature(sh: Column, k: int = 8) -> Column:
     """k-element MinHash signature over a shingle-array column.
 

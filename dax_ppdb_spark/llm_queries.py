@@ -260,6 +260,51 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact incremental dedup: the oracle states pure new-x-corpus
+# pairwise Jaccard — no banding, no caps (prefix filtering is
+# lossless, see llm.dedup.incremental_jaccard_prefix).
+_INCR_PREFIX_SQL = f"""
+WITH shn AS (
+    SELECT doc_id, {_SHINGLES3} AS shs FROM documents
+    WHERE doc_id % 4 = 0 AND len({_TOKS}) >= 3
+),
+shc AS (
+    SELECT doc_id, {_SHINGLES3} AS shs FROM documents
+    WHERE doc_id % 4 != 0 AND len({_TOKS}) >= 3
+),
+invn AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM shn),
+invc AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS shingle FROM shc),
+inter AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           MAX(a.n_sh) AS n_a, MAX(b.n_sh) AS n_b, COUNT(*) AS n_inter
+    FROM invn a JOIN invc b USING (shingle)
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT new_id, corpus_id,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+"""
+
+
+@register("dedup_incr_prefix", _INCR_PREFIX_SQL)
+def q_dedup_incr_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental dedup via prefix filtering: every batch-vs-
+    corpus pair with Jaccard >= 0.5, same split and params as
+    `dedup_incremental` — whose LSH discovery can MISS pairs with
+    banding probability; this lossless variant is the compliance-grade
+    gate.  The corpus prefix index is the precomputable side."""
+    from .llm.dedup import incremental_jaccard_prefix
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return incremental_jaccard_prefix(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        n=3,
+        threshold=0.5,
+    )
+
+
 def _dedup_clusters_sql() -> str:
     """Cluster assignment for every document: near-dup pairs grouped
     into components via a recursive min-label walk (DuckDB), singleton

@@ -501,3 +501,52 @@ def test_cdc_chunks_survive_prefix_edit(spark, body):
     missing = stable - fps1
     assert len(missing) <= 1, (sorted(missing), sorted(fps1))
     assert fps0 & fps1 or not stable
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(words, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+def test_incremental_prefix_matches_bruteforce(spark, data, threshold):
+    """The incremental prefix join must equal plain-Python brute force
+    over every (new, corpus) pair — the exactness that separates it
+    from the LSH-discovered incremental variant (which misses pairs
+    with banding probability)."""
+    from dax_ppdb_spark.llm.dedup import incremental_jaccard_prefix
+
+    docs = [(i, t) for i, t in enumerate(data)]
+    new = [(i, t) for i, t in docs if i % 2 == 0]
+    old = [(i, t) for i, t in docs if i % 2 == 1]
+    n = 2
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in incremental_jaccard_prefix(
+            spark.createDataFrame(new, "doc_id LONG, text STRING"),
+            spark.createDataFrame(old, "doc_id LONG, text STRING"),
+            n=n,
+            threshold=threshold,
+        ).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = set()
+    for i, ta in new:
+        a = sh(ta)
+        if not a:
+            continue
+        for j, tb in old:
+            b = sh(tb)
+            if not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want.add((i, j, jac))
+    assert got == want

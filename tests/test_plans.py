@@ -477,3 +477,13 @@ def test_cdc_chunks_is_map_only(spark, sf_dir, registry):
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_incremental_prefix_no_cartesian(spark, sf_dir, registry):
+    """Batch-vs-corpus prefix join: candidates must come from the
+    shingle equi-join of the two prefix indexes — a cartesian/BNLJ
+    would be the O(batch x corpus) scan the prefix filter avoids."""
+    plan = plan_of(registry["dedup_incr_prefix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(shingle" in plan

@@ -54,6 +54,7 @@ QUERIES = [
     "crossmatch",
     "dedup_verified",
     "dedup_jaccard_prefix",
+    "dedup_incr_prefix",
     "dedup_clusters",
     "dedup_incremental",
     "dedup_embedding_banded",
