@@ -68,6 +68,135 @@ def topk_bruteforce(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the ``d`` dimensions into
+    ``m`` contiguous subspaces of ``d/m`` dims and train one
+    deterministic k-means codebook per subspace
+    (:func:`kmeans_centroids` — same init/tie-break/round-6 rules, so
+    the DuckDB oracle replays each subspace training as its own Lloyd
+    CTE chain).  Returns ``books[s][cid]`` = centroid vector.
+
+    PQ is the memory tier past SQ8: codes cost ``m * log2(k_cb)``
+    bits per vector (vs 8 bits/dim for SQ8), which is what makes a
+    10^11-vector index fit a cluster's RAM.  Training scans the
+    hash sample once per subspace — at 100 TB each pass reads the
+    same sampled GBs (the :func:`kmeans_centroids` contract).
+    """
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_codebooks: empty corpus")
+    d = first["d"]
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                "v"
+            ),
+        )
+        book = kmeans_centroids(
+            sliced, k_cb, iters, vec_col="v", id_col=id_col, sample_mod=sample_mod
+        )
+        if not book:
+            raise ValueError("pq_codebooks: empty training sample")
+        books.append(book)
+    return books
+
+
+def pq_reconstruct(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "rv",
+) -> DataFrame:
+    """Encode-and-reconstruct under PQ codebooks in ONE map-side pass:
+    each subspace slice is assigned to its nearest codebook centroid
+    (the code) and the reconstruction concatenates the chosen
+    centroids — the vector an ADC/IVFPQ scorer actually compares
+    against.  The codebooks ride in a one-row broadcast (data, not
+    expression nodes — the :func:`assign_cells` contract, O(1) plan
+    size in ``m * k_cb``); arithmetic is the same sequential fold +
+    first-wins struct-min, so the oracle replays it value-for-value.
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    bdf = emb.sparkSession.createDataFrame(
+        [([[list(map(float, c)) for c in b] for b in books],)],
+        "__books: array<array<array<double>>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    rv = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(F.col("__books"), s + 1),
+                _argmin_dist(
+                    F.slice(v, s * sub + 1, sub),
+                    F.element_at(F.col("__books"), s + 1),
+                )
+                + 1,
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(bdf))
+        .withColumn(out_col, rv)
+        .drop("__books")
+    )
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Product-quantized top-k: full-precision queries scored against
+    the PQ-reconstructed corpus (asymmetric scoring, FAISS ``PQx``):
+    train per-subspace codebooks, encode+reconstruct the corpus
+    map-side, then the broadcast-query scan of
+    :func:`topk_bruteforce`.  The scan is still O(N) rows — PQ buys
+    MEMORY (m*log2(k_cb) bits/vector), not scan count; compose with
+    the IVF cell probe for both.
+    """
+    books = pq_codebooks(corpus, m, k_cb, iters, vec_col, id_col, sample_mod)
+    rec = pq_reconstruct(corpus, books, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    joined = rec.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     """Deterministic coarse quantizer: sign pattern on fixed axes."""
     return F.concat_ws(

@@ -1239,6 +1239,65 @@ def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_sql(m: int = 4, sub: int = 16, k_cb: int = 8, iters: int = 2,
+            k: int = 5, sample_mod: int = 2) -> str:
+    """Product-quantization oracle: one Lloyd chain per subspace slice
+    (namespaced ``s{i}``), reconstruction = concatenated assigned
+    centroids, asymmetric cosine against full-precision queries."""
+    tr_filter = f"WHERE {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {sample_mod} = 0"
+    sql = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sql += f""",
+s{s}e AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+s{s}tr AS (SELECT vec_id, v FROM s{s}e {tr_filter})"""
+        sql += _lloyd_chain(f"s{s}tr", f"s{s}e", f"s{s}", k_cb, iters)
+    joins = f"FROM s0asg a0 JOIN s0c{iters} b0 ON a0.cid = b0.cid"
+    for s in range(1, m):
+        joins += (
+            f"\n    JOIN s{s}asg a{s} ON a{s}.vec_id = a0.vec_id"
+            f" JOIN s{s}c{iters} b{s} ON a{s}.cid = b{s}.cid"
+        )
+    rv = " || ".join(f"b{s}.c" for s in range(m))
+    sql += f""",
+rec AS (SELECT a0.vec_id, {rv} AS rv {joins})
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.rv), 6) AS cosine
+        FROM e q CROSS JOIN rec c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+) WHERE rank <= {k}
+"""
+    return sql
+
+
+@register("ann_topk_pq", _pq_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-5 (4 subspaces x 16 dims, 8-centroid
+    codebooks): the memory tier past SQ8 — m*log2(k) bits per vector
+    instead of 8 bits per dim, the compression that fits a 1e11-vector
+    index in cluster RAM.  Per-subspace training, encoding, and
+    reconstruction are all deterministic, so the oracle replays every
+    subspace's Lloyd chain and the concatenated reconstruction
+    value-for-value."""
+    from .llm.similarity import topk_pq
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_pq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m=4,
+        k_cb=8,
+        iters=2,
+        sample_mod=2,
+    )
+
+
 @register("ann_topk_kmeans", _kmeans_sql(sample_mod=2))
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a learned k-means coarse quantizer (3 Lloyd

@@ -1408,3 +1408,43 @@ def test_ann_index_build_rejects_empty_corpus(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="empty"):
         build_ivf_sq8_index(empty, str(tmp_path / "idx"), n_clusters=4)
+
+
+def test_pq_reconstruction_exact_when_codebook_covers(spark):
+    """If each subspace takes values from exactly k_cb distinct
+    patterns and the first k_cb corpus vectors enumerate them, the
+    deterministic Lloyd init IS the pattern set, assignments are
+    exact, and PQ reconstruction reproduces every vector bit-for-bit
+    — pins codebook training, encoding, and concatenation order."""
+    from dax_ppdb_spark.llm.similarity import pq_codebooks, pq_reconstruct
+
+    pats = [[float(p)] * 4 for p in (1, 2, 3, 4)]  # per-subspace patterns
+    rows = []
+    # first 4 rows enumerate the patterns in both subspaces (init set)
+    for i in range(4):
+        rows.append((i, pats[i] + pats[i]))
+    # the rest mix patterns across subspaces
+    rows += [(4, pats[0] + pats[3]), (5, pats[2] + pats[1]), (6, pats[3] + pats[3])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_codebooks(emb, m=2, k_cb=4, iters=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    got = {
+        r.vec_id: r.rv for r in pq_reconstruct(emb, books, out_col="rv").collect()
+    }
+    for i, v in rows:
+        assert got[i] == v, (i, got[i], v)
+
+
+def test_pq_rejects_indivisible_dim_and_empty(spark):
+    import pytest as _pytest
+
+    from dax_ppdb_spark.llm.similarity import pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=2)
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="empty"):
+        pq_codebooks(empty, m=1)

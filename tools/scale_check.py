@@ -82,6 +82,7 @@ QUERIES = [
     "perplexity_buckets",
     "leak_safe_split",
     "ann_topk_ivf_sq8",
+    "ann_topk_pq",
     "url_dedup",
     "url_block_filter",
     "sequence_pack",
