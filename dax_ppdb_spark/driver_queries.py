@@ -1048,6 +1048,15 @@ _VERIFY_TAIL = (
     "split_assign",
     "pii_redact",
     "doc_fingerprint",
+    # deferred a second round for the round-6 query additions (all
+    # r3-green, implementation files untouched since): the 5 new
+    # operators (dedup_jaccard_prefix, weighted_sample, cdc_chunks,
+    # dedup_incr_prefix, ann_topk_pq) take their head slots.
+    "pivot_patch",
+    "updates_pipeline",
+    "update_validate",
+    "latest_only",
+    "pricing_summary",
 )
 
 
