@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_topk_multiprobe",
     "ann_topk_ivf_sq8",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "ann_index_persisted",
     "multimodal_decode",
     "embedding_quantize",

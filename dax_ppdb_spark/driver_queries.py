@@ -1057,6 +1057,7 @@ _VERIFY_TAIL = (
     "update_validate",
     "latest_only",
     "pricing_summary",
+    "windowed_counts",
 )
 
 

@@ -197,6 +197,96 @@ def topk_pq(
     )
 
 
+def topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVFPQ — the production FAISS shape: a learned coarse quantizer
+    prunes the scan to the query's cell, and product quantization of
+    the RESIDUALS (vector minus its coarse centroid) compresses what
+    the cell stores.  Residual PQ beats raw-vector PQ because residual
+    magnitudes are a cell-diameter, not a corpus-diameter — the same
+    codebook budget buys finer resolution.
+
+    Everything deterministic end to end (sampled Lloyd for both
+    quantizer levels, first-wins argmin, round-6 centroid means), so
+    the DuckDB oracle replays the coarse chain, the residual
+    construction, all m subspace chains, and the add-back
+    reconstruction value-for-value.
+
+    Scale shape: coarse training scans a hash sample; assignment,
+    residuals, PQ encode and reconstruction are ONE map-side pass with
+    both codebook levels shipped as broadcast data; scoring joins the
+    broadcast queries to their cell only (the IVF prune), never the
+    full corpus.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
+    if not cents:
+        raise ValueError("topk_ivfpq: empty corpus")
+    cdf = corpus.sparkSession.createDataFrame(
+        [([[float(x) for x in cc] for cc in cents],)],
+        "__cents: array<array<double>>",
+    )
+    t = (
+        c.crossJoin(F.broadcast(cdf))
+        .withColumn("cid", _argmin_dist(F.col("v"), F.col("__cents")))
+        .withColumn("cc", F.element_at(F.col("__cents"), F.col("cid") + 1))
+        .drop("__cents")
+        .withColumn("r", F.zip_with("v", "cc", lambda a, b: a - b))
+    )
+    books = pq_codebooks(
+        t.select(F.col("nid"), F.col("r")),
+        m,
+        k_cb,
+        pq_iters,
+        vec_col="r",
+        id_col="nid",
+        sample_mod=sample_mod,
+    )
+    rec = pq_reconstruct(t, books, vec_col="r", id_col="nid", out_col="rres")
+    corpus_side = rec.select(
+        F.col("nid").alias("neighbor_id"),
+        "cid",
+        F.zip_with("cc", "rres", lambda a, b: a + b).alias("cv"),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("cid", _argmin_dist(F.col("qv"), F.col("__cents")))
+        .drop("__cents")
+    )
+    joined = corpus_side.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (corpus_side["cid"] == q["cid"]),
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 17, 33, 49)) -> Column:
     """Deterministic coarse quantizer: sign pattern on fixed axes."""
     return F.concat_ws(

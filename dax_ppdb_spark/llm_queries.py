@@ -1275,6 +1275,76 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
     return sql
 
 
+def _ivfpq_sql(n_clusters: int = 8, iters: int = 3, m: int = 4, sub: int = 16,
+               k_cb: int = 8, pq_iters: int = 2, k: int = 5,
+               sample_mod: int = 2) -> str:
+    """IVFPQ oracle: the coarse Lloyd chain, residual construction,
+    one namespaced Lloyd chain per residual subspace, add-back
+    reconstruction, and the in-cell top-k probe."""
+    sql = _kmeans_cte(n_clusters, iters, sample_mod)
+    sql += f""",
+cc AS (SELECT a.vec_id, a.v, a.cid, c.c FROM asg a JOIN c{iters} c USING (cid)),
+rz AS (SELECT vec_id, list_transform(range(1, len(v) + 1), i -> v[i] - c[i]) AS v
+       FROM cc)"""
+    tr_filter = f"WHERE {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {sample_mod} = 0"
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sql += f""",
+p{s}e AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM rz),
+p{s}tr AS (SELECT vec_id, v FROM p{s}e {tr_filter})"""
+        sql += _lloyd_chain(f"p{s}tr", f"p{s}e", f"p{s}", k_cb, pq_iters)
+    joins = f"FROM p0asg a0 JOIN p0c{pq_iters} b0 ON a0.cid = b0.cid"
+    for s in range(1, m):
+        joins += (
+            f"\n    JOIN p{s}asg a{s} ON a{s}.vec_id = a0.vec_id"
+            f" JOIN p{s}c{pq_iters} b{s} ON a{s}.cid = b{s}.cid"
+        )
+    rres = " || ".join(f"b{s}.c" for s in range(m))
+    sql += f""",
+prec AS (SELECT a0.vec_id, {rres} AS rr {joins}),
+rec AS (
+    SELECT cc.vec_id, cc.cid,
+           list_transform(range(1, len(cc.c) + 1), i -> cc.c[i] + prec.rr[i]) AS rv
+    FROM cc JOIN prec USING (vec_id)
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.rv), 6) AS cosine
+        FROM cc q JOIN rec c ON q.cid = c.cid AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+) WHERE rank <= {k}
+"""
+    return sql
+
+
+@register("ann_topk_ivfpq", _ivfpq_sql())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ top-5 — the production FAISS shape: learned coarse cells
+    prune the scan, product quantization of the RESIDUALS compresses
+    the cell contents (residual magnitudes are cell-diameter, so the
+    codebook budget buys finer resolution than raw-vector PQ).  Both
+    quantizer levels, the residuals, and the add-back reconstruction
+    are deterministic; the oracle replays the full chain."""
+    from .llm.similarity import topk_ivfpq
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    return topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_clusters=8,
+        m=4,
+        k_cb=8,
+        iters=3,
+        pq_iters=2,
+        sample_mod=2,
+    )
+
+
 @register("ann_topk_pq", _pq_sql())
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized top-5 (4 subspaces x 16 dims, 8-centroid

@@ -1448,3 +1448,32 @@ def test_pq_rejects_indivisible_dim_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="empty"):
         pq_codebooks(empty, m=1)
+
+
+def test_ivfpq_candidates_match_ivf_and_top1_survives(spark):
+    """IVFPQ shares the coarse quantizer with the IVF probe, so its
+    candidate cells are identical; residual-PQ reconstruction error
+    may permute near-ties but must keep the top-1 neighbor on
+    structured (pattern-built) vectors whose residuals the codebooks
+    can represent exactly."""
+    from dax_ppdb_spark.llm.similarity import topk_ivfpq, topk_kmeans
+
+    vecs = [
+        (i, [((i * 7 + d * 3) % 11) / 10.0 - 0.5 for d in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_kmeans(emb, q, k=3, n_clusters=4, iters=2).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_ivfpq(
+            emb, q, k=3, n_clusters=4, m=2, k_cb=8, iters=2, pq_iters=2
+        ).collect()
+    }
+    assert set(approx) == set(exact)  # same cells -> same candidate slots
+    for qid in (0, 1, 2):
+        assert approx[(qid, 1)] == exact[(qid, 1)]

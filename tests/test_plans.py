@@ -95,6 +95,7 @@ def test_ann_queries_broadcast_query_side(spark, sf_dir, registry):
         "ann_topk_multiprobe",
         "ann_topk_ivf_sq8",
         "ann_topk_pq",
+        "ann_topk_ivfpq",
     ):
         plan = plan_of(registry[name](spark, sf_dir))
         assert "BroadcastExchange" in plan, f"{name}: query side not broadcast"

@@ -83,6 +83,7 @@ QUERIES = [
     "leak_safe_split",
     "ann_topk_ivf_sq8",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "url_dedup",
     "url_block_filter",
     "sequence_pack",
