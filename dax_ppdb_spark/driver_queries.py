@@ -1058,6 +1058,7 @@ _VERIFY_TAIL = (
     "latest_only",
     "pricing_summary",
     "windowed_counts",
+    "update_explode",
 )
 
 

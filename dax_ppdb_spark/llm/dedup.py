@@ -278,6 +278,76 @@ def jaccard_prefix_pairs(
     )
 
 
+def cdc_neardup_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Shift-robust near-dup pairs: documents sharing >= ``min_shared``
+    content-defined chunk fingerprints (:func:`~..text.cdc_chunks`) —
+    the composition CDC exists for.  A doc that gained a header, lost
+    a footer, or had a paragraph edited keeps every chunk outside the
+    edit region, so it still shares most fingerprints with its
+    original; fixed-offset chunking would share none past the first
+    edit.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — per-doc
+    DISTINCT fingerprints, pairs expanded per fingerprint group, never
+    all-pairs; ``max_fp_df`` drops universal chunks (empty-line runs,
+    boilerplate) exactly like the stop-shingle cap.  Output:
+    ``(doc_a, doc_b, n_shared, containment)`` with containment =
+    shared / min(chunk counts) — the asymmetric measure that catches
+    a small doc embedded in a large one.
+    """
+    from .text import cdc_chunks
+
+    ch = (
+        cdc_chunks(docs, window, divisor, text_col, id_col)
+        .select(F.col(id_col).alias("doc_id"), "chunk_fp")
+        .distinct()
+    )
+    counted = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ch"))
+    inv = ch.join(counted, "doc_id")
+    members = (
+        inv.groupBy("chunk_fp")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n_ch"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_fp_df is not None:
+        members = members.filter(F.size("ms") <= max_fp_df)
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_ch"].alias("n_a"),
+                        y["n_ch"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = (
+        members.select(pair_structs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    containment = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared", containment.alias("containment")
+    )
+
+
 def incremental_jaccard_prefix(
     new_docs: DataFrame,
     corpus: DataFrame,

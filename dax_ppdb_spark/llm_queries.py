@@ -944,6 +944,41 @@ FROM s
 """
 
 
+_CDC_NEARDUP_SQL = f"""
+WITH ch0 AS ({_CDC_CHUNKS_SQL}),
+ch AS (SELECT DISTINCT doc_id, chunk_fp FROM ch0),
+cnt AS (SELECT doc_id, COUNT(*) AS n_ch FROM ch GROUP BY doc_id),
+inv0 AS (SELECT ch.doc_id, cnt.n_ch, ch.chunk_fp FROM ch JOIN cnt USING (doc_id)),
+-- default-on universal-chunk cap (mirrors llm.dedup.DEFAULT_MAX_DOC_FREQ)
+inv AS (
+    SELECT inv0.* FROM inv0
+    JOIN (SELECT chunk_fp FROM inv0 GROUP BY chunk_fp
+          HAVING COUNT(*) <= {DEFAULT_MAX_DOC_FREQ}) ok USING (chunk_fp)
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           MAX(a.n_ch) AS n_a, MAX(b.n_ch) AS n_b, COUNT(*) AS n_shared
+    FROM inv a JOIN inv b USING (chunk_fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS containment
+FROM p WHERE n_shared >= 2
+"""
+
+
+@register("dedup_cdc", _CDC_NEARDUP_SQL)
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust near-dup pairs: docs sharing >= 2 content-defined
+    chunk fingerprints — catches edited/prefixed near-copies whose
+    fixed-offset chunks would all shift; containment (shared / min
+    chunk count) flags a small doc embedded in a larger one."""
+    from .llm.dedup import cdc_neardup_pairs
+
+    return cdc_neardup_pairs(_read_spread(spark, sf_dir, "documents"))
+
+
 @register("cdc_chunks", _CDC_CHUNKS_SQL)
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (window 8, expected ~64-char chunks):

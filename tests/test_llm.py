@@ -1477,3 +1477,33 @@ def test_ivfpq_candidates_match_ivf_and_top1_survives(spark):
     assert set(approx) == set(exact)  # same cells -> same candidate slots
     for qid in (0, 1, 2):
         assert approx[(qid, 1)] == exact[(qid, 1)]
+
+
+def test_cdc_neardup_finds_prefixed_copy(spark):
+    """End-to-end shift robustness: a document and its prefixed copy
+    share (almost) all CDC chunk fingerprints and surface as a
+    high-containment pair; unrelated text pairs with nothing.  The
+    universal-chunk cap drops a fingerprint shared by every doc."""
+    from dax_ppdb_spark.llm.dedup import cdc_neardup_pairs
+
+    body = " ".join(f"word{i % 13} token{i % 7}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (0, body),
+            (1, "INSERTED PREAMBLE 42! " + body),
+            (2, "completely different content " * 30),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = cdc_neardup_pairs(docs, min_shared=2).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)].containment > 0.8
+    assert all({a, b} == {0, 1} for a, b in pairs)
+
+    # cap: identical docs everywhere -> every fp has df == n -> dropped
+    same = spark.createDataFrame(
+        [(i, body) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    assert cdc_neardup_pairs(same, min_shared=1, max_fp_df=4).count() == 0
+    assert cdc_neardup_pairs(same, min_shared=1, max_fp_df=5).count() == 10
