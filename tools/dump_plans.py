@@ -157,6 +157,37 @@ ANNOTATED = {
         " context splits under AQE skew-join); only the single-row"
         " totals broadcast explicitly."
     ),
+    "dedup_jaccard_prefix": (
+        "Prefix-filtered exact Jaccard (SSJoin/PPJoin): the checkpointed"
+        " shingle relation feeds the df aggregation, the per-doc rarity"
+        " window, and both verification sides; only each doc's rarest"
+        " n - ceil(t*n) + 1 shingles enter the candidate index (lossless"
+        " bound), and the verification joins carry whole shingle arrays"
+        " under a shuffle_hash hint so they are never broadcast."
+    ),
+    "weighted_sample": (
+        "Token-weighted draw: the two-phase bucketed cumsum's base table"
+        " is driver-computed (bucket-count rows) and each probe's bucket"
+        " is located by bisect, so a broadcast semi join prunes the"
+        " corpus to <= k buckets BEFORE the only window — the per-row"
+        " sort never touches the rest of the corpus, and the probe join"
+        " is broadcast equi on the bucket id."
+    ),
+    "cdc_chunks": (
+        "Content-defined chunking: boundary predicate (one md5 per"
+        " position), chunk slicing, and fingerprints are per-row array"
+        " arithmetic inside whole-stage codegen — zero hash exchanges,"
+        " no join, no aggregate; the only exchange is the input-spread"
+        " round robin."
+    ),
+    "ann_topk_ivfpq": (
+        "IVFPQ: sampled-Lloyd coarse training off-plan, then ONE"
+        " map-side pass assigns the cell, subtracts the centroid,"
+        " PQ-encodes the residual and reconstructs — both codebook"
+        " levels ride one-row broadcast attaches — and the broadcast"
+        " query side hash-joins its cell only; the corpus never"
+        " shuffles."
+    ),
 }
 
 
