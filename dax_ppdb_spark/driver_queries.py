@@ -1059,6 +1059,7 @@ _VERIFY_TAIL = (
     "pricing_summary",
     "windowed_counts",
     "update_explode",
+    "perplexity_buckets",
 )
 
 

@@ -337,6 +337,124 @@ def doc_fingerprint(text: Column) -> Column:
     return total % HASH_PRIME
 
 
+def bpe_learn_merges(
+    docs,
+    n_merges: int = 8,
+    text_col: str = "text",
+):
+    """Byte-pair-encoding vocabulary learning — the tokenizer-training
+    pass of an LLM data pipeline: iteratively merge the most frequent
+    adjacent symbol pair across the corpus, weighted by word
+    frequency (Sennrich et al. 2016).
+
+    Scale shape: the corpus is scanned ONCE into a distinct
+    ``(word, freq)`` vocabulary; every merge round then aggregates
+    pair counts over the VOCABULARY (bounded by distinct words, not
+    corpus size), picks the argmax on the driver (one row), and
+    applies the merge map-side with the winning pair as literals —
+    so 8 rounds cost 8 vocab-sized aggregations, never 8 corpus
+    scans.  The per-round vocab is lazily localCheckpointed so the
+    merge-application expression chain does not deepen round over
+    round.
+
+    Determinism/parity: argmax ties break on (count desc, left asc,
+    right asc); SELF-pairs (left == right) are excluded from
+    candidates — two occurrences of an unequal pair can never
+    overlap, which makes greedy merge application position-local
+    (pure ``transform``+``filter``, identical in both engines)
+    instead of a sequential left-to-right scan.  (Standard BPE allows
+    self-merges; on natural text they essentially never win a round,
+    and the restriction is what makes the whole training
+    oracle-replayable.)
+
+    Output: one row per learned merge —
+    ``(rank, lhs, rhs, merged, pair_count)`` with rank 1-based in
+    merge order.  Stops early (fewer rows) if the corpus runs out of
+    repeated pairs.
+    """
+    spark = docs.sparkSession
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "s",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    results = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            w.select(
+                "freq",
+                # sequence(1, 0) counts DOWN in Spark — guard short words
+                F.explode(
+                    F.when(
+                        F.size("s") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("s") - 1),
+                            lambda i: F.struct(
+                                F.element_at("s", i).alias("a"),
+                                F.element_at("s", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, cnt = pairs[0]["a"], pairs[0]["b"], pairs[0]["cnt"]
+        results.append((rank, a, b, a + b, cnt))
+        la, lb = F.lit(a), F.lit(b)
+        # position-local greedy application (sound because a != b):
+        # emit merged at a match start, drop the position after it
+        # boundary lookups live inside nested WHEN branches: CASE
+        # short-circuits (unlike &, whose operands both evaluate), and
+        # element_at(_, 0) is an error even in its try_ variant
+        def _merge_pos(i):
+            prev_start = F.when(
+                i > F.lit(1),
+                (F.element_at("s", i - 1) == la)
+                & (F.element_at("s", i) == lb),
+            ).otherwise(F.lit(False))
+            here_start = F.when(
+                i < F.size("s"),
+                (F.element_at("s", i) == la)
+                & (F.element_at("s", i + 1) == lb),
+            ).otherwise(F.lit(False))
+            return (
+                F.when(prev_start, F.lit(None).cast("string"))
+                .when(
+                    here_start,
+                    F.concat(F.element_at("s", i), F.element_at("s", i + 1)),
+                )
+                .otherwise(F.element_at("s", i))
+            )
+
+        merged = F.filter(
+            F.transform(F.sequence(F.lit(1), F.size("s")), _merge_pos),
+            lambda x: x.isNotNull(),
+        )
+        w = w.withColumn("s", merged).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        results, "rank LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG"
+    )
+
+
 def cdc_chunks(
     docs,
     window: int = 8,

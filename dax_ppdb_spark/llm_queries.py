@@ -914,6 +914,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def _bpe_sql(n_merges: int = 8) -> str:
+    """BPE training oracle: the word-frequency vocabulary, then one
+    CTE round per merge — weighted pair counts (self-pairs excluded),
+    deterministic argmax, position-local greedy application (sound
+    because the winning pair's symbols differ; see
+    ``llm.text.bpe_learn_merges``)."""
+    sql = f"""
+WITH w0 AS (
+    SELECT w, COUNT(*) AS freq,
+           list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS s
+    FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+)"""
+    for t in range(1, n_merges + 1):
+        sql += f""",
+p{t} AS (
+    SELECT a, b, SUM(freq) AS cnt FROM (
+        SELECT freq, s[i] AS a, s[i + 1] AS b
+        FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+              FROM w{t - 1} WHERE len(s) >= 2)
+    ) WHERE a <> b GROUP BY a, b
+),
+b{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
+w{t} AS (
+    SELECT w, freq,
+           list_filter(
+               list_transform(range(1, len(s) + 1), i ->
+                   CASE WHEN i > 1 AND s[i - 1] = b{t}.a AND s[i] = b{t}.b
+                             THEN NULL
+                        WHEN s[i] = b{t}.a AND i < len(s) AND s[i + 1] = b{t}.b
+                             THEN s[i] || s[i + 1]
+                        ELSE s[i] END),
+               x -> x IS NOT NULL) AS s
+    FROM w{t - 1} CROSS JOIN b{t}
+)"""
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return sql + "\n" + rows
+
+
+@register("bpe_merges", _bpe_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning (8 merge rounds) — tokenizer training
+    over the corpus: ONE corpus scan builds the word-frequency vocab;
+    each round aggregates weighted pair counts over the VOCAB (bounded
+    by distinct words, not corpus size), the argmax merge applies
+    map-side as literals.  Deterministic tie-breaks and position-local
+    application make the whole training oracle-replayable."""
+    from .llm.text import bpe_learn_merges
+
+    return bpe_learn_merges(_read_spread(spark, sf_dir, "documents"), n_merges=8)
+
+
 # Content-defined chunking: both engines evaluate the identical
 # boundary predicate (md5-hex window parse % divisor) per position.
 _CDC_BOUND_HASH = md5_long_sql("substr(text, CAST(i AS INT), 8)")

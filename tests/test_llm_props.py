@@ -550,3 +550,65 @@ def test_incremental_prefix_matches_bruteforce(spark, data, threshold):
             if jac >= threshold:
                 want.add((i, j, jac))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "bca", "cab", "aab", "bc"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_merges_match_bruteforce(spark, data, n_merges):
+    """Plain-Python replay of the training loop: word-frequency vocab,
+    weighted pair counts with self-pairs excluded, (count desc, lhs,
+    rhs) argmax, greedy position-local application — the full merge
+    table must match row for row, including early stop."""
+    from dax_ppdb_spark.llm.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_learn_merges(docs, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    vocab: dict[tuple, int] = {}
+    for t in data:
+        for w in t.split():
+            k = tuple(w)
+            vocab[k] = vocab.get(k, 0) + 1
+    want = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for s, freq in vocab.items():
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for s, freq in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + freq
+        vocab = new_vocab
+    assert got == want

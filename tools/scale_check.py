@@ -90,6 +90,7 @@ QUERIES = [
     "embedding_covariance",
     "dedup_paragraphs",
     "bigram_lm_score",
+    "bpe_merges",
     "corpus_drift",
     "ann_index_persisted",
 ]
