@@ -68,6 +68,8 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_chunks",
     "cdc_chunks",
+    "dedup_cdc",
+    "bpe_merges",
     "split_assign",
     "stratified_sample",
     "shard_pack",
