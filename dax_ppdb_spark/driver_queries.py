@@ -1060,6 +1060,7 @@ _VERIFY_TAIL = (
     "windowed_counts",
     "update_explode",
     "perplexity_buckets",
+    "tfidf_keywords",
 )
 
 

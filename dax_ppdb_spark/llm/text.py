@@ -341,6 +341,7 @@ def bpe_learn_merges(
     docs,
     n_merges: int = 8,
     text_col: str = "text",
+    _with_vocab: bool = False,
 ):
     """Byte-pair-encoding vocabulary learning — the tokenizer-training
     pass of an LLM data pipeline: iteratively merge the most frequent
@@ -450,8 +451,54 @@ def bpe_learn_merges(
             lambda x: x.isNotNull(),
         )
         w = w.withColumn("s", merged).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         results, "rank LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG"
+    )
+    if _with_vocab:
+        return merges, w
+    return merges
+
+
+def bpe_piece_counts(
+    docs,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BPE ENCODING statistics — the apply side of
+    :func:`bpe_learn_merges`: tokenize each document under the learned
+    merges and report piece counts and fertility (pieces per word),
+    the number that drives token budgets, packing, and cost estimates.
+
+    The training loop already carries the fully-merged vocabulary, so
+    encoding is a join: exploded corpus tokens against the bounded
+    ``(word, n_pieces)`` table (left to AQE — the vocab grows with
+    distinct words, the :func:`bigram_lm_score` sizing argument), then
+    one per-doc aggregation.  No per-document merge replay.
+
+    Output: ``(id_col, n_words, n_pieces, fertility round 6)``; docs
+    with no tokens are absent.
+    """
+    _, vocab = bpe_learn_merges(docs, n_merges, text_col, _with_vocab=True)
+    wf = vocab.select("w", F.size("s").alias("__np"))
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        tok.join(wf, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__np").alias("n_pieces"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_pieces",
+            (
+                F.round(F.col("n_pieces") / F.col("n_words"), 6) + F.lit(0.0)
+            ).alias("fertility"),
+        )
     )
 
 

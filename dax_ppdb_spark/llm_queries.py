@@ -914,12 +914,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
-    """BPE training oracle: the word-frequency vocabulary, then one
-    CTE round per merge — weighted pair counts (self-pairs excluded),
-    deterministic argmax, position-local greedy application (sound
-    because the winning pair's symbols differ; see
-    ``llm.text.bpe_learn_merges``)."""
+def _bpe_cte(n_merges: int = 8) -> str:
+    """Shared BPE training CTE chain: the word-frequency vocabulary,
+    then one round per merge — weighted pair counts (self-pairs
+    excluded), deterministic argmax, position-local greedy application
+    (sound because the winning pair's symbols differ; see
+    ``llm.text.bpe_learn_merges``).  Ends at ``w{n_merges}``, the
+    fully-merged vocabulary; round ``t``'s winner is ``b{t}``."""
     sql = f"""
 WITH w0 AS (
     SELECT w, COUNT(*) AS freq,
@@ -948,12 +949,40 @@ w{t} AS (
                x -> x IS NOT NULL) AS s
     FROM w{t - 1} CROSS JOIN b{t}
 )"""
+    return sql
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
     rows = "\nUNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
         f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{t}"
         for t in range(1, n_merges + 1)
     )
-    return sql + "\n" + rows
+    return _bpe_cte(n_merges) + "\n" + rows
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Encoding oracle: the fully-merged vocabulary from the training
+    chain joined back onto the exploded corpus tokens."""
+    return f"""{_bpe_cte(n_merges)},
+wf AS (SELECT w, len(s) AS np FROM w{n_merges}),
+d AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(np) AS BIGINT) AS n_pieces,
+       round(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) + 0.0 AS fertility
+FROM d JOIN wf USING (w) GROUP BY doc_id
+"""
+
+
+@register("bpe_encode", _bpe_encode_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding statistics under the learned 8-merge vocabulary:
+    per-doc word count, piece count, and fertility (pieces per word) —
+    the numbers that drive token budgets and packing.  Encoding is a
+    vocab join, not a per-document merge replay."""
+    from .llm.text import bpe_piece_counts
+
+    return bpe_piece_counts(_read_spread(spark, sf_dir, "documents"), n_merges=8)
 
 
 @register("bpe_merges", _bpe_sql())

@@ -1507,3 +1507,20 @@ def test_cdc_neardup_finds_prefixed_copy(spark):
     )
     assert cdc_neardup_pairs(same, min_shared=1, max_fp_df=4).count() == 0
     assert cdc_neardup_pairs(same, min_shared=1, max_fp_df=5).count() == 10
+
+
+def test_bpe_piece_counts_fertility(spark):
+    """Encoding under the learned merges: a corpus whose words fully
+    merge reaches fertility 1.0; with zero merges fertility equals
+    average word length (every char its own piece)."""
+    from dax_ppdb_spark.llm.text import bpe_piece_counts
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd"), (1, "ab cd")], "doc_id LONG, text STRING"
+    )
+    full = {r.doc_id: r for r in bpe_piece_counts(docs, n_merges=2).collect()}
+    assert full[0].n_words == 4 and full[0].n_pieces == 4
+    assert full[0].fertility == 1.0 and full[1].fertility == 1.0
+
+    none = {r.doc_id: r for r in bpe_piece_counts(docs, n_merges=0).collect()}
+    assert none[0].n_pieces == 8 and none[0].fertility == 2.0
