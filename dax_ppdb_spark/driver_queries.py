@@ -1048,10 +1048,11 @@ _VERIFY_TAIL = (
     "split_assign",
     "pii_redact",
     "doc_fingerprint",
-    # deferred a second round for the round-6 query additions (all
-    # r3-green, implementation files untouched since): the 5 new
-    # operators (dedup_jaccard_prefix, weighted_sample, cdc_chunks,
-    # dedup_incr_prefix, ann_topk_pq) take their head slots.
+    # deferred a second round so the round-6 additions (prefix
+    # Jaccard, weighted sampling, CDC family, PQ/IVFPQ, BPE pair)
+    # take head slots: every name below is green at its last external
+    # check with its implementation file untouched this round.
+    # tests/test_registry.py enforces head == 50 mechanically.
     "pivot_patch",
     "updates_pipeline",
     "update_validate",

@@ -75,6 +75,63 @@ def shingles(text: Column, n: int = 3) -> Column:
     return grams
 
 
+def _expand_member_pairs(ms_col: str, size_field: str) -> Column:
+    """Expand a sorted per-key member array ``[(doc_id, size), ...]``
+    into all (doc_a < doc_b) pair structs ``(doc_a, doc_b, n_a, n_b)``
+    — the inverted-index pair expansion shared by every shingle/
+    fingerprint join (in place, so the index never shuffles twice)."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ms_col,
+                lambda x, i: F.transform(
+                    F.slice(F.col(ms_col), i + 2, F.size(F.col(ms_col))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x[size_field].alias("n_a"),
+                        y[size_field].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+    )
+
+
+def _rarity_prefix(
+    inv: DataFrame, df_tbl: DataFrame, threshold: float, absent_df: int | None = None
+) -> DataFrame:
+    """Keep each doc's prefix — its ``n_sh - ceil(t * n_sh) + 1``
+    rarest shingles under the global (df, shingle) order — from an
+    inverted ``(doc_id, n_sh, shingle)`` relation.  ``absent_df`` maps
+    shingles missing from ``df_tbl`` (a new batch probing a standing
+    corpus index) to that df; any consistent total order keeps the
+    prefix bound lossless.  The ``ceil`` nudge (-1e-9) ensures a float
+    product one ulp above an exact integer can only LENGTHEN a prefix.
+    """
+    from pyspark.sql import Window
+
+    if absent_df is None:
+        ranked = inv.join(df_tbl, "shingle")
+    else:
+        ranked = inv.join(df_tbl, "shingle", "left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(absent_df))
+        )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    pref_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    return (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= pref_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -113,24 +170,8 @@ def ngram_jaccard_pairs(
     )
     if max_doc_freq is not None:
         members = members.filter(F.size("ms") <= max_doc_freq)
-    pair_structs = F.explode(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["n_sh"].alias("n_a"),
-                        y["n_sh"].alias("n_b"),
-                    ),
-                ),
-            )
-        )
-    )
     inter = (
-        members.select(pair_structs.alias("p"))
+        members.select(_expand_member_pairs("ms", "n_sh").alias("p"))
         .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -184,8 +225,6 @@ def jaccard_prefix_pairs(
     product landing one ulp ABOVE an exact integer can only lengthen
     a prefix (safe direction), never shorten it.
     """
-    from pyspark.sql import Window
-
     # The shingle relation feeds FOUR consumers (df aggregation,
     # rarity ranking, both verification sides); a lazy localCheckpoint
     # materializes the tokenize+shingle pass once instead of replaying
@@ -201,44 +240,14 @@ def jaccard_prefix_pairs(
     )
     inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
     df_tbl = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first global order; (df, shingle) is total — deterministic
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    pref_len = (
-        F.col("n_sh")
-        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
-        + 1
-    )
-    prefix = (
-        inv.join(df_tbl, "shingle")
-        .withColumn("__pos", F.row_number().over(w))
-        .filter(F.col("__pos") <= pref_len)
-        .select("doc_id", "n_sh", "shingle")
-    )
+    prefix = _rarity_prefix(inv, df_tbl, threshold)
     members = (
         prefix.groupBy("shingle")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n_sh"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    pair_structs = F.explode(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["n_sh"].alias("n_a"),
-                        y["n_sh"].alias("n_b"),
-                    ),
-                ),
-            )
-        )
-    )
     cand = (
-        members.select(pair_structs.alias("p"))
+        members.select(_expand_member_pairs("ms", "n_sh").alias("p"))
         .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         # length filter: jaccard <= min/max of the set sizes
         .filter(
@@ -319,24 +328,8 @@ def cdc_neardup_pairs(
     )
     if max_fp_df is not None:
         members = members.filter(F.size("ms") <= max_fp_df)
-    pair_structs = F.explode(
-        F.flatten(
-            F.transform(
-                "ms",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["n_ch"].alias("n_a"),
-                        y["n_ch"].alias("n_b"),
-                    ),
-                ),
-            )
-        )
-    )
     pairs = (
-        members.select(pair_structs.alias("p"))
+        members.select(_expand_member_pairs("ms", "n_ch").alias("p"))
         .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -376,7 +369,6 @@ def incremental_jaccard_prefix(
 
     Output: (new_id, corpus_id, jaccard >= threshold).
     """
-    from pyspark.sql import Window
 
     def _sets(docs: DataFrame) -> DataFrame:
         return (
@@ -391,25 +383,7 @@ def incremental_jaccard_prefix(
 
     def _prefix(sh: DataFrame, df_tbl: DataFrame, absent_df: int | None) -> DataFrame:
         inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
-        if absent_df is None:
-            ranked = inv.join(df_tbl, "shingle")
-        else:
-            ranked = inv.join(df_tbl, "shingle", "left").withColumn(
-                "df", F.coalesce(F.col("df"), F.lit(absent_df))
-            )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("df").asc(), F.col("shingle").asc()
-        )
-        pref_len = (
-            F.col("n_sh")
-            - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
-            + 1
-        )
-        return (
-            ranked.withColumn("__pos", F.row_number().over(w))
-            .filter(F.col("__pos") <= pref_len)
-            .select("doc_id", "n_sh", "shingle")
-        )
+        return _rarity_prefix(inv, df_tbl, threshold, absent_df)
 
     sh_new = _sets(new_docs)
     sh_corp = _sets(corpus)

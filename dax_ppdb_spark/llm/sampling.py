@@ -407,14 +407,7 @@ def sequence_pack(
             "__off", F.sum(size_col).over(w) - F.col(size_col)
         )
     else:
-        span = (1 << 32) // coarse_buckets + 1
-        t = base.withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
-        sums = t.groupBy("__b").agg(F.sum(size_col).alias("__bsz")).collect()
-        acc = 0
-        bases = []
-        for r in sorted(sums, key=lambda r: r["__b"]):
-            bases.append((r["__b"], acc))
-            acc += r["__bsz"]
+        t, bases, _ = _bucket_bases(base, size_col, coarse_buckets)
         bdf = df.sparkSession.createDataFrame(bases, "__b LONG, __base LONG")
         wb = Window.partitionBy("__b").orderBy(
             F.col("__h").asc(), F.col(id_col).asc()
@@ -443,6 +436,28 @@ def sequence_pack(
     )
 
 
+def _bucket_bases(
+    base: DataFrame, size_col: str, coarse_buckets: int
+) -> tuple[DataFrame, list[tuple[int, int]], int]:
+    """Contiguous md5-range buckets with driver-side exclusive base
+    offsets — the shared core of the two-phase bucketed cumsum
+    (:func:`sequence_pack`, :func:`weighted_sample_k`): bucket order
+    equals hash order because ``md5_long`` is uniform in [0, 2^32),
+    and the base table is bucket-count rows (model-sized).  ``base``
+    must carry the ``__h`` order hash.  Returns
+    ``(frame with __b, sorted [(bucket, exclusive_base)], total)``.
+    """
+    span = (1 << 32) // max(coarse_buckets, 1) + 1
+    t = base.withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
+    sums = t.groupBy("__b").agg(F.sum(size_col).alias("__bsz")).collect()
+    acc = 0
+    bases: list[tuple[int, int]] = []
+    for r in sorted(sums, key=lambda r: r["__b"]):
+        bases.append((r["__b"], acc))
+        acc += r["__bsz"]
+    return t, bases, acc
+
+
 def weighted_sample_k(
     df: DataFrame,
     k: int,
@@ -461,11 +476,17 @@ def weighted_sample_k(
     exactly: documents line up in salted-hash order; each occupies the
     half-open interval ``[cum, cum + weight)`` of the exclusive
     prefix-sum axis; probe ``j`` targets position
-    ``md5(salt-probe j) mod W`` on that axis and selects the one
+    ``md5_60bit(salt-probe j) mod W`` on that axis and selects the one
     document whose interval contains it.  (The A-ES exponential-key
     scheme needs ``ln``/``pow`` whose last-ulp behavior differs
     between engines — this interval formulation trades without-
     replacement semantics for bit-exact reproducibility.)
+
+    The probe target is a 60-BIT hash (15 md5 hex chars): a 32-bit
+    target would cap the reachable axis at 2^32 — past ~4.3e9 total
+    tokens every document beyond that cumulative point would silently
+    have zero draw probability.  2^60 outruns any real corpus; the
+    32-bit ORDER hash is fine (collisions only co-locate rows).
 
     Scale shape (the :func:`sequence_pack` two-phase pattern): the
     cumsum runs per contiguous md5-range bucket with a driver-computed
@@ -490,23 +511,20 @@ def weighted_sample_k(
     base = df.filter(F.col(weight_col) >= 1).withColumn("__h", h)
     if coarse_buckets is None:
         coarse_buckets = max(32, base.count() // 50_000)
-    span = (1 << 32) // max(coarse_buckets, 1) + 1
-    t = base.withColumn("__b", (F.col("__h") / F.lit(span)).cast("long"))
-    sums = t.groupBy("__b").agg(F.sum(weight_col).alias("__bsz")).collect()
-    acc = 0
-    bases = []
-    for r in sorted(sums, key=lambda r: r["__b"]):
-        bases.append((r["__b"], acc))
-        acc += r["__bsz"]
-    total = acc
-    out_schema = f"sample_id LONG, {id_col} LONG, {weight_col} LONG"
+    t, bases, total = _bucket_bases(base, weight_col, coarse_buckets)
     if total == 0:
-        return spark.createDataFrame([], out_schema)
+        # schema-faithful empty result: the caller's id/weight types,
+        # not a hardcoded LONG (a string-id batch must union cleanly)
+        return (
+            df.select(F.col(id_col), F.col(weight_col).cast("long").alias(weight_col))
+            .limit(0)
+            .select(F.lit(0).cast("long").alias("sample_id"), id_col, weight_col)
+        )
     probes = []
     starts = [s for _, s in bases]
     for j in range(k):
         tgt = (
-            int(hashlib.md5(f"{salt}-probe{j}".encode()).hexdigest()[:8], 16)
+            int(hashlib.md5(f"{salt}-probe{j}".encode()).hexdigest()[:15], 16)
             % total
         )
         b = bases[bisect_right(starts, tgt) - 1][0]

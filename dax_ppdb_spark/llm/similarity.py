@@ -178,23 +178,11 @@ def topk_pq(
     """
     books = pq_codebooks(corpus, m, k_cb, iters, vec_col, id_col, sample_mod)
     rec = pq_reconstruct(corpus, books, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv")
+        F.col(id_col), F.col("rv").alias(vec_col)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    joined = rec.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        joined.withColumn("cosine", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    # scoring tail IS the brute-force scan over the reconstruction —
+    # one convention (round-6 cosine, (desc, id) tie-break), one place
+    return topk_bruteforce(rec, queries, k, vec_col, id_col)
 
 
 def topk_ivfpq(
@@ -239,12 +227,16 @@ def topk_ivfpq(
         [([[float(x) for x in cc] for cc in cents],)],
         "__cents: array<array<double>>",
     )
+    # The assigned+residual relation feeds m subspace trainings, the
+    # dim probe, and the scoring plan — localCheckpoint so the argmin
+    # assignment pass runs once, not m+2 times per lineage replay.
     t = (
         c.crossJoin(F.broadcast(cdf))
         .withColumn("cid", _argmin_dist(F.col("v"), F.col("__cents")))
         .withColumn("cc", F.element_at(F.col("__cents"), F.col("cid") + 1))
         .drop("__cents")
         .withColumn("r", F.zip_with("v", "cc", lambda a, b: a - b))
+        .localCheckpoint(eager=False)
     )
     books = pq_codebooks(
         t.select(F.col("nid"), F.col("r")),

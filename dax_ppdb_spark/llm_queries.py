@@ -947,7 +947,7 @@ w{t} AS (
                              THEN s[i] || s[i + 1]
                         ELSE s[i] END),
                x -> x IS NOT NULL) AS s
-    FROM w{t - 1} CROSS JOIN b{t}
+    FROM w{t - 1} LEFT JOIN b{t} ON TRUE
 )"""
     return sql
 
@@ -2452,9 +2452,11 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Weighted sampling: pure integer interval arithmetic (cumsum of
 # token counts in salted-hash order; probe j lands at md5 % W), so
-# the oracle replays the draw bit-exactly with one window.
+# the oracle replays the draw bit-exactly with one window.  The probe
+# target is the 60-bit hash — a 32-bit target cannot reach past the
+# first 2^32 tokens of the cumulative axis.
 _WSAMPLE_SALT_HASH = md5_long_sql("'wsample' || CAST(doc_id AS VARCHAR)")
-_WSAMPLE_PROBE_HASH = md5_long_sql("'wsample-probe' || CAST(j AS VARCHAR)")
+_WSAMPLE_PROBE_HASH = md5_wide_long_sql("'wsample-probe' || CAST(j AS VARCHAR)")
 
 _WEIGHTED_SAMPLE_SQL = f"""
 WITH d AS (

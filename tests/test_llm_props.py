@@ -405,8 +405,8 @@ def test_weighted_sample_matches_bruteforce(spark, weights, k, buckets):
         ).collect()
     }
 
-    def h(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    def h(s, chars=8):
+        return int(hashlib.md5(s.encode()).hexdigest()[:chars], 16)
 
     pos = sorted(
         ((h(f"wsample{i}"), i, w) for i, w in enumerate(weights) if w >= 1)
@@ -420,7 +420,7 @@ def test_weighted_sample_matches_bruteforce(spark, weights, k, buckets):
             intervals.append((cum, cum + w, i, w))
             cum += w
         for j in range(k):
-            t = h(f"wsample-probe{j}") % total
+            t = h(f"wsample-probe{j}", 15) % total  # 60-bit probe
             for lo, hi, i, w in intervals:
                 if lo <= t < hi:
                     want.add((j, i, w))
