@@ -1062,6 +1062,7 @@ _VERIFY_TAIL = (
     "update_explode",
     "perplexity_buckets",
     "tfidf_keywords",
+    "hybrid_search",
 )
 
 

@@ -112,7 +112,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Prefix filtering is LOSSLESS, so the oracle states the pure
 # semantics — uncapped pairwise Jaccard — with no prefix logic.
-_DEDUP_PREFIX_SQL = f"""
+def _pairwise_jaccard_sql(threshold: float) -> str:
+    return f"""
 WITH sh AS (
     SELECT doc_id, {_SHINGLES3} AS shs FROM documents
     WHERE len({_TOKS}) >= 3
@@ -128,8 +129,11 @@ inter AS (
 SELECT doc_a, doc_b,
        CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
 FROM inter
-WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {threshold}
 """
+
+
+_DEDUP_PREFIX_SQL = _pairwise_jaccard_sql(0.6)
 
 
 @register("dedup_jaccard_prefix", _DEDUP_PREFIX_SQL)
@@ -302,6 +306,59 @@ def q_dedup_incr_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 4 != 0),
         n=3,
         threshold=0.5,
+    )
+
+
+def _dedup_recall_sql() -> str:
+    """Both chains replayed end to end: LSH candidates (band keys,
+    default bucket cap) vs the exact >= 0.5 pairwise-Jaccard truth —
+    the measurement every dedup deployment runs before trusting the
+    probabilistic tier."""
+    return f"""
+WITH truth AS ({_pairwise_jaccard_sql(0.5)}),
+cand AS ({_minhash_band_sql()}),
+hit AS (
+    SELECT t.doc_a, t.doc_b FROM truth t
+    JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS recall,
+       round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / greatest((SELECT COUNT(*) FROM cand), 1), 6) AS precision
+"""
+
+
+@register("dedup_recall", _dedup_recall_sql)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier evaluation: recall and precision of the MinHash-LSH
+    discovery stage against the EXACT >= 0.5 Jaccard truth (the
+    lossless prefix join) — the banding-miss measurement a deployment
+    makes before trusting the probabilistic tier at scale.  Composes
+    two registered operators; the oracle replays both chains."""
+    from .llm.dedup import jaccard_prefix_pairs, minhash_lsh_pairs
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    truth = jaccard_prefix_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_cand"), F.lit(1)), 6
+        ).alias("precision"),
     )
 
 
