@@ -46,6 +46,7 @@ HEADLINE = [
     "windowed_counts",
     "sessionize",
     "funnel",
+    "retention_cohorts",
     "distinct_sketch",
     "asof_attribution",
     "range_join",

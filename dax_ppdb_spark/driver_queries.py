@@ -926,6 +926,37 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_read_events(spark, sf_dir), ("view", "click", "purchase"))
 
 
+_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id),
+r AS (
+    SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN coh c USING (user_id)
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+),
+s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM coh GROUP BY cohort_day)
+SELECT r.cohort_day, r.offset_days, CAST(r.n_active AS BIGINT) AS n_active,
+       s.n_cohort,
+       round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+FROM r JOIN s USING (cohort_day)
+"""
+
+
+@register("retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users bucket by first-activity
+    day; each (cohort, offset) cell is the fraction active that many
+    days later.  One events-proportional distinct, user-co-partitioned
+    join, integer counts — no windows, no event self-join."""
+    from .ops.funnel import retention_cohorts
+
+    return retention_cohorts(_read_events(spark, sf_dir))
+
+
 _WINDOWED_COUNTS_SQL = """
 SELECT (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
        event_type,
@@ -1063,6 +1094,7 @@ _VERIFY_TAIL = (
     "perplexity_buckets",
     "tfidf_keywords",
     "hybrid_search",
+    "dedup_edit",
 )
 
 

@@ -66,3 +66,45 @@ def funnel(
         completed.alias("steps_completed"),
         *[f"ts{k}_us" for k in range(1, len(steps) + 1)],
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention matrix — the other classic product-analytics
+    operator: users bucket into cohorts by their FIRST activity
+    period, and each (cohort, offset) cell reports what fraction of
+    the cohort was active ``offset`` periods later.
+
+    Pure integer arithmetic (period = ``ts DIV period_us``; counts and
+    a ratio of counts), so both engines replay it exactly.  Scale
+    shape: one distinct over (user, period) — the only relation
+    proportional to events — then a user-keyed first-period aggregate
+    and join (co-partitioned on the user), a (cohort, offset)
+    count-distinct, and a broadcast-sized cohort-size join; no
+    windows, no self-join on events.
+
+    Output: ``(cohort_day, offset_days, n_active, n_cohort,
+    retention round 6)``; the offset-0 row of every cohort has
+    retention 1.0 by construction.
+    """
+    # integer DIV, not float division + cast: a double quotient one
+    # ulp under an exact integer would truncate to the wrong period
+    day = F.expr(f"{ts_col} DIV {period_us}").alias("day")
+    act = events.select(F.col(user_col).alias("user_id"), day).distinct()
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = act.join(coh, "user_id")
+    r = joined.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+    ).agg(F.count_distinct("user_id").alias("n_active"))
+    sizes = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return r.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )

@@ -1524,3 +1524,30 @@ def test_bpe_piece_counts_fertility(spark):
 
     none = {r.doc_id: r for r in bpe_piece_counts(docs, n_merges=0).collect()}
     assert none[0].n_pieces == 8 and none[0].fertility == 2.0
+
+
+def test_retention_cohorts_bruteforce(spark):
+    """Plain replay on a hand-built event set: cohorts by first day,
+    per-offset distinct-active fractions, offset-0 always 1.0."""
+    from dax_ppdb_spark.ops.funnel import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        # user 1: days 0, 1, 3   user 2: days 0, 1   user 3: day 1 only
+        (1, 0), (1, day), (1, 3 * day), (1, day + 5),  # dup within day 1
+        (2, 10), (2, day),
+        (3, day),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id LONG, ts_us LONG"
+    )
+    got = {
+        (r.cohort_day, r.offset_days): (r.n_active, r.n_cohort, r.retention)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (2, 2, 1.0),
+        (0, 3): (1, 2, 0.5),
+        (1, 0): (1, 1, 1.0),
+    }

@@ -49,6 +49,7 @@ QUERIES = [
     "windowed_counts",
     "sessionize",
     "funnel",
+    "retention_cohorts",
     "asof_attribution",
     "range_join",
     "crossmatch",
