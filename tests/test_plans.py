@@ -489,3 +489,13 @@ def test_incremental_prefix_no_cartesian(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(shingle" in plan
+
+
+def test_retention_cohorts_no_event_self_join(spark, sf_dir, registry):
+    """Retention must never self-join the events relation: the only
+    joins are the user-keyed cohort attach and the cohort-size attach
+    (both equi), and day bucketing is integer DIV riding the scan."""
+    plan = plan_of(registry["retention_cohorts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan

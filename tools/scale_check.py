@@ -92,6 +92,7 @@ QUERIES = [
     "dedup_paragraphs",
     "bigram_lm_score",
     "bpe_merges",
+    "bpe_encode",
     "corpus_drift",
     "ann_index_persisted",
 ]
