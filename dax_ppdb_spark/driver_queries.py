@@ -1070,7 +1070,10 @@ _VERIFY_TAIL = (
     "dedup_keep_best",
     "embedding_quantize",
     "dsir_weights",
-    "sequence_pack",
+    # sequence_pack rotated back to the head: its cumsum block was
+    # refactored through _bucket_bases this round, so it must be
+    # re-verified externally (the changed-this-round rule).
+    "leak_safe_split",
     "url_dedup",
     "corpus_cube",
     "ann_recall",

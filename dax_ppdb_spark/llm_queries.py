@@ -341,8 +341,18 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import jaccard_prefix_pairs, minhash_lsh_pairs
 
     docs = _read_spread(spark, sf_dir, "documents")
-    truth = jaccard_prefix_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
-    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # each side feeds both the hit join and its own count — checkpoint
+    # so the prefix-join / LSH chains run once, not twice
+    truth = (
+        jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     counts = (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
