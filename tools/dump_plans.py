@@ -173,6 +173,15 @@ ANNOTATED = {
         " sort never touches the rest of the corpus, and the probe join"
         " is broadcast equi on the bucket id."
     ),
+    "dedup_cdc": (
+        "Shift-robust near-dup over shared CDC fingerprints: the"
+        " chunking pass is the same zero-exchange map as cdc_chunks;"
+        " the per-doc-distinct fingerprints aggregate per chunk_fp"
+        " (one 32-char-key exchange with map-side partials), pairs"
+        " expand IN PLACE inside each capped fingerprint group, and"
+        " the (doc_a, doc_b) aggregation is the only other exchange —"
+        " no cartesian, no second shuffle of the wide relation."
+    ),
     "cdc_chunks": (
         "Content-defined chunking: boundary predicate (one md5 per"
         " position), chunk slicing, and fingerprints are per-row array"

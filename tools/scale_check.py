@@ -61,6 +61,7 @@ QUERIES = [
     "dedup_embedding_banded",
     "doc_chunks",
     "cdc_chunks",
+    "dedup_cdc",
     "gopher_quality",
     "top_ngrams",
     "overlap_violations",
