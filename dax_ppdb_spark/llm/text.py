@@ -502,6 +502,25 @@ def bpe_piece_counts(
     )
 
 
+# CDC boundary-hash multiplier.  37 has multiplicative order 16 mod 64
+# (the default divisor), so all eight window positions carry DISTINCT
+# odd weights mod 64 (1, 37, 25, 29, 49, 21, 9, 13) — every position
+# perturbs the boundary decision.  31 would be the classic choice but
+# 31^2 = 961 ≡ 1 (mod 64): only two effective weights, so periodic
+# text could systematically starve (or flood) boundaries.
+CDC_POLY_MULT = 37
+
+
+def cdc_poly_sql(window: int, codes: str = "cs", pos: str = "i") -> str:
+    """DuckDB twin of the CDC boundary polynomial: the same unrolled
+    ``Σ codes[pos+j] * MULT^j`` over exact BIGINTs (``codes`` is a
+    1-based codepoint list, ``pos`` the 1-based window start)."""
+    return " + ".join(
+        f"{codes}[{pos} + {j}] * {CDC_POLY_MULT ** j}" if j else f"{codes}[{pos}]"
+        for j in range(window)
+    )
+
+
 def cdc_chunks(
     docs,
     window: int = 8,
@@ -519,17 +538,28 @@ def cdc_chunks(
     edited near-copies (rsync/LBFS-style chunking applied to corpus
     text; expected chunk length ~``divisor`` chars).
 
-    Entirely per-document array arithmetic inside codegen — one pass,
-    ZERO shuffles (the rebuild stays inside the row): candidate
-    positions come from ``sequence``, the boundary predicate is one
-    md5 per position (the engine-portable hash — both engines parse
-    the same hex window, the :func:`md5_long` contract), and chunks
-    are substrings between consecutive boundaries.  The classic
-    min/max-chunk-size refinement (FastCDC) is deliberately omitted:
-    boundary suppression makes each cut depend on the previous
-    accepted cut — a sequential scan per document — while the
-    stateless predicate keeps every position independent; chunk
-    length still cannot exceed the document.
+    Entirely per-document array arithmetic — one pass, ZERO shuffles
+    (the rebuild stays inside the row).  The boundary hash is a
+    polynomial over the window's codepoints,
+    ``Σ_j code[i+j] * 37^j  (j < window)``, evaluated over a
+    PER-DOCUMENT codepoint array built once (``split('') → ascii``):
+    each candidate position then costs ``window`` integer
+    multiply-adds against that array.  The previous round hashed
+    ``md5(substr(text, i, window))`` per position — one digest PLUS an
+    O(i) UTF-8 substring scan per character, which benchmarked 5–7×
+    slower than DuckDB running the identical rule and produced the
+    scale study's worst growth row.  The polynomial is exact int64
+    arithmetic (max codepoint 0x10FFFF × 37^7 × 8 ≈ 8.5e17 < 2^63), so
+    DuckDB replays it bit-for-bit; both engines agree that ``ascii``
+    returns the full Unicode codepoint of the first character
+    (verified incl. supplementary planes).  md5 is kept only for the
+    per-chunk fingerprint — one digest per CHUNK, not per character.
+
+    The classic min/max-chunk-size refinement (FastCDC) is
+    deliberately omitted: boundary suppression makes each cut depend
+    on the previous accepted cut — a sequential scan per document —
+    while the stateless predicate keeps every position independent;
+    chunk length still cannot exceed the document.
 
     Output: one row per chunk — ``(id_col, chunk_idx, start, n_chars,
     chunk_fp)`` with 1-based ``start``, chunks tiling the document
@@ -537,50 +567,60 @@ def cdc_chunks(
     """
     text = F.col(text_col)
     length = F.length(text)
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    # Stage 1: materialize the codepoint array as a named column.
+    # Downstream expressions reference __cs many times, which blocks
+    # CollapseProject from inlining (and thus re-evaluating) the
+    # split+ascii pass per use.
+    base = docs.filter(length >= 1).select(
+        F.col(id_col), text.alias("__t"), codes.alias("__cs")
+    )
+    cs = F.col("__cs")
+    n = F.size(cs)
+
+    def win_hash(i):
+        expr = F.element_at(cs, i.cast("int"))
+        for j in range(1, window):
+            expr = expr + F.element_at(cs, (i + j).cast("int")) * F.lit(
+                CDC_POLY_MULT**j
+            )
+        return expr
+
     # interior boundary candidates: positions 2 .. L-window+1 (cut 1
     # is implicit; Spark's sequence(2, 1) would count DOWN, so guard)
     cand = F.when(
-        length - window + 1 >= 2,
-        F.sequence(F.lit(2).cast("long"), (length - window + 1).cast("long")),
+        n - window + 1 >= 2,
+        F.sequence(F.lit(2).cast("long"), (n - window + 1).cast("long")),
     ).otherwise(F.array().cast("array<long>"))
     bounds = F.concat(
         F.array(F.lit(1).cast("long")),
         F.filter(
-            F.transform(
-                cand,
-                lambda i: F.when(
-                    md5_long(text.substr(i, F.lit(window).cast("long")))
-                    % divisor
-                    == 0,
-                    i,
-                ),
-            ),
+            F.transform(cand, lambda i: F.when(win_hash(i) % divisor == 0, i)),
             lambda x: x.isNotNull(),
         ),
-        F.array((length + 1).cast("long")),
+        F.array((n.cast("long") + 1)),
     )
+    # Stage 2: materialize bounds (again multi-referenced below).
+    b = base.select(F.col(id_col), F.col("__t"), bounds.alias("__bs"))
+    bs = F.col("__bs")
     spans = F.transform(
-        F.sequence(F.lit(0), F.size(bounds) - 2),
+        F.sequence(F.lit(0), F.size(bs) - 2),
         lambda j: F.struct(
             j.cast("long").alias("chunk_idx"),
-            F.element_at(bounds, j + 1).alias("start"),
-            (F.element_at(bounds, j + 2) - F.element_at(bounds, j + 1)).alias(
-                "n_chars"
-            ),
+            F.element_at(bs, j + 1).alias("start"),
+            (F.element_at(bs, j + 2) - F.element_at(bs, j + 1)).alias("n_chars"),
         ),
     )
-    out = (
-        docs.filter(length >= 1)
-        .select(F.col(id_col), text.alias("__t"), F.explode(spans).alias("c"))
-        .select(
-            id_col,
-            "c.chunk_idx",
-            "c.start",
-            "c.n_chars",
-            F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.n_chars"))).alias(
-                "chunk_fp"
-            ),
-        )
+    out = b.select(
+        F.col(id_col), F.col("__t"), F.explode(spans).alias("c")
+    ).select(
+        id_col,
+        "c.chunk_idx",
+        "c.start",
+        "c.n_chars",
+        F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.n_chars"))).alias(
+            "chunk_fp"
+        ),
     )
     return out
 

@@ -28,6 +28,7 @@ from .llm.similarity import topk_bruteforce, topk_bucketed
 from .llm.text import (
     HASH_PRIME,
     STOPWORDS,
+    cdc_poly_sql,
     doc_fingerprint,
     hex_window_long_sql,
     language_id,
@@ -1066,18 +1067,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Content-defined chunking: both engines evaluate the identical
-# boundary predicate (md5-hex window parse % divisor) per position.
-_CDC_BOUND_HASH = md5_long_sql("substr(text, CAST(i AS INT), 8)")
+# boundary predicate — the unrolled codepoint polynomial
+# Σ cs[i+j]·37^j % divisor over a once-per-document codepoint list
+# (exact int64 on both sides; see llm.text.cdc_chunks).
+_CDC_BOUND_HASH = cdc_poly_sql(8)
 
 _CDC_CHUNKS_SQL = f"""
-WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents WHERE len(text) >= 1),
+WITH d AS (
+    SELECT doc_id, text, len(text) AS L,
+           list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs
+    FROM documents WHERE len(text) >= 1),
 b AS (
     SELECT doc_id, text,
            [CAST(1 AS BIGINT)]
            || list_filter(
                   list_transform(
                       range(2, greatest(L - 8 + 2, 2)),
-                      i -> CASE WHEN {_CDC_BOUND_HASH} % 64 = 0
+                      i -> CASE WHEN ({_CDC_BOUND_HASH}) % 64 = 0
                                 THEN CAST(i AS BIGINT) END),
                   x -> x IS NOT NULL)
            || [CAST(L + 1 AS BIGINT)] AS bs
@@ -1133,9 +1139,9 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("cdc_chunks", _CDC_CHUNKS_SQL)
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (window 8, expected ~64-char chunks):
-    boundaries where the per-position md5 window hash % 64 == 0, so
-    chunk fingerprints survive prefix edits — the shift-robust dedup
-    unit.  Pure per-row array arithmetic; zero shuffles."""
+    boundaries where the per-position codepoint polynomial % 64 == 0,
+    so chunk fingerprints survive prefix edits — the shift-robust
+    dedup unit.  Pure per-row array arithmetic; zero shuffles."""
     from .llm.text import cdc_chunks
 
     return cdc_chunks(_read_spread(spark, sf_dir, "documents"))

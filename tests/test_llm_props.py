@@ -438,11 +438,12 @@ def test_weighted_sample_matches_bruteforce(spark, weights, k, buckets):
 )
 def test_cdc_chunks_matches_bruteforce(spark, data):
     """Plain-Python replay of the full definition: boundary where the
-    8-char window's md5 % 64 == 0, chunks tile the document exactly,
-    fingerprints are the chunk md5 — every output row must match."""
+    8-char window's codepoint polynomial (Σ ord·37^j) % 64 == 0,
+    chunks tile the document exactly, fingerprints are the chunk md5 —
+    every output row must match."""
     import hashlib
 
-    from dax_ppdb_spark.llm.text import cdc_chunks
+    from dax_ppdb_spark.llm.text import CDC_POLY_MULT, cdc_chunks
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
@@ -459,7 +460,8 @@ def test_cdc_chunks_matches_bruteforce(spark, data):
         bounds = [1]
         for p in range(2, L - 8 + 2):  # 1-based window starts 2..L-7
             w = t[p - 1 : p + 7]
-            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64 == 0:
+            h = sum(ord(c) * CDC_POLY_MULT**j for j, c in enumerate(w))
+            if h % 64 == 0:
                 bounds.append(p)
         bounds.append(L + 1)
         for j in range(len(bounds) - 1):
