@@ -816,34 +816,42 @@ def bigram_logprob_score(
     text — shuffled tokens, keyword stuffing — that per-token unigram
     statistics cannot see.
 
-    Same single-tokenize shape as the unigram scorer: one exploded
-    bigram-pair relation aggregated to distinct (doc, v, w) counts
-    with truncated lineage feeds BOTH the model fit and the scoring.
-    The bigram model CANNOT be broadcast-hinted at corpus scale (the
-    min-count-pruned bigram table still grows with the corpus, unlike
-    the pooled unigram vocab), so its join is left to AQE — runtime
-    sizes pick broadcast when it is actually small, and a hot context
-    splits under AQE skew-join.  Docs with fewer than two tokens have
-    no bigrams and are absent from the output (both engines agree).
+    Single-tokenize for real: the corpus is tokenized ONCE into a
+    per-doc token-array relation whose lineage is truncated
+    (``localCheckpoint``); BOTH the bigram-pair relation and the
+    unigram frequency model explode that materialized array — the
+    regex tokenizer (the per-byte-expensive pass) never runs twice.
+    (The previous shape checkpointed only the bigram side and
+    re-tokenized the full corpus for the unigram model, which doubled
+    the dominant cost.)  The bigram model CANNOT be broadcast-hinted
+    at corpus scale (the min-count-pruned bigram table still grows
+    with the corpus, unlike the pooled unigram vocab), so its join is
+    left to AQE — runtime sizes pick broadcast when it is actually
+    small, and a hot context splits under AQE skew-join.  Docs with
+    fewer than two tokens have no bigrams and are absent from the
+    output (both engines agree).
     """
     from pyspark.sql import functions as F
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    tk = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ts")
+    ).localCheckpoint(eager=False)
+    ts = F.col("__ts")
+    n = F.size(ts)
     pairs = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(ts, 1, n - 1),
+        F.slice(ts, 2, n - 1),
         lambda a, b: F.struct(a.alias("v"), b.alias("w")),
     )
     dbig = (
-        docs.filter(n >= 2)
+        tk.filter(n >= 2)
         .select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
         .groupBy(id_col, "v", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = tk.select(F.col(id_col), F.explode(ts).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     kept_uni = freq.filter(F.col("n") >= min_count).select(
         F.col("t").alias("w"), F.col("n").alias("n_w")
