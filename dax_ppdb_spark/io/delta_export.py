@@ -87,10 +87,12 @@ def delta_live_files(table_root: str, at: int | None = None) -> dict[str, dict]:
 
 def _list_data_files(data_dir: str) -> list[str]:
     """All committed parquet files under one version directory,
-    relative to it (skipping Spark's _SUCCESS/_temporary and dotfiles)."""
+    relative to it (skipping Spark's _SUCCESS/_temporary, dotfiles,
+    and any underscore-prefixed dir — the Spark invisibility
+    convention ParquetTable sidecars rely on)."""
     out = []
     for root, dirs, files in os.walk(data_dir):
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_temporary"))]
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.relpath(os.path.join(root, f), data_dir))

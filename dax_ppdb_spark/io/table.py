@@ -177,15 +177,61 @@ class ParquetTable:
         writer.parquet(os.path.join(self.path, version))
         return version
 
-    def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
-        """D9: atomic truncate-swap — write new version, CAS the pointer."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        sidecars: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """D9: atomic truncate-swap — write new version, CAS the pointer.
+
+        ``sidecars`` commits auxiliary relations UNDER THE SAME
+        POINTER: each is written to ``<version>/<name>/`` before the
+        CAS flip, so readers can never pair the main relation of one
+        generation with a sidecar of another (the two-table-commit
+        race an IVF index's codes+centroids would otherwise have).
+        Sidecar names must start with ``_`` — Spark's reader ignores
+        underscore-prefixed paths, so ``read()`` of the main relation
+        is unaffected; fetch one with :meth:`read_sidecar`.  A sidecar
+        value may be a Spark DataFrame or a ``pyarrow.Table`` — the
+        latter writes driver-locally with ZERO Spark jobs, the right
+        lane for model-sized metadata the driver already holds
+        (centroids, codebooks).
+        """
         old = self.current_version()
         version = self._write_version(df, partition_by)
+        for name, sdf in (sidecars or {}).items():
+            if not name.startswith("_"):
+                raise ValueError(
+                    f"sidecar name must start with '_' (got {name!r}) so the "
+                    "main relation's parquet reader ignores it"
+                )
+            dest = os.path.join(self.path, version, name)
+            if hasattr(sdf, "write"):
+                sdf.write.mode("overwrite").parquet(dest)
+            else:
+                import pyarrow.parquet as pq
+
+                os.makedirs(dest, exist_ok=True)
+                pq.write_table(sdf, os.path.join(dest, "part-00000.parquet"))
         self._commit(version, expected=old)
         self._retire(old)
 
+    def read_sidecar(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read a sidecar relation committed with the current version."""
+        d = self.data_dir()
+        if d is None:
+            raise FileNotFoundError(f"table has no committed version: {self.path}")
+        return spark.read.parquet(os.path.join(d, name))
+
     def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
-        """S7-style append into the current version directory."""
+        """S7-style append into the current version directory.
+
+        NOT atomic for readers: files land in the live version dir, so
+        a concurrent scan can list a partial batch.  Right for the
+        single-writer staging tables it serves; use
+        :meth:`append_commit` when readers need batch atomicity.
+        """
         d = self.data_dir()
         if d is None:
             self.overwrite(df, partition_by)
@@ -194,6 +240,27 @@ class ParquetTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(d)
+
+    def append_commit(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        """Atomic append: copy-on-write the current version (hardlinks
+        — O(file count), zero bytes copied; sidecars ride along), write
+        the new batch into the NEW version dir, CAS the pointer.
+        Readers see the old generation or old+batch, never a partial
+        batch; a racing writer loses the CAS loudly."""
+        old = self.current_version()
+        if old is None:
+            self.overwrite(df, partition_by)
+            return
+        src = os.path.join(self.path, old)
+        version = f"_v{uuid.uuid4().hex}"
+        dst = os.path.join(self.path, version)
+        shutil.copytree(src, dst, copy_function=os.link)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(dst)
+        self._commit(version, expected=old)
+        self._retire(old)
 
     def clone_from(self, other: ParquetTable) -> None:
         """D7: zero-copy CLONE via hardlinks into a new version."""

@@ -964,31 +964,50 @@ def embedding_neardup_pairs(
     )
 
 
-def _dup_grams(
+def _gram_fp_relation(
     docs: DataFrame,
     n: int,
-    min_doc_freq: int,
     text_col: str,
     id_col: str,
+    with_tokens: bool = False,
 ) -> DataFrame:
-    """Fingerprints of n-grams occurring in >= ``min_doc_freq`` distinct
-    docs — the shared document-frequency pass of the span-dedup family.
+    """The span family's shared materialization: per doc, the ordered
+    array of 60-bit n-gram fingerprints (``ga``;
+    :func:`text.md5_wide_long` — 32 bits would birthday-collide at
+    corpus scale), plus the token array when the caller rebuilds text.
 
-    Positionless by construction: per-doc ``array_distinct`` grams are
-    fingerprinted (60-bit, :func:`text.md5_wide_long`) BEFORE the
-    count-distinct, so the one gram-keyed exchange carries 8-byte keys
-    for distinct (doc, gram) pairs only — position rows never enter.
-    count_distinct (not count over pre-distinct rows) keeps collision
-    semantics identical to the oracle's ``COUNT(DISTINCT doc_id)``.
+    ``localCheckpoint`` truncates the lineage so the tokenize + gram
+    + md5 pass — the span family's dominant per-byte cost — runs ONCE
+    per corpus scan, no matter how many downstream branches (df pass,
+    position explode, token rebuild) read it; the previous shape
+    re-tokenized and re-hashed the corpus once per branch.
     """
     from .text import md5_wide_long, ngrams
 
-    dg = docs.select(
+    toks = tokens(F.col(text_col))
+    cols = [
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(ngrams(tokens(F.col(text_col)), n))).alias(
-            "gram"
-        ),
-    ).select("doc_id", md5_wide_long(F.col("gram")).alias("gram"))
+        F.transform(ngrams(toks, n), lambda gm: md5_wide_long(gm)).alias("ga"),
+    ]
+    if with_tokens:
+        cols.append(toks.alias("toks"))
+    return docs.select(*cols).localCheckpoint(eager=False)
+
+
+def _dup_grams_from(rel: DataFrame, min_doc_freq: int) -> DataFrame:
+    """Fingerprints occurring in >= ``min_doc_freq`` distinct docs —
+    the document-frequency pass, over a :func:`_gram_fp_relation`.
+
+    Positionless by construction: per-doc ``array_distinct`` over the
+    already-computed fingerprint array, so the one gram-keyed exchange
+    carries 8-byte keys for distinct (doc, gram) pairs only — position
+    rows never enter.  count_distinct (not count over pre-distinct
+    rows) keeps collision semantics identical to the oracle's
+    ``COUNT(DISTINCT doc_id)``.
+    """
+    dg = rel.select(
+        "doc_id", F.explode(F.array_distinct(F.col("ga"))).alias("gram")
+    )
     return (
         dg.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -1040,21 +1059,18 @@ def duplicated_span_stats(
     Pass ``broadcast_dup=False`` for corpora whose duplicated-gram
     table exceeds the broadcast budget; the join falls back to
     shuffle (AQE still converts it back when the runtime size
-    allows).
+    allows).  The tokenize+gram+hash pass runs ONCE
+    (:func:`_gram_fp_relation`); every branch below reads the
+    materialized fingerprint arrays.
     """
     from pyspark.sql import Window
 
-    from .text import md5_wide_long, ngrams
-
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams(tokens(F.col(text_col)), n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_wide_long(F.col("gram")).alias("gram"))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (F.size(tokens(F.col(text_col))) - (n - 1)).alias("n_grams"),
+    rel = _gram_fp_relation(docs, n, text_col, id_col)
+    g = rel.select("doc_id", F.posexplode(F.col("ga")).alias("pos", "gram"))
+    base = rel.select(
+        "doc_id", F.size(F.col("ga")).alias("n_grams")
     ).filter(F.col("n_grams") >= 1)
-    dup_grams = _dup_grams(docs, n, min_doc_freq, text_col, id_col)
+    dup_grams = _dup_grams_from(rel, min_doc_freq)
     if broadcast_dup:
         dup_grams = F.broadcast(dup_grams)
     dup_pos = g.join(dup_grams, "gram").select("doc_id", "pos")
@@ -1209,7 +1225,7 @@ def remove_duplicated_spans(
     (original), ``n_removed``.  Docs whose every token is covered
     clean to the empty string.
 
-    Scale shape: the shared positionless df pass (``_dup_grams``,
+    Scale shape: the shared positionless df pass (``_dup_grams_from``,
     60-bit fingerprints — 32 bits would birthday-collide at corpus
     scale and this operator DELETES text on collision) finds
     duplicated grams, which broadcast back onto the position explode
@@ -1218,19 +1234,15 @@ def remove_duplicated_spans(
     the token relation anti-joins the covered set, and one per-doc
     aggregation rebuilds the text (``array_sort`` of (idx, token)
     structs — a deterministic in-group sort, bounded by document
-    length).
+    length).  The tokenize+gram+hash pass runs ONCE
+    (:func:`_gram_fp_relation` with tokens carried for the rebuild).
     """
-    toks = tokens(F.col(text_col))
-    tk = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("idx", "tok")
+    rel = _gram_fp_relation(docs, n, text_col, id_col, with_tokens=True)
+    tk = rel.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("idx", "tok")
     )
-    from .text import md5_wide_long, ngrams
-
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams(toks, n)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_wide_long(F.col("gram")).alias("gram"))
-    dup_grams = _dup_grams(docs, n, min_doc_freq, text_col, id_col)
+    g = rel.select("doc_id", F.posexplode(F.col("ga")).alias("pos", "gram"))
+    dup_grams = _dup_grams_from(rel, min_doc_freq)
     if broadcast_dup:
         dup_grams = F.broadcast(dup_grams)
     covered = (
@@ -1252,9 +1264,7 @@ def remove_duplicated_spans(
         ).alias("cleaned"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens")
-    )
+    base = rel.select("doc_id", F.size(F.col("toks")).alias("n_tokens"))
     return base.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),

@@ -898,6 +898,130 @@ def topk_bucketed(
     )
 
 
+# Session cache of persisted-index centroids keyed by index root.
+# Entries carry the committed version they were read under, so any
+# rebuild or append (both flip the version pointer) invalidates
+# naturally; a cache hit makes the probe path's centroid load ZERO
+# Spark jobs (build primes it, so build→query in one session never
+# re-reads what the driver just computed).
+_CENTROID_CACHE: dict[str, tuple[str, list[list[float]]]] = {}
+
+# Sidecar name for the centroid relation inside the index table's
+# version dir (underscore prefix = invisible to the codes scan).
+_CENTROIDS_SIDECAR = "_centroids"
+
+# Sidecar recording what corpus/parameters a generation was built
+# from — the staleness witness for ensure_ivf_sq8_index.
+_BUILD_META_SIDECAR = "_build_meta"
+
+
+def _ivf_index_table(index_root: str):
+    import os
+
+    from ..io.table import ParquetTable
+
+    return ParquetTable(os.path.join(index_root, "index"))
+
+
+def _read_sidecar_local(tbl, name: str):
+    """Read a sidecar as a pyarrow Table on the DRIVER — zero Spark
+    jobs; sidecars are model-sized by construction."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = tbl.data_dir()
+    if d is None:
+        raise FileNotFoundError(f"table has no committed version: {tbl.path}")
+    return pq.read_table(os.path.join(d, name))
+
+
+def _load_index_centroids(
+    spark: "SparkSession", index_root: str
+) -> list[list[float]]:
+    """Centroids of the CURRENT index generation, cache-first; a cold
+    cache reads the sidecar parquet driver-locally (still zero Spark
+    jobs)."""
+    tbl = _ivf_index_table(index_root)
+    ver = tbl.current_version()
+    if ver is None:
+        raise FileNotFoundError(f"no committed index under {index_root}")
+    hit = _CENTROID_CACHE.get(index_root)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
+    t = _read_sidecar_local(tbl, _CENTROIDS_SIDECAR).to_pylist()
+    cents = [list(r["centroid"]) for r in sorted(t, key=lambda r: r["cid"])]
+    _CENTROID_CACHE[index_root] = (ver, cents)
+    return cents
+
+
+def corpus_fingerprint(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[int, int]:
+    """Exact, order-insensitive corpus identity: ``(row count,
+    sum of xxhash64(id, vector))`` — one cheap aggregate job.  Any
+    added/removed/changed vector changes the sum (up to 64-bit hash
+    collision); partitioning and row order do not.  This is what lets
+    :func:`ensure_ivf_sq8_index` prove an existing index generation
+    was built from THIS corpus without re-reading it."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a plain long sum of 64-bit hashes
+        # overflows under ANSI after a handful of rows
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(vec_col)).cast("decimal(38,0)")
+        ).alias("h"),
+    ).first()
+    return (int(row.n), int(row.h) if row.h is not None else 0)
+
+
+def ensure_ivf_sq8_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> bool:
+    """Build-if-stale: rebuild the persisted index only when the
+    corpus or the build parameters differ from what the current
+    generation records in its ``_build_meta`` sidecar.  Returns True
+    iff a rebuild happened.
+
+    This is the build-once/query-many contract made literal: a serving
+    deployment calls ``ensure`` + probe, paying one fingerprint
+    aggregate (exact — see :func:`corpus_fingerprint`) on the hot
+    path and the full train+assign+write only when the corpus actually
+    moved.  Appends flip the version pointer but keep the ORIGINAL
+    build's meta, so a later ensure() against the grown corpus
+    correctly sees a stale fingerprint and retrains.
+    """
+    n, h = corpus_fingerprint(corpus, vec_col, id_col)
+    meta = {
+        "n_rows": n,
+        # stringified: the summed 64-bit hashes exceed int64
+        "corpus_hash": str(h),
+        "n_clusters": int(n_clusters),
+        "iters": int(iters),
+        "sample_mod": -1 if sample_mod is None else int(sample_mod),
+    }
+    tbl = _ivf_index_table(index_root)
+    if tbl.current_version() is not None:
+        try:
+            got = _read_sidecar_local(tbl, _BUILD_META_SIDECAR).to_pylist()
+        except Exception:
+            # no/unreadable meta (e.g. a pre-meta generation): rebuild
+            got = []
+        if got and all(got[0].get(k) == v for k, v in meta.items()):
+            return False
+    build_ivf_sq8_index(
+        corpus, index_root, n_clusters, iters, vec_col, id_col, sample_mod,
+        _meta=meta,
+    )
+    return True
+
+
 def build_ivf_sq8_index(
     corpus: DataFrame,
     index_root: str,
@@ -906,6 +1030,7 @@ def build_ivf_sq8_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_mod: int | None = None,
+    _meta: dict | None = None,
 ) -> None:
     """Build a PERSISTED IVF-SQ8 index: train the deterministic Lloyd
     quantizer, assign every corpus vector to its cell, scalar-quantize
@@ -915,22 +1040,21 @@ def build_ivf_sq8_index(
     re-train and re-assign on every query batch, which is the right
     shape for one-shot analytics and the wrong one for serving).
 
-    Layout under ``index_root``: two :class:`..io.table.ParquetTable`
-    s — ``index`` holding ``(cid, neighbor_id, scale, codes
-    array<tinyint>)`` partitioned by ``cid``, and ``centroids``
-    holding one row per centroid ``(cid, centroid array<double>)``.
-    Both commit via the table's CAS pointer, so a REBUILD is an atomic
-    swap readers never observe half-written, and retention/vacuum/time
-    travel apply to index generations like any other managed table.
+    Layout under ``index_root``: ONE :class:`..io.table.ParquetTable`
+    ``index`` holding ``(cid, neighbor_id, scale, codes
+    array<tinyint>)`` partitioned by ``cid``, with the centroid
+    relation ``(cid, centroid array<double>)`` committed as a SIDECAR
+    inside the same version directory — a single CAS pointer governs
+    both, so no reader can ever pair one generation's codes with
+    another's centroids (two separately-committed tables had exactly
+    that race between their commits).  Rebuilds are atomic swaps;
+    retention/vacuum/time travel apply to index generations like any
+    other managed table.
 
     The int8 tier stores ~4x less than raw doubles; a probe reads one
     cell's partition (pruned at the parquet-metadata level — pinned by
     plan test) and dequantizes in the scan expression.
     """
-    import os
-
-    from ..io.table import ParquetTable
-
     cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
     if not cents:
         # an empty quantizer would "build" an index every later query
@@ -960,21 +1084,40 @@ def build_ivf_sq8_index(
             )
         ),
     )
+    # partitionBy(cid) from the input's own task layout: each task
+    # contributes one file per cell it touches, so files-per-cell
+    # scales with the corpus (a deliberate NON-repartition — one task
+    # per cell would serialize a 100 TB build on its biggest cell,
+    # and the probe prunes at the directory level either way)
     rows = assigned.select(
         "cid",
         "neighbor_id",
         scale.alias("scale"),
         codes.alias("codes"),
     )
-    ParquetTable(os.path.join(index_root, "index")).overwrite(
-        rows, partition_by=("cid",)
+    import pyarrow as pa
+
+    # the centroids are driver-resident model bytes — a pyarrow
+    # sidecar writes them with zero Spark jobs
+    cdf = pa.table(
+        {
+            "cid": pa.array(range(len(cents)), type=pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in cents],
+                type=pa.list_(pa.float64()),
+            ),
+        }
     )
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cid INT, centroid ARRAY<DOUBLE>",
-    )
-    ParquetTable(os.path.join(index_root, "centroids")).overwrite(cdf)
+    sidecars = {_CENTROIDS_SIDECAR: cdf}
+    if _meta is not None:
+        sidecars[_BUILD_META_SIDECAR] = pa.table(
+            {k: [v] for k, v in _meta.items()}
+        )
+    tbl = _ivf_index_table(index_root)
+    tbl.overwrite(rows, partition_by=("cid",), sidecars=sidecars)
+    ver = tbl.current_version()
+    if ver is not None:
+        _CENTROID_CACHE[index_root] = (ver, [list(c) for c in cents])
 
 
 def topk_ivf_sq8_index(
@@ -999,15 +1142,20 @@ def topk_ivf_sq8_index(
     queries near a cell boundary, at the cost of reading that many
     partitions; results are a superset-derived refinement (never worse
     recall, pinned by test).
+
+    Driver round-trips per probe: the centroid load is cache-first
+    (ZERO jobs when this session built or already probed this index
+    generation — :data:`_CENTROID_CACHE`), and the assigned query
+    batch is collected ONCE — the same rows serve both the probed-cell
+    discovery (the cid list must be a LITERAL for parquet partition
+    pruning) and the scoring join's broadcast side, so the scoring job
+    re-executes no query lineage.  Collecting the batch is not a new
+    exposure: this operator's contract already broadcasts it to every
+    executor (a batch too big to collect was too big to broadcast);
+    scan-sized batches belong on the per-call :func:`topk_ivf_sq8`
+    path.  Total: one small assignment job + the scoring job.
     """
-    import os
-
-    from ..io.table import ParquetTable
-
-    cents_rows = (
-        ParquetTable(os.path.join(index_root, "centroids")).read(spark).collect()
-    )
-    cents = [r.centroid for r in sorted(cents_rows, key=lambda r: r.cid)]
+    cents = _load_index_centroids(spark, index_root)
     qsel = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -1016,9 +1164,14 @@ def topk_ivf_sq8_index(
         q = assign_cells_multi(qsel, cents, probes, vec_col="qv")
     else:
         q = assign_cells(qsel, cents, vec_col="qv")
-    probed_cells = sorted({r.cid for r in q.select("cid").distinct().collect()})
+    qrows = q.collect()
+    probed_cells = sorted({r.cid for r in qrows})
+    # qv doubles round-trip bit-exactly through collect (Python floats
+    # ARE IEEE doubles), so scoring stays bit-identical to the
+    # lineage-broadcast form — pinned by the shared oracle
+    q = spark.createDataFrame(qrows, schema=q.schema)
     idx = (
-        ParquetTable(os.path.join(index_root, "index"))
+        _ivf_index_table(index_root)
         .read(spark)
         .filter(F.col("cid").isin(probed_cells))
     )
@@ -1048,29 +1201,24 @@ def append_to_ivf_sq8_index(
 ) -> None:
     """Incrementally extend a persisted :func:`build_ivf_sq8_index`
     index: assign the NEW vectors against the already-trained
-    centroids (read back from the centroids table — no retraining, no
-    touch of existing cells' data) and append their int8 codes to the
-    cid partitions.  The ingest-path companion of the atomic rebuild:
-    a 100 TB deployment appends each arriving batch and schedules full
-    retrains on drift, exactly like :func:`..dedup.incremental` skips
-    re-hashing the existing corpus.
+    centroids (the current generation's sidecar, cache-first — no
+    retraining, no touch of existing cells' data) and append their
+    int8 codes to the cid partitions.  The ingest-path companion of
+    the atomic rebuild: a 100 TB deployment appends each arriving
+    batch and schedules full retrains on drift, exactly like
+    :func:`..dedup.incremental` skips re-hashing the existing corpus.
 
-    Append rides ParquetTable's CAS pointer commit, so concurrent
-    readers see either the old or the new generation, never a partial
-    batch.  Quantizer drift is the operator's documented trade: new
-    vectors land in the nearest EXISTING cell; recall degrades only as
-    the data distribution moves, which the recall@k evaluation query
-    measures.
+    The append is a VERSIONED commit (``ParquetTable.append_commit``:
+    hardlink copy-on-write of the current generation + CAS pointer
+    flip), so concurrent readers see either the old generation or
+    old+batch, never a partial batch — in-place ``append`` could not
+    make that promise.  Quantizer drift is the operator's documented
+    trade: new vectors land in the nearest EXISTING cell; recall
+    degrades only as the data distribution moves, which the recall@k
+    evaluation query measures.
     """
-    import os
-
-    from ..io.table import ParquetTable
-
     spark = new_vectors.sparkSession
-    cents_rows = (
-        ParquetTable(os.path.join(index_root, "centroids")).read(spark).collect()
-    )
-    cents = [r.centroid for r in sorted(cents_rows, key=lambda r: r.cid)]
+    cents = _load_index_centroids(spark, index_root)
     assigned = assign_cells(
         new_vectors.select(
             F.col(id_col).alias("neighbor_id"),
@@ -1095,6 +1243,9 @@ def append_to_ivf_sq8_index(
     rows = assigned.select(
         "cid", "neighbor_id", scale.alias("scale"), codes.alias("codes")
     )
-    ParquetTable(os.path.join(index_root, "index")).append(
-        rows, partition_by=("cid",)
-    )
+    tbl = _ivf_index_table(index_root)
+    tbl.append_commit(rows, partition_by=("cid",))
+    ver = tbl.current_version()
+    if ver is not None:
+        # same centroids, new generation — keep the cache warm
+        _CENTROID_CACHE[index_root] = (ver, cents)

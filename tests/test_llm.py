@@ -1596,3 +1596,51 @@ def test_prefix_join_finds_lsh_banding_misses(spark):
         pair.filter("doc_id = 0"), pair.filter("doc_id != 0"), n=3, threshold=0.5
     )
     assert incr.count() == 1  # the compliance-grade gate catches it
+
+
+def test_ensure_ivf_sq8_index_rebuilds_only_on_change(spark, tmp_path):
+    """The serving gate: ensure() builds on first call, is a no-op
+    (pointer unchanged, False) while corpus AND params match the
+    committed generation's _build_meta, and rebuilds when either
+    moves — including after an append grew the corpus."""
+    import os
+
+    from dax_ppdb_spark.io.table import ParquetTable
+    from dax_ppdb_spark.llm.similarity import (
+        append_to_ivf_sq8_index,
+        ensure_ivf_sq8_index,
+        topk_ivf_sq8_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    root = str(tmp_path / "idx")
+    t = ParquetTable(os.path.join(root, "index"))
+
+    assert ensure_ivf_sq8_index(emb, root, n_clusters=4) is True
+    v1 = t.current_version()
+    # same corpus, same params: no rebuild, pointer untouched
+    assert ensure_ivf_sq8_index(emb, root, n_clusters=4) is False
+    assert t.current_version() == v1
+    # param change: rebuild
+    assert ensure_ivf_sq8_index(emb, root, n_clusters=3) is True
+    assert t.current_version() != v1
+    # corpus change (one vector value): rebuild
+    rows2 = [(i, [v + (1.0 if i == 5 else 0.0) for v in e]) for i, e in rows]
+    emb2 = spark.createDataFrame(rows2, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert ensure_ivf_sq8_index(emb2, root, n_clusters=3) is True
+    # append keeps the ORIGINAL build's meta, so ensure() against the
+    # grown corpus sees a stale fingerprint and retrains
+    twin = spark.createDataFrame(
+        [(1000, rows[1][1])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    append_to_ivf_sq8_index(twin, root)
+    grown = emb2.unionByName(twin)
+    assert ensure_ivf_sq8_index(grown, root, n_clusters=3) is True
+    # and the rebuilt index answers over the full grown corpus
+    q = emb2.filter(F.col("vec_id") == 1)
+    ids = {r.neighbor_id for r in topk_ivf_sq8_index(spark, root, q, k=10).collect()}
+    assert 1000 in ids

@@ -208,3 +208,77 @@ def test_delta_time_travel_over_retained_versions(spark, tmp_path):
     assert spark.read.parquet(
         *[os.path.join(root, p) for p in delta_live_files(root)]
     ).count() == 3
+
+
+def test_sidecar_commits_under_one_pointer(spark, tmp_path):
+    """A sidecar relation lives inside the SAME version directory as
+    the main relation: one CAS pointer flip publishes both, the main
+    read never sees sidecar rows, and a rebuild swaps them together —
+    no window where new codes pair with old centroids."""
+    import pytest
+
+    t = ParquetTable(str(tmp_path / "t"))
+    main1 = spark.createDataFrame([(0, "a"), (1, "b")], "k INT, v STRING")
+    side1 = spark.createDataFrame([(0, 10.0)], "k INT, c DOUBLE")
+    t.overwrite(main1, partition_by=("k",), sidecars={"_meta": side1})
+    assert _content(spark, t) == {(0, "a"), (1, "b")}
+    assert [(r.k, r.c) for r in t.read_sidecar(spark, "_meta").collect()] == [
+        (0, 10.0)
+    ]
+    v1 = t.current_version()
+    # rebuild: both relations flip in one commit
+    main2 = spark.createDataFrame([(2, "c")], "k INT, v STRING")
+    side2 = spark.createDataFrame([(1, 20.0)], "k INT, c DOUBLE")
+    t.overwrite(main2, partition_by=("k",), sidecars={"_meta": side2})
+    assert t.current_version() != v1
+    assert _content(spark, t) == {(2, "c")}
+    assert [(r.k, r.c) for r in t.read_sidecar(spark, "_meta").collect()] == [
+        (1, 20.0)
+    ]
+    # non-underscore names would be scanned as main-relation data
+    with pytest.raises(ValueError):
+        t.overwrite(main2, sidecars={"meta": side2})
+
+
+def test_append_commit_is_versioned_and_keeps_sidecars(spark, tmp_path):
+    """append_commit publishes old+batch under a NEW version via
+    hardlink copy-on-write: the pointer flips (readers never see a
+    partial batch), pre-existing files are linked not copied, and
+    sidecars ride into the new generation."""
+    t = ParquetTable(str(tmp_path / "t"))
+    main = spark.createDataFrame([(0, "a")], "k INT, v STRING")
+    side = spark.createDataFrame([(0, 10.0)], "k INT, c DOUBLE")
+    t.overwrite(main, partition_by=("k",), sidecars={"_meta": side})
+    v1 = t.current_version()
+    d1 = t.data_dir()
+    inodes1 = {
+        os.stat(os.path.join(d1, "k=0", f)).st_ino
+        for f in os.listdir(os.path.join(d1, "k=0"))
+        if f.endswith(".parquet")
+    }
+    batch = spark.createDataFrame([(0, "a2"), (1, "b")], "k INT, v STRING")
+    t.append_commit(batch, partition_by=("k",))
+    assert t.current_version() != v1
+    assert _content(spark, t) == {(0, "a"), (0, "a2"), (1, "b")}
+    d2 = t.data_dir()
+    inodes2 = {
+        os.stat(os.path.join(d2, "k=0", f)).st_ino
+        for f in os.listdir(os.path.join(d2, "k=0"))
+        if f.endswith(".parquet")
+    }
+    assert inodes1 <= inodes2  # old files linked into the new version
+    assert [(r.k, r.c) for r in t.read_sidecar(spark, "_meta").collect()] == [
+        (0, 10.0)
+    ]
+
+
+def test_delta_export_skips_sidecars(spark, tmp_path):
+    from dax_ppdb_spark.io.delta_export import delta_live_files, export_delta_log
+
+    root = str(tmp_path / "t")
+    t = ParquetTable(root)
+    main = spark.createDataFrame([(0, "a")], "k INT, v STRING")
+    side = spark.createDataFrame([(0, 10.0)], "k INT, c DOUBLE")
+    t.overwrite(main, partition_by=("k",), sidecars={"_meta": side})
+    export_delta_log(t, spark)
+    assert all("_meta" not in p for p in delta_live_files(root))
