@@ -168,8 +168,12 @@ def validate_bucketing(spark: SparkSession, table: str) -> int:
     df = spark.table(table)
     # a file with no _NNNNN. marker (e.g. a plain-parquet directory
     # registered as bucketed) must COUNT AS A MISMATCH, not crash the
-    # ANSI cast on '' or silently null out of the comparison
-    fid_str = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1)
+    # ANSI cast on '' or silently null out of the comparison.  The
+    # extraction anchors to the BASENAME: matching the full path would
+    # let a directory component like 'run_00001.v2' mis-parse every
+    # row's bucket id and fail a perfectly valid layout.
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    fid_str = F.regexp_extract(basename, r"_(\d{5})\.", 1)
     fid = F.when(F.length(fid_str) > 0, fid_str.cast("int"))
     expected = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n))
     bad = F.when(fid.isNull() | (fid != expected), F.lit(1)).otherwise(F.lit(0))

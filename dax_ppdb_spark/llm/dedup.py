@@ -98,6 +98,24 @@ def _expand_member_pairs(ms_col: str, size_field: str) -> Column:
     )
 
 
+def _guarded_ceil(x) -> "Column":
+    """``ceil`` with a RELATIVE downward guard: ``ceil(x·(1−2⁻⁴⁰))``.
+
+    The prefix/length bounds compute ``ceil(threshold · n)`` from a
+    double product; when the TRUE value is an exact integer, float
+    rounding can land one ulp above it and a plain ceil would then
+    SHORTEN a prefix — dropping a qualifying pair.  The guard must
+    exceed the product's rounding error (~``x·2⁻⁵²``) at EVERY
+    magnitude; the previous fixed absolute 1e-9 stopped doing that
+    once ``x`` passed ~1e7, where one ulp is already larger.  A
+    relative ``2⁻⁴⁰`` is ~4000 ulps at every magnitude, and
+    over-guarding is safe by construction: pulling the value further
+    down can only LENGTHEN a prefix or relax a length filter (a few
+    more candidates verified exactly), never lose a pair.
+    """
+    return F.ceil(x * F.lit(1.0 - 2.0**-40))
+
+
 def _rarity_prefix(
     inv: DataFrame, df_tbl: DataFrame, threshold: float, absent_df: int | None = None
 ) -> DataFrame:
@@ -106,8 +124,9 @@ def _rarity_prefix(
     inverted ``(doc_id, n_sh, shingle)`` relation.  ``absent_df`` maps
     shingles missing from ``df_tbl`` (a new batch probing a standing
     corpus index) to that df; any consistent total order keeps the
-    prefix bound lossless.  The ``ceil`` nudge (-1e-9) ensures a float
-    product one ulp above an exact integer can only LENGTHEN a prefix.
+    prefix bound lossless.  The guarded ``ceil`` (:func:`_guarded_ceil`)
+    ensures a float product above an exact integer can only LENGTHEN a
+    prefix, at any set size.
     """
     from pyspark.sql import Window
 
@@ -122,7 +141,7 @@ def _rarity_prefix(
     )
     pref_len = (
         F.col("n_sh")
-        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        - _guarded_ceil(F.col("n_sh") * F.lit(threshold)).cast("int")
         + 1
     )
     return (
@@ -221,9 +240,11 @@ def jaccard_prefix_pairs(
     PURE semantics (uncapped inverted-index pairwise Jaccard) with no
     prefix logic to mirror.
 
-    The ``ceil`` is nudged down by 1e-9 before flooring so a float
-    product landing one ulp ABOVE an exact integer can only lengthen
-    a prefix (safe direction), never shorten it.
+    Every bound ``ceil`` carries a RELATIVE downward guard
+    (:func:`_guarded_ceil`) so a float product landing ulps ABOVE an
+    exact integer can only lengthen a prefix (safe direction), never
+    shorten it — at any set size, where a fixed absolute nudge would
+    fall below one ulp.
     """
     # The shingle relation feeds FOUR consumers (df aggregation,
     # rarity ranking, both verification sides); a lazy localCheckpoint
@@ -252,9 +273,7 @@ def jaccard_prefix_pairs(
         # length filter: jaccard <= min/max of the set sizes
         .filter(
             F.least("n_a", "n_b")
-            >= F.ceil(
-                F.greatest("n_a", "n_b") * F.lit(threshold) - F.lit(1e-9)
-            )
+            >= _guarded_ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -406,9 +425,7 @@ def incremental_jaccard_prefix(
         pn.join(pc, "shingle")
         .filter(
             F.least("n_a", "n_b")
-            >= F.ceil(
-                F.greatest("n_a", "n_b") * F.lit(threshold) - F.lit(1e-9)
-            )
+            >= _guarded_ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
         )
         .select("new_id", "corpus_id")
         .distinct()

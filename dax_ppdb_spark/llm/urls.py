@@ -112,7 +112,12 @@ def filter_blocked_domains(
     depths = sorted(
         r[0] for r in bl.select(depth.alias("d")).distinct().collect()
     )
-    host = F.regexp_replace(url_host(F.col(url_col)), r":\d+$", "")
+    # strip port AND any trailing root-dot ('example.com.' is valid
+    # FQDN form; unstripped it makes every last-d-labels extraction
+    # return "" and the document would BYPASS the blocklist)
+    host = F.regexp_replace(
+        F.regexp_replace(url_host(F.col(url_col)), r":\d+$", ""), r"\.$", ""
+    )
     out = docs.withColumn("__host", host)
     for d in depths:
         bld = F.broadcast(bl.filter(depth == d))

@@ -2311,12 +2311,13 @@ WITH u AS (
     FROM documents
 ),
 d AS (
+    -- port strip + trailing-root-dot strip, mirroring the operator
     SELECT doc_id, lang, url,
-           regexp_replace(
+           regexp_replace(regexp_replace(
                lower(regexp_extract(
                    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
                    '^([^/?#]*)', 1)),
-               ':\\d+$', '') AS host
+               ':\\d+$', ''), '\\.$', '') AS host
     FROM u
 )
 SELECT doc_id, lang FROM d

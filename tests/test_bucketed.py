@@ -249,6 +249,15 @@ def test_validate_bucketing_passes_good_and_catches_bad(spark, sf_dir, tmp_path)
             validate_bucketing(spark, "val_plain")
     finally:
         spark.sql("DROP TABLE val_plain")
+    # a valid layout under a directory whose PATH contains a
+    # bucket-id-shaped component must still validate: the id parse
+    # anchors to the file basename, not the first path match
+    tricky = tmp_path / "run_00001.v2" / "tbl"
+    write_bucketed(docs, "val_tricky", "doc_id", 4, path=str(tricky))
+    try:
+        assert validate_bucketing(spark, "val_tricky") == docs.count()
+    finally:
+        spark.sql("DROP TABLE val_tricky")
 
 
 def test_layout_properties_on_adversarial_frames(spark):

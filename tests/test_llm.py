@@ -1139,13 +1139,14 @@ def test_filter_blocked_domains(spark):
             (2, "https://docs.bad.org:8443/y"),
             (3, "https://good.org/z"),
             (4, "no-scheme-string"),
+            (5, "https://bad.org./w"),  # trailing root-dot FQDN form
         ],
         "doc_id LONG, url STRING",
     )
     bl = spark.createDataFrame([("bad.org",)], "domain STRING")
     kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
-    # subdomain and port variants of bad.org are blocked; schemeless
-    # strings have an empty domain and pass through
+    # subdomain, port, and trailing-root-dot variants of bad.org are
+    # blocked; schemeless strings have an empty domain and pass through
     assert kept == [3, 4]
 
 
