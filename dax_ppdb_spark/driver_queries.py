@@ -1098,6 +1098,10 @@ _VERIFY_TAIL = (
     "tfidf_keywords",
     "hybrid_search",
     "dedup_edit",
+    # rotated in round 7 to make a head slot for ann_index_pq (the new
+    # persisted IVFPQ tier): green in CORRECTNESS_r06 and its cumsum
+    # implementation is untouched this round.
+    "sequence_pack",
 )
 
 

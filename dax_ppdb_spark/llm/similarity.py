@@ -975,19 +975,19 @@ def corpus_fingerprint(
     return (int(row.n), int(row.h) if row.h is not None else 0)
 
 
-def ensure_ivf_sq8_index(
+def _ensure_index(
     corpus: DataFrame,
     index_root: str,
-    n_clusters: int = 8,
-    iters: int = 3,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    sample_mod: int | None = None,
+    vec_col: str,
+    id_col: str,
+    params: dict,
+    build,
 ) -> bool:
-    """Build-if-stale: rebuild the persisted index only when the
-    corpus or the build parameters differ from what the current
-    generation records in its ``_build_meta`` sidecar.  Returns True
-    iff a rebuild happened.
+    """Build-if-stale core shared by the persisted index tiers:
+    rebuild (via ``build(meta)``) only when the corpus fingerprint or
+    the build parameters differ from what the current generation
+    records in its ``_build_meta`` sidecar.  Returns True iff a
+    rebuild happened.
 
     This is the build-once/query-many contract made literal: a serving
     deployment calls ``ensure`` + probe, paying one fingerprint
@@ -998,14 +998,8 @@ def ensure_ivf_sq8_index(
     correctly sees a stale fingerprint and retrains.
     """
     n, h = corpus_fingerprint(corpus, vec_col, id_col)
-    meta = {
-        "n_rows": n,
-        # stringified: the summed 64-bit hashes exceed int64
-        "corpus_hash": str(h),
-        "n_clusters": int(n_clusters),
-        "iters": int(iters),
-        "sample_mod": -1 if sample_mod is None else int(sample_mod),
-    }
+    # corpus_hash stringified: the summed 64-bit hashes exceed int64
+    meta = {"n_rows": n, "corpus_hash": str(h), **params}
     tbl = _ivf_index_table(index_root)
     if tbl.current_version() is not None:
         try:
@@ -1015,11 +1009,36 @@ def ensure_ivf_sq8_index(
             got = []
         if got and all(got[0].get(k) == v for k, v in meta.items()):
             return False
-    build_ivf_sq8_index(
-        corpus, index_root, n_clusters, iters, vec_col, id_col, sample_mod,
-        _meta=meta,
-    )
+    build(meta)
     return True
+
+
+def ensure_ivf_sq8_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> bool:
+    """:func:`_ensure_index` over :func:`build_ivf_sq8_index`."""
+    params = {
+        "n_clusters": int(n_clusters),
+        "iters": int(iters),
+        "sample_mod": -1 if sample_mod is None else int(sample_mod),
+    }
+    return _ensure_index(
+        corpus,
+        index_root,
+        vec_col,
+        id_col,
+        params,
+        lambda meta: build_ivf_sq8_index(
+            corpus, index_root, n_clusters, iters, vec_col, id_col,
+            sample_mod, _meta=meta,
+        ),
+    )
 
 
 def build_ivf_sq8_index(
@@ -1249,3 +1268,326 @@ def append_to_ivf_sq8_index(
     if ver is not None:
         # same centroids, new generation — keep the cache warm
         _CENTROID_CACHE[index_root] = (ver, cents)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFPQ index — the 100 TB memory tier of the serving story:
+# coarse cells prune the scan (like SQ8) but each cell stores m
+# log2(k_cb)-bit PQ codes of the RESIDUAL instead of 8 bits/dim, the
+# FAISS IVFPQ layout.  Same single-pointer commit discipline as the
+# SQ8 index: codes + coarse centroids + per-subspace codebooks +
+# build meta all live in ONE version directory.
+
+# Sidecar holding the per-subspace PQ codebooks (s, cid, centroid).
+_PQ_CODEBOOKS_SIDECAR = "_codebooks"
+
+# Session cache of persisted PQ codebooks, versioned like
+# _CENTROID_CACHE.
+_CODEBOOK_CACHE: dict[str, tuple[str, list[list[list[float]]]]] = {}
+
+
+def _load_index_codebooks(
+    spark: "SparkSession", index_root: str
+) -> list[list[list[float]]]:
+    """PQ codebooks of the CURRENT index generation, cache-first; a
+    cold cache reads the sidecar driver-locally (zero Spark jobs)."""
+    tbl = _ivf_index_table(index_root)
+    ver = tbl.current_version()
+    if ver is None:
+        raise FileNotFoundError(f"no committed index under {index_root}")
+    hit = _CODEBOOK_CACHE.get(index_root)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
+    rows = _read_sidecar_local(tbl, _PQ_CODEBOOKS_SIDECAR).to_pylist()
+    m = 1 + max(r["s"] for r in rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["s"], r["cid"])):
+        books[r["s"]].append(list(r["centroid"]))
+    _CODEBOOK_CACHE[index_root] = (ver, books)
+    return books
+
+
+def _pq_encode_codes(m: int, sub: int) -> Column:
+    """PQ code array for a residual column ``r`` against broadcast
+    ``__books``: ``codes[s] = argmin_dist(r[s·sub+1 : +sub],
+    books[s])`` — the exact argmin :func:`pq_reconstruct` uses, so a
+    probe reconstructing ``books[s][codes[s]]`` is bit-identical to
+    the per-call reconstruction."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_dist(
+            F.slice(F.col("r"), s * sub + 1, sub),
+            F.element_at(F.col("__books"), s + 1),
+        ),
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_clusters: int = 8,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+    _meta: dict | None = None,
+) -> None:
+    """Build a PERSISTED IVFPQ index: train the coarse quantizer,
+    assign every vector, PQ-train on the RESIDUALS (cell-diameter
+    magnitudes — finer resolution per codebook bit than raw-vector
+    PQ), and store only ``(cid, neighbor_id, codes array<int>)``
+    partitioned by ``cid`` — m·log2(k_cb) bits of payload per vector,
+    the compression that fits a 1e11-vector index in cluster RAM
+    (vs 8 bits/dim for the SQ8 tier).
+
+    One CAS pointer governs everything: codes (main relation), coarse
+    centroids, per-subspace codebooks, and build meta (sidecars inside
+    the same version directory), so a probe can never mix quantizer
+    generations.  Deterministic end to end (sampled Lloyd at both
+    levels, first-wins argmin, round-6 means) — the probe path is
+    bit-identical to :func:`topk_ivfpq` with the same parameters,
+    pinned by the shared oracle.
+    """
+    import pyarrow as pa
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
+    if not cents:
+        raise ValueError(
+            "build_ivf_pq_index: corpus (or its sample_mod sample) is "
+            "empty — nothing to train the quantizer on"
+        )
+    d = len(cents[0])
+    if d % m:
+        raise ValueError(f"build_ivf_pq_index: dim {d} not divisible by m={m}")
+    sub = d // m
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in cc] for cc in cents],)],
+        "__cents: array<array<double>>",
+    )
+    # assigned+residual relation feeds the m subspace trainings AND the
+    # code encode — materialize once
+    t = (
+        c.crossJoin(F.broadcast(cdf))
+        .withColumn("cid", _argmin_dist(F.col("v"), F.col("__cents")))
+        .withColumn("cc", F.element_at(F.col("__cents"), F.col("cid") + 1))
+        .drop("__cents")
+        .withColumn("r", F.zip_with("v", "cc", lambda a, b: a - b))
+        .localCheckpoint(eager=False)
+    )
+    books = pq_codebooks(
+        t.select(F.col("nid"), F.col("r")),
+        m,
+        k_cb,
+        pq_iters,
+        vec_col="r",
+        id_col="nid",
+        sample_mod=sample_mod,
+    )
+    bdf = spark.createDataFrame(
+        [([[list(map(float, cc)) for cc in b] for b in books],)],
+        "__books: array<array<array<double>>>",
+    )
+    rows = (
+        t.crossJoin(F.broadcast(bdf))
+        .withColumn("codes", _pq_encode_codes(m, sub))
+        .select("cid", F.col("nid").alias("neighbor_id"), "codes")
+    )
+    cent_tbl = pa.table(
+        {
+            "cid": pa.array(range(len(cents)), type=pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in cc] for cc in cents],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    book_tbl = pa.table(
+        {
+            "s": pa.array(
+                [s for s in range(m) for _ in books[s]], type=pa.int32()
+            ),
+            "cid": pa.array(
+                [i for s in range(m) for i in range(len(books[s]))],
+                type=pa.int32(),
+            ),
+            "centroid": pa.array(
+                [[float(x) for x in cc] for b in books for cc in b],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    sidecars = {_CENTROIDS_SIDECAR: cent_tbl, _PQ_CODEBOOKS_SIDECAR: book_tbl}
+    if _meta is not None:
+        sidecars[_BUILD_META_SIDECAR] = pa.table({k: [v] for k, v in _meta.items()})
+    tbl = _ivf_index_table(index_root)
+    tbl.overwrite(rows, partition_by=("cid",), sidecars=sidecars)
+    ver = tbl.current_version()
+    if ver is not None:
+        _CENTROID_CACHE[index_root] = (ver, [list(cc) for cc in cents])
+        _CODEBOOK_CACHE[index_root] = (ver, [[list(cc) for cc in b] for b in books])
+
+
+def topk_ivf_pq_index(
+    spark: "SparkSession",
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probes: int = 1,
+) -> DataFrame:
+    """Query a :func:`build_ivf_pq_index` index: assign each query to
+    its nearest persisted coarse centroid(s), read ONLY the probed
+    cells' partitions (literal ``isin`` → parquet partition pruning,
+    plan-pinned), reconstruct each stored vector IN the scan
+    expression (``cents[cid] + concat_s books[s][codes[s]]`` — both
+    model levels ride one broadcast data row), and window the
+    asymmetric cosine to the top ``k``.  With ``probes=1``,
+    bit-identical to :func:`topk_ivfpq` run with the same parameters —
+    pinned by the shared oracle.  Same driver-round-trip shape as the
+    SQ8 probe: cache-first model load (zero jobs), one assignment
+    job whose collected rows serve both the prune literal and the
+    scoring broadcast, one scoring job.
+    """
+    cents = _load_index_centroids(spark, index_root)
+    books = _load_index_codebooks(spark, index_root)
+    m = len(books)
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    if probes > 1:
+        q = assign_cells_multi(qsel, cents, probes, vec_col="qv")
+    else:
+        q = assign_cells(qsel, cents, vec_col="qv")
+    qrows = q.collect()
+    probed_cells = sorted({r.cid for r in qrows})
+    q = spark.createDataFrame(qrows, schema=q.schema)
+    idx = (
+        _ivf_index_table(index_root)
+        .read(spark)
+        .filter(F.col("cid").isin(probed_cells))
+    )
+    mdf = spark.createDataFrame(
+        [(
+            [[float(x) for x in cc] for cc in cents],
+            [[list(map(float, cc)) for cc in b] for b in books],
+        )],
+        "__cents: array<array<double>>, __books: array<array<array<double>>>",
+    )
+    cc = F.element_at(F.col("__cents"), F.col("cid") + 1)
+    rres = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(F.col("__books"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        )
+    )
+    cv = F.zip_with(cc, rres, lambda a, b: a + b)
+    joined = (
+        idx.crossJoin(F.broadcast(mdf))
+        .select("cid", "neighbor_id", cv.alias("cv"))
+        .join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    index_root: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a persisted IVFPQ index: assign the NEW
+    vectors against the frozen coarse centroids, encode their
+    residuals against the frozen codebooks, and publish old+batch via
+    a versioned commit (``append_commit`` — hardlink copy-on-write,
+    never a reader-visible partial batch).  Quantizer drift is the
+    documented trade, exactly as for the SQ8 tier."""
+    spark = new_vectors.sparkSession
+    cents = _load_index_centroids(spark, index_root)
+    books = _load_index_codebooks(spark, index_root)
+    m = len(books)
+    sub = len(books[0][0])
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in cc] for cc in cents],)],
+        "__cents: array<array<double>>",
+    )
+    bdf = spark.createDataFrame(
+        [([[list(map(float, cc)) for cc in b] for b in books],)],
+        "__books: array<array<array<double>>>",
+    )
+    rows = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("cid", _argmin_dist(F.col("v"), F.col("__cents")))
+        .withColumn("cc", F.element_at(F.col("__cents"), F.col("cid") + 1))
+        .drop("__cents")
+        .withColumn("r", F.zip_with("v", "cc", lambda a, b: a - b))
+        .crossJoin(F.broadcast(bdf))
+        .withColumn("codes", _pq_encode_codes(m, sub))
+        .select("cid", "neighbor_id", "codes")
+    )
+    tbl = _ivf_index_table(index_root)
+    tbl.append_commit(rows, partition_by=("cid",))
+    ver = tbl.current_version()
+    if ver is not None:
+        # same models, new generation — keep both caches warm
+        _CENTROID_CACHE[index_root] = (ver, cents)
+        _CODEBOOK_CACHE[index_root] = (ver, books)
+
+
+def ensure_ivf_pq_index(
+    corpus: DataFrame,
+    index_root: str,
+    n_clusters: int = 8,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> bool:
+    """:func:`_ensure_index` over :func:`build_ivf_pq_index`."""
+    params = {
+        "n_clusters": int(n_clusters),
+        "pq_m": int(m),
+        "pq_k_cb": int(k_cb),
+        "iters": int(iters),
+        "pq_iters": int(pq_iters),
+        "sample_mod": -1 if sample_mod is None else int(sample_mod),
+    }
+    return _ensure_index(
+        corpus,
+        index_root,
+        vec_col,
+        id_col,
+        params,
+        lambda meta: build_ivf_pq_index(
+            corpus, index_root, n_clusters, m, k_cb, iters, pq_iters,
+            vec_col, id_col, sample_mod, _meta=meta,
+        ),
+    )

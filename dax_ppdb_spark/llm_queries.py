@@ -2951,6 +2951,36 @@ def q_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_index_pq", _ivfpq_sql())
+def q_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ serving path: ensure the index is current (the
+    exact corpus-fingerprint gate), then answer the batch from stored
+    m-code payloads — probes read only the probed cells' partitions
+    and reconstruct cents[cid] + books[s][codes[s]] inside the scan.
+    Bit-identical to ann_topk_ivfpq with the same parameters, so the
+    SAME oracle replays the full two-level chain; what this adds is
+    the m*log2(k_cb)-bits-per-vector persisted tier — the layout that
+    fits a 1e11-vector index in cluster RAM."""
+    import os
+    import tempfile
+
+    from .llm.similarity import ensure_ivf_pq_index, topk_ivf_pq_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dax_ppdb_spark_ann_index_pq",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ensure_ivf_pq_index(
+        emb, root, n_clusters=8, m=4, k_cb=8, iters=3, pq_iters=2,
+        sample_mod=2,
+    )
+    return topk_ivf_pq_index(
+        spark, root, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 _BIGRAM_LM_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 bp AS (

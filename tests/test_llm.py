@@ -1645,3 +1645,83 @@ def test_ensure_ivf_sq8_index_rebuilds_only_on_change(spark, tmp_path):
     q = emb2.filter(F.col("vec_id") == 1)
     ids = {r.neighbor_id for r in topk_ivf_sq8_index(spark, root, q, k=10).collect()}
     assert 1000 in ids
+
+
+def test_ann_persisted_pq_index_matches_per_call_chain(spark, tmp_path):
+    """build_ivf_pq_index + topk_ivf_pq_index must reproduce
+    topk_ivfpq bit for bit (same coarse quantizer, residual codebooks,
+    codes, reconstruction, scoring), and a rebuild must be an atomic
+    pointer swap."""
+    import os
+
+    from dax_ppdb_spark.io.table import ParquetTable
+    from dax_ppdb_spark.llm.similarity import (
+        build_ivf_pq_index,
+        topk_ivf_pq_index,
+        topk_ivfpq,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "idx")
+
+    build_ivf_pq_index(emb, root, n_clusters=4, m=2, k_cb=4)
+    got = topk_ivf_pq_index(spark, root, q, k=3).collect()
+    want = topk_ivfpq(emb, q, k=3, n_clusters=4, m=2, k_cb=4).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    t = ParquetTable(os.path.join(root, "index"))
+    v1 = t.current_version()
+    build_ivf_pq_index(emb, root, n_clusters=4, m=2, k_cb=4)
+    assert t.current_version() != v1
+    again = topk_ivf_pq_index(spark, root, q, k=3).collect()
+    assert sorted(map(key, again)) == sorted(map(key, want))
+
+
+def test_ann_pq_index_append_and_ensure(spark, tmp_path):
+    """Append encodes new vectors against the FROZEN models via a
+    versioned commit (twin findable afterwards); ensure() is a no-op
+    on an unchanged corpus and retrains once the corpus grows."""
+    import os
+
+    from dax_ppdb_spark.io.table import ParquetTable
+    from dax_ppdb_spark.llm.similarity import (
+        append_to_ivf_pq_index,
+        ensure_ivf_pq_index,
+        topk_ivf_pq_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    root = str(tmp_path / "idx")
+    t = ParquetTable(os.path.join(root, "index"))
+
+    assert ensure_ivf_pq_index(emb, root, n_clusters=4, m=2, k_cb=4) is True
+    v1 = t.current_version()
+    assert ensure_ivf_pq_index(emb, root, n_clusters=4, m=2, k_cb=4) is False
+    assert t.current_version() == v1
+
+    twin = spark.createDataFrame(
+        [(1000, rows[1][1])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    append_to_ivf_pq_index(twin, root)
+    assert t.current_version() != v1  # versioned commit, not in-place
+    q = emb.filter(F.col("vec_id") == 1)
+    wider = topk_ivf_pq_index(spark, root, q, k=10).collect()
+    w_ids = {r.neighbor_id for r in wider}
+    assert 1000 in w_ids
+    # identical embedding -> identical codes -> identical (max) cosine
+    top = min(wider, key=lambda r: r.rank)
+    by_id = {r.neighbor_id: r for r in wider}
+    assert by_id[1000].cosine == top.cosine
+    # grown corpus: the fingerprint is stale, ensure retrains
+    grown = emb.unionByName(twin)
+    assert ensure_ivf_pq_index(grown, root, n_clusters=4, m=2, k_cb=4) is True

@@ -414,6 +414,22 @@ def test_ann_persisted_index_probes_prune_partitions(spark, sf_dir, registry):
             assert "__cents" in b or "Join condition: None" in b, b
 
 
+def test_ann_persisted_pq_index_probes_prune_partitions(spark, sf_dir, registry):
+    """Same pruning contract for the persisted IVFPQ tier: the probe
+    reads only the probed cid partitions and reconstructs from codes
+    inside the scan — no full-index read, no cartesian."""
+    plan = plan_of(registry["ann_index_pq"](spark, sf_dir))
+    assert "PartitionFilters" in plan and "cid" in plan
+    assert "cid#" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "CartesianProduct" not in plan
+    # allowed nested loops: the one-row model attaches only
+    for b in (x for x in plan.split("\n\n") if x.startswith("(")):
+        if "BroadcastNestedLoopJoin" in b.splitlines()[0]:
+            assert (
+                "__cents" in b or "__books" in b or "Join condition: None" in b
+            ), b
+
+
 def test_scan_hot_paths_are_whole_stage_codegen(spark, sf_dir, registry):
     """The scan-and-aggregate hot paths must run inside whole-stage
     codegen — a CodegenFallback expression in the per-row path turns
