@@ -1098,10 +1098,12 @@ _VERIFY_TAIL = (
     "tfidf_keywords",
     "hybrid_search",
     "dedup_edit",
-    # rotated in round 7 to make a head slot for ann_index_pq (the new
-    # persisted IVFPQ tier): green in CORRECTNESS_r06 and its cumsum
-    # implementation is untouched this round.
+    # rotated in round 7 to make head slots for ann_index_pq and
+    # bpe_merges_batched (the new persisted-IVFPQ and batched-BPE
+    # tiers): both names below are green in CORRECTNESS_r06 and their
+    # implementations are untouched this round.
     "sequence_pack",
+    "semdedup_flat",
 )
 
 

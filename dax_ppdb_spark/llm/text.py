@@ -341,6 +341,8 @@ def bpe_learn_merges(
     docs,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_size: int = 1,
+    rounds: int | None = None,
     _with_vocab: bool = False,
 ):
     """Byte-pair-encoding vocabulary learning — the tokenizer-training
@@ -351,28 +353,59 @@ def bpe_learn_merges(
     Scale shape: the corpus is scanned ONCE into a distinct
     ``(word, freq)`` vocabulary; every merge round then aggregates
     pair counts over the VOCABULARY (bounded by distinct words, not
-    corpus size), picks the argmax on the driver (one row), and
-    applies the merge map-side with the winning pair as literals —
-    so 8 rounds cost 8 vocab-sized aggregations, never 8 corpus
-    scans.  The per-round vocab is lazily localCheckpointed so the
-    merge-application expression chain does not deepen round over
-    round.
+    corpus size), selects that round's merges, and applies them
+    map-side — so training cost is rounds x vocab-sized aggregations,
+    never corpus scans.  The per-round vocab is lazily
+    localCheckpointed so the merge-application expression chain does
+    not deepen round over round.
 
-    Determinism/parity: argmax ties break on (count desc, left asc,
-    right asc); SELF-pairs (left == right) are excluded from
-    candidates — two occurrences of an unequal pair can never
-    overlap, which makes greedy merge application position-local
-    (pure ``transform``+``filter``, identical in both engines)
-    instead of a sequential left-to-right scan.  (Standard BPE allows
-    self-merges; on natural text they essentially never win a round,
-    and the restriction is what makes the whole training
-    oracle-replayable.)
+    ``batch_size`` is the scale lever for real vocabularies: one
+    Spark job + driver argmax per merge serializes a 32k-merge
+    training into 32k jobs.  Each round instead collects the round's
+    TOP ``8*batch_size`` pairs by key ``(count DESC, left ASC,
+    right ASC)`` — a bounded, model-sized list — and greedily accepts
+    up to ``batch_size`` of them in key order, skipping any pair
+    sharing a symbol with an already-accepted one.  Accepted pairs
+    therefore have pairwise-DISJOINT symbol support, which keeps the
+    position-local application exactly sound for the whole batch (no
+    two accepted pairs can ever claim overlapping positions), and the
+    greedy always accepts the global argmax first, so
+    ``batch_size=1`` reproduces classic sequential BPE exactly.
+    Batched rounds are the standard parallel-BPE approximation: each
+    round's merges are chosen from one frequency snapshot instead of
+    recounting after every merge.  The oracle replays the ordered
+    greedy selection as a bounded recursive CTE over the same top-K
+    list.
+    By default training runs exactly ``ceil(n_merges / batch_size)``
+    rounds — a STATIC count, which is what lets the DuckDB oracle
+    replay the chain as fixed CTE rounds; early rounds on a raw
+    character alphabet accept fewer than ``batch_size`` pairs (hot
+    symbols block each other), so the default can return fewer than
+    ``n_merges`` merges.  Scale trainings that must hit the quota
+    pass ``rounds`` explicitly (e.g. ``4 * ceil(n/B)``): the loop
+    stops as soon as ``n_merges`` merges are banked or the corpus
+    runs out of pairs.  A final round may apply up to
+    ``batch_size - 1`` merges beyond ``n_merges`` (rounds are atomic —
+    the oracle replays whole rounds), but the RETURNED merge list is
+    truncated to ``n_merges``.
+
+    Determinism/parity: ties break on (count desc, left asc, right
+    asc); SELF-pairs (left == right) are excluded from candidates —
+    two occurrences of an unequal pair can never overlap, which makes
+    greedy merge application position-local (pure
+    ``transform``+``filter``, identical in both engines) instead of a
+    sequential left-to-right scan.  (Standard BPE allows self-merges;
+    on natural text they essentially never win a round, and the
+    restriction is what makes the whole training oracle-replayable.)
 
     Output: one row per learned merge —
     ``(rank, lhs, rhs, merged, pair_count)`` with rank 1-based in
-    merge order.  Stops early (fewer rows) if the corpus runs out of
+    merge order (within a round: the same (count desc, lhs, rhs)
+    order).  Stops early (fewer rows) if the corpus runs out of
     repeated pairs.
     """
+    import math
+
     spark = docs.sparkSession
     w = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -387,8 +420,12 @@ def bpe_learn_merges(
         )
         .localCheckpoint(eager=False)
     )
-    results = []
-    for rank in range(1, n_merges + 1):
+    results: list[tuple] = []
+    if rounds is None:
+        rounds = math.ceil(n_merges / batch_size)
+    for _ in range(rounds):
+        if len(results) >= n_merges:
+            break
         pairs = (
             w.select(
                 "freq",
@@ -412,30 +449,52 @@ def bpe_learn_merges(
             .filter(F.col("a") != F.col("b"))
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+        )
+        # ordered greedy-disjoint selection over the collected top-K
+        # (model-sized; K = 8*batch): accept in key order unless a
+        # symbol is already claimed this round
+        cand = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(8 * batch_size)
             .collect()
         )
-        if not pairs:
+        used: set = set()
+        batch = []
+        for r in cand:
+            if len(batch) >= batch_size:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            used.add(r["a"])
+            used.add(r["b"])
+            batch.append(r)
+        if not batch:
             break
-        a, b, cnt = pairs[0]["a"], pairs[0]["b"], pairs[0]["cnt"]
-        results.append((rank, a, b, a + b, cnt))
-        la, lb = F.lit(a), F.lit(b)
-        # position-local greedy application (sound because a != b):
-        # emit merged at a match start, drop the position after it
-        # boundary lookups live inside nested WHEN branches: CASE
-        # short-circuits (unlike &, whose operands both evaluate), and
-        # element_at(_, 0) is an error even in its try_ variant
+        for r in batch:
+            results.append(
+                (len(results) + 1, r["a"], r["b"], r["a"] + r["b"], r["cnt"])
+            )
+        # disjoint symbol support -> lhs values are unique -> the whole
+        # batch ships as one literal lhs->rhs map
+        kv = []
+        for r in batch:
+            kv += [F.lit(r["a"]), F.lit(r["b"])]
+        mm = F.create_map(*kv)
+
+        # position-local greedy application (sound because supports are
+        # disjoint and a != b): emit merged at a match start, drop the
+        # position after it.  try_element_at: a missing map key is a
+        # non-match, not an ANSI error.
         def _merge_pos(i):
             prev_start = F.when(
                 i > F.lit(1),
-                (F.element_at("s", i - 1) == la)
-                & (F.element_at("s", i) == lb),
+                F.try_element_at(mm, F.element_at("s", i - 1))
+                == F.element_at("s", i),
             ).otherwise(F.lit(False))
             here_start = F.when(
                 i < F.size("s"),
-                (F.element_at("s", i) == la)
-                & (F.element_at("s", i + 1) == lb),
+                F.try_element_at(mm, F.element_at("s", i))
+                == F.element_at("s", i + 1),
             ).otherwise(F.lit(False))
             return (
                 F.when(prev_start, F.lit(None).cast("string"))
@@ -452,7 +511,8 @@ def bpe_learn_merges(
         )
         w = w.withColumn("s", merged).localCheckpoint(eager=False)
     merges = spark.createDataFrame(
-        results, "rank LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG"
+        results[:n_merges],
+        "rank LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
     )
     if _with_vocab:
         return merges, w

@@ -1029,6 +1029,92 @@ def _bpe_sql(n_merges: int = 8) -> str:
     return _bpe_cte(n_merges) + "\n" + rows
 
 
+def _bpe_batched_cte(n_merges: int, batch: int) -> tuple[str, int]:
+    """BATCHED BPE training chain (``llm.text.bpe_learn_merges`` with
+    ``batch_size > 1``): each round takes the top ``8*batch`` pairs by
+    (cnt DESC, a, b) and replays the operator's ordered GREEDY
+    DISJOINT selection as a bounded recursive CTE (state = claimed
+    symbols + picked count), then applies the accepted batch in one
+    position-local pass via a lhs→rhs map (DuckDB map subscript yields
+    a one-element list; ``[1]`` extracts the scalar, NULL when absent
+    — the non-match).  Exactly ``ceil(n_merges / batch)`` rounds,
+    mirroring the Spark loop round for round."""
+    import math
+
+    rounds = math.ceil(n_merges / batch)
+    top_k = 8 * batch
+    sql = f"""
+WITH RECURSIVE w0 AS (
+    SELECT w, COUNT(*) AS freq,
+           list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS s
+    FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+)"""
+    for t in range(1, rounds + 1):
+        sql += f""",
+p{t} AS (
+    SELECT a, b, SUM(freq) AS cnt FROM (
+        SELECT freq, s[i] AS a, s[i + 1] AS b
+        FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+              FROM w{t - 1} WHERE len(s) >= 2)
+    ) WHERE a <> b GROUP BY a, b
+),
+cand{t} AS (
+    SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS idx
+    FROM p{t} QUALIFY idx <= {top_k}
+),
+sel{t} AS (
+    SELECT 0 AS i, CAST([] AS VARCHAR[]) AS used, 0 AS npicked,
+           CAST(NULL AS VARCHAR) AS pa, CAST(NULL AS VARCHAR) AS pb,
+           CAST(NULL AS BIGINT) AS pcnt
+    UNION ALL
+    SELECT c.idx,
+           CASE WHEN g.ok THEN list_append(list_append(s.used, c.a), c.b)
+                ELSE s.used END,
+           s.npicked + CASE WHEN g.ok THEN 1 ELSE 0 END,
+           CASE WHEN g.ok THEN c.a END, CASE WHEN g.ok THEN c.b END,
+           CASE WHEN g.ok THEN CAST(c.cnt AS BIGINT) END
+    FROM sel{t} s JOIN cand{t} c ON c.idx = s.i + 1,
+    LATERAL (SELECT (NOT list_contains(s.used, c.a))
+                    AND (NOT list_contains(s.used, c.b))
+                    AND s.npicked < {batch} AS ok) g
+),
+b{t} AS (SELECT pa AS a, pb AS b, pcnt AS cnt FROM sel{t} WHERE pa IS NOT NULL),
+bm{t} AS (SELECT map(coalesce(list(a), []), coalesce(list(b), [])) AS mm
+          FROM b{t}),
+w{t} AS (
+    SELECT w, freq,
+           list_filter(
+               list_transform(range(1, len(s) + 1), i ->
+                   CASE WHEN i > 1 AND bm{t}.mm[s[i - 1]][1] = s[i]
+                             THEN NULL
+                        WHEN i < len(s) AND bm{t}.mm[s[i]][1] = s[i + 1]
+                             THEN s[i] || s[i + 1]
+                        ELSE s[i] END),
+               x -> x IS NOT NULL) AS s
+    FROM w{t - 1} LEFT JOIN bm{t} ON TRUE
+)"""
+    return sql, rounds
+
+
+def _bpe_batched_sql(n_merges: int, batch: int) -> str:
+    cte, rounds = _bpe_batched_cte(n_merges, batch)
+    union = "\n      UNION ALL ".join(
+        f"SELECT {t} AS t, a, b, cnt FROM b{t}" for t in range(1, rounds + 1)
+    )
+    return (
+        cte
+        + f"""
+SELECT rank, lhs, rhs, merged, pair_count FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, cnt DESC, a, b) AS BIGINT)
+               AS rank,
+           a AS lhs, b AS rhs, a || b AS merged,
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})
+) WHERE rank <= {n_merges}
+"""
+    )
+
+
 def _bpe_encode_sql(n_merges: int = 8) -> str:
     """Encoding oracle: the fully-merged vocabulary from the training
     chain joined back onto the exploded corpus tokens."""
@@ -1051,6 +1137,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import bpe_piece_counts
 
     return bpe_piece_counts(_read_spread(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register("bpe_merges_batched", _bpe_batched_sql(8, 4))
+def q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (8 merges in 2 rounds of <=4): each round
+    accepts the locally-maximal pairs — first under (count, lhs, rhs)
+    among all pairs touching either symbol, hence pairwise-disjoint
+    supports — and applies the whole batch in one position-local map
+    pass.  The scale shape for a real 32k-merge vocabulary, where
+    one-job-per-merge training would serialize into 32k jobs; the
+    oracle replays the batched rule round for round."""
+    from .llm.text import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _read_spread(spark, sf_dir, "documents"), n_merges=8, batch_size=4
+    )
 
 
 @register("bpe_merges", _bpe_sql())

@@ -614,3 +614,85 @@ def test_bpe_merges_match_bruteforce(spark, data, n_merges):
             new_vocab[k] = new_vocab.get(k, 0) + freq
         vocab = new_vocab
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "bca", "cab", "aab", "bc", "cba"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+    batch=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_batched_matches_bruteforce(spark, data, n_merges, batch):
+    """Plain-Python replay of the BATCHED rule: per round, the top
+    8*batch pairs by (count desc, lhs, rhs) feed an ordered greedy
+    selection of <= batch symbol-disjoint pairs, all applied in one
+    position-local pass; exactly ceil(n/batch) rounds; output
+    truncated to n_merges.  batch=1 degenerates to sequential BPE."""
+    import math
+
+    from dax_ppdb_spark.llm.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_learn_merges(docs, n_merges=n_merges, batch_size=batch)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    vocab: dict[tuple, int] = {}
+    for t in data:
+        for w in t.split():
+            k = tuple(w)
+            vocab[k] = vocab.get(k, 0) + 1
+    want = []
+    for _ in range(math.ceil(n_merges / batch)):
+        if len(want) >= n_merges:
+            break
+        counts: dict[tuple, int] = {}
+        for s, freq in vocab.items():
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + freq
+        if not counts:
+            break
+        cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: 8 * batch]
+        used: set = set()
+        sel = []
+        for (a, b), cnt in cand:
+            if len(sel) >= batch:
+                break
+            if a in used or b in used:
+                continue
+            used.add(a)
+            used.add(b)
+            sel.append((a, b, cnt))
+        if not sel:
+            break
+        for a, b, cnt in sel:
+            want.append((len(want) + 1, a, b, a + b, cnt))
+        pairset = {(a, b) for a, b, _ in sel}
+        new_vocab: dict[tuple, int] = {}
+        for s, freq in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in pairset:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + freq
+        vocab = new_vocab
+    assert got == want[:n_merges]
