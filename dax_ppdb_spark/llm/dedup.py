@@ -826,11 +826,69 @@ def banded_axis_planes(
     )
 
 
+def minhash_recall(threshold: float, k: int, bands: int) -> float:
+    """Model recall of a (k, bands) MinHash LSH at Jaccard
+    ``threshold``: ``1 - (1 - t^r)^b`` with ``r = k / bands`` rows per
+    band — the classic S-curve, the number the ``dedup_recall``
+    evaluation query measures empirically against exact truth."""
+    r = k // bands
+    return 1.0 - (1.0 - threshold**r) ** bands
+
+
+def minhash_params_for_recall(
+    threshold: float,
+    target_recall: float,
+    max_k: int = 8,
+) -> tuple[int, int]:
+    """Choose MinHash LSH parameters ``(k, bands)`` so the model
+    recall at Jaccard ``threshold`` is at least ``target_recall`` —
+    the miss rate becomes a CHOSEN number instead of an emergent one.
+
+    Among all ``(rows, bands)`` with ``rows * bands <= max_k`` meeting
+    the recall bound, picks the one with the HIGHEST S-curve midpoint
+    ``(1/bands)^(1/rows)`` (the Jaccard level where candidacy
+    probability crosses 50%): a higher midpoint admits fewer
+    below-threshold false candidates into the exact-verify stage, so
+    this maximizes precision within the hash budget; ties break to
+    the smaller ``k``.  Raises if no parameterization within ``max_k``
+    reaches the target (the caller must raise the budget).  The
+    ``dedup_recall`` query is the empirical check of the same model
+    this derivation inverts.
+    """
+    import math
+
+    if not (0.0 < threshold < 1.0 and 0.0 < target_recall < 1.0):
+        raise ValueError("threshold and target_recall must be in (0, 1)")
+    best: tuple[float, int, int, int] | None = None
+    for rows in range(1, max_k + 1):
+        p_band = threshold**rows
+        if p_band >= 1.0:
+            continue
+        need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        bands = max(need, 1)
+        k = rows * bands
+        if k > max_k:
+            continue
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        cand = (-midpoint, k, rows, bands)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) with rows*bands <= {max_k} reaches recall "
+            f"{target_recall} at threshold {threshold}; raise max_k"
+        )
+    _, k, rows, bands = best
+    return (k, bands)
+
+
 def auto_bands(
     dim: int,
     corpus_count: int,
     n_bands: int = 8,
     target_bucket_size: int = 32,
+    target_recall: float | None = None,
+    threshold: float | None = None,
 ) -> tuple[tuple[int, ...], ...]:
     """Corpus-scaled sign-LSH bands: ``planes_per_band ≈ log2(N /
     target_bucket_size)`` so the bucket count (2^planes per band)
@@ -845,6 +903,21 @@ def auto_bands(
     with ``dim`` (planes within a band stay distinct; bands spanning
     overlapping axis sets only correlate recall, never correctness —
     candidates are always exact-verified by the cosine filter).
+
+    With ``target_recall`` (and the cosine ``threshold`` it is to
+    hold at), the BAND COUNT is derived instead of fixed: a random
+    hyperplane separates a pair at cosine ``t`` with probability
+    ``acos(t)/π``, so one ``p``-plane band catches it with
+    ``q^p`` (``q = 1 - acos(t)/π``) and ``B`` bands with
+    ``1 - (1 - q^p)^B`` — solve for the smallest ``B`` meeting the
+    target.  (Axis planes are not iid random hyperplanes, so this is
+    the calibrated model the recall-evaluation queries measure, not a
+    guarantee; the miss rate is still a chosen number rather than an
+    emergent one.)  Note the interaction with the corpus rule: ``p``
+    grows with N to hold bucket sizes flat, which LOWERS per-band
+    recall, so the derived ``B`` rises with corpus size — exactly the
+    extra work scale requires to keep BOTH occupancy and recall
+    constant.
     """
     import math
 
@@ -855,6 +928,22 @@ def auto_bands(
         else 1
     )
     p = max(1, min(p, dim))
+    if target_recall is not None:
+        if threshold is None:
+            raise ValueError(
+                "target_recall needs the cosine threshold it must hold at"
+            )
+        q = 1.0 - math.acos(threshold) / math.pi
+        per_band = q**p
+        if per_band >= 1.0:
+            n_bands = 1
+        else:
+            n_bands = max(
+                1,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - per_band)
+                ),
+            )
     if p * n_bands <= dim:
         return banded_axis_planes(dim, p, n_bands)
     stride = next(s for s in range(7, 7 + dim) if math.gcd(s, dim) == 1)

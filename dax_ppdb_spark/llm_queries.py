@@ -184,9 +184,20 @@ WHERE a.doc_id < b.doc_id
 
 @register("dedup_minhash_lsh", _minhash_band_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(4 bands x 2 rows) candidate pairs — the
-    discovery stage that replaces the quadratic self-join at scale."""
-    return minhash_lsh_pairs(_read_spread(spark, sf_dir, "documents"), k=8, bands=4, n=3)
+    """MinHash + LSH candidate pairs — the discovery stage that
+    replaces the quadratic self-join at scale.  The banding is
+    RECALL-DERIVED, not hand-picked: minhash_params_for_recall
+    inverts the S-curve for >= 97% model recall at Jaccard 0.8 within
+    an 8-hash budget, which resolves to (k=8, bands=4: 4 bands x 2
+    rows) — the miss rate is a chosen number the dedup_recall query
+    then measures empirically."""
+    from .llm.dedup import minhash_params_for_recall
+
+    k, bands = minhash_params_for_recall(0.8, 0.97, max_k=8)
+    assert (k, bands) == (8, 4)  # the oracle replays this banding
+    return minhash_lsh_pairs(
+        _read_spread(spark, sf_dir, "documents"), k=k, bands=bands, n=3
+    )
 
 
 def _verified_neardup_sql() -> str:
@@ -214,11 +225,17 @@ WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-stage near-dup pipeline as one query: LSH discovery,
     exact Jaccard verification on candidates only (see
-    ``llm.dedup.verified_neardup_pairs``)."""
-    from .llm.dedup import verified_neardup_pairs
+    ``llm.dedup.verified_neardup_pairs``).  Discovery banding is the
+    same recall-derived (8, 4) as dedup_minhash_lsh."""
+    from .llm.dedup import minhash_params_for_recall, verified_neardup_pairs
 
+    k, bands = minhash_params_for_recall(0.8, 0.97, max_k=8)
     return verified_neardup_pairs(
-        _read_spread(spark, sf_dir, "documents"), k=8, bands=4, n=3, threshold=0.5
+        _read_spread(spark, sf_dir, "documents"),
+        k=k,
+        bands=bands,
+        n=3,
+        threshold=0.5,
     )
 
 

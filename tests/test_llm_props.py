@@ -696,3 +696,87 @@ def test_bpe_batched_matches_bruteforce(spark, data, n_merges, batch):
             new_vocab[k] = new_vocab.get(k, 0) + freq
         vocab = new_vocab
     assert got == want[:n_merges]
+
+
+@settings(**SETTINGS)
+@given(
+    threshold=st.floats(min_value=0.3, max_value=0.95),
+    target=st.floats(min_value=0.5, max_value=0.995),
+    max_k=st.integers(min_value=4, max_value=24),
+)
+def test_minhash_params_meet_target_recall(threshold, target, max_k):
+    """The derived (k, bands) must satisfy the S-curve recall model at
+    the threshold it was derived for, stay inside the hash budget, and
+    have maximal midpoint: no feasible parameterization with a higher
+    precision midpoint exists within the budget."""
+    from dax_ppdb_spark.llm.dedup import (
+        minhash_params_for_recall,
+        minhash_recall,
+    )
+
+    try:
+        k, bands = minhash_params_for_recall(threshold, target, max_k=max_k)
+    except ValueError:
+        # infeasible budget: even rows=1 with every band must miss
+        rows1_bands = max_k
+        assert minhash_recall(threshold, rows1_bands, rows1_bands) < target
+        return
+    assert k <= max_k and k % bands == 0
+    assert minhash_recall(threshold, k, bands) >= target
+    rows = k // bands
+    midpoint = (1.0 / bands) ** (1.0 / rows)
+    # maximality: any (rows', bands') within budget meeting the target
+    # has midpoint <= ours
+    import math
+
+    for rows2 in range(1, max_k + 1):
+        p = threshold**rows2
+        if p >= 1.0:
+            continue
+        bands2 = max(math.ceil(math.log(1 - target) / math.log(1 - p)), 1)
+        if rows2 * bands2 > max_k:
+            continue
+        assert (1.0 / bands2) ** (1.0 / rows2) <= midpoint + 1e-12
+
+
+def test_minhash_registered_banding_is_recall_derived():
+    """The registered discovery banding (k=8, 4 bands x 2 rows) IS the
+    inversion of the S-curve for 97% at Jaccard 0.8 in an 8-hash
+    budget — pinning that the query's parameters stay derived, not
+    hand-tuned."""
+    from dax_ppdb_spark.llm.dedup import (
+        minhash_params_for_recall,
+        minhash_recall,
+    )
+
+    assert minhash_params_for_recall(0.8, 0.97, max_k=8) == (8, 4)
+    assert minhash_recall(0.8, 8, 4) >= 0.97
+
+
+@settings(**SETTINGS)
+@given(
+    count=st.integers(min_value=1, max_value=10**9),
+    threshold=st.floats(min_value=0.5, max_value=0.99),
+    target=st.floats(min_value=0.5, max_value=0.995),
+)
+def test_auto_bands_target_recall_model_bound(count, threshold, target):
+    """Recall-derived sign-LSH banding: the returned band count B must
+    satisfy the hyperplane model 1-(1-q^p)^B >= target (q = 1 -
+    acos(t)/pi, p the corpus-scaled plane count), be minimal (B-1
+    misses the target), and every band must keep p distinct axes."""
+    import math
+
+    from dax_ppdb_spark.llm.dedup import auto_bands
+
+    dim = 64
+    bands = auto_bands(dim, count, target_recall=target, threshold=threshold)
+    p = len(bands[0])
+    q = 1.0 - math.acos(threshold) / math.pi
+    per = q**p
+    B = len(bands)
+    assert 1.0 - (1.0 - per) ** B >= target - 1e-12
+    if B > 1:
+        assert 1.0 - (1.0 - per) ** (B - 1) < target
+    for band in bands:
+        assert len(set(band)) == p
+        assert all(1 <= a <= dim for a in band)
