@@ -93,6 +93,8 @@ HEADLINE = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "ann_index_persisted",
+    "ann_index_pq",
+    "bpe_merges_batched",
     "multimodal_decode",
     "embedding_quantize",
     "dup_spans",
