@@ -272,33 +272,48 @@ def _cmd_export_delta(args: argparse.Namespace) -> int:
 
 
 def _cmd_ann_build(args: argparse.Namespace) -> int:
-    """Build (or atomically rebuild) a persisted IVF-SQ8 ANN index
-    over an embeddings parquet table — the build-once/query-many
-    serving path (llm/similarity.py: build_ivf_sq8_index)."""
-    from .llm.similarity import build_ivf_sq8_index
+    """Build (or atomically rebuild) a persisted ANN index over an
+    embeddings parquet table — the build-once/query-many serving path.
+    ``--kind sq8`` stores int8 scalar-quantized vectors
+    (build_ivf_sq8_index); ``--kind pq`` stores m-code residual-PQ
+    payloads (build_ivf_pq_index, the RAM tier)."""
+    from .llm.similarity import build_ivf_pq_index, build_ivf_sq8_index
 
     spark = get_spark("ppdb-ann-build")
     emb = spark.read.parquet(args.embeddings)
-    build_ivf_sq8_index(
-        emb,
-        args.index,
-        n_clusters=args.clusters,
-        sample_mod=args.sample_mod,
-        vec_col=args.vec_col,
-        id_col=args.id_col,
-    )
-    print(f"built IVF-SQ8 index ({args.clusters} cells) at {args.index}")
+    if args.kind == "pq":
+        build_ivf_pq_index(
+            emb,
+            args.index,
+            n_clusters=args.clusters,
+            m=args.pq_m,
+            k_cb=args.pq_codebook,
+            sample_mod=args.sample_mod,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+        )
+    else:
+        build_ivf_sq8_index(
+            emb,
+            args.index,
+            n_clusters=args.clusters,
+            sample_mod=args.sample_mod,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+        )
+    print(f"built IVF-{args.kind.upper()} index ({args.clusters} cells) at {args.index}")
     return 0
 
 
 def _cmd_ann_query(args: argparse.Namespace) -> int:
     """Answer a top-k batch from a persisted index: probes read only
     the probed cells' partitions (partition-pruned)."""
-    from .llm.similarity import topk_ivf_sq8_index
+    from .llm.similarity import topk_ivf_pq_index, topk_ivf_sq8_index
 
     spark = get_spark("ppdb-ann-query")
     queries = spark.read.parquet(args.queries)
-    out = topk_ivf_sq8_index(
+    probe = topk_ivf_pq_index if args.kind == "pq" else topk_ivf_sq8_index
+    out = probe(
         spark, args.index, queries, k=args.k,
         vec_col=args.vec_col, id_col=args.id_col, probes=args.probes,
     )
@@ -421,10 +436,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("table", help="ParquetTable directory")
 
-    p = add("ann-build", "build/rebuild a persisted IVF-SQ8 ANN index", _cmd_ann_build)
+    p = add("ann-build", "build/rebuild a persisted ANN index (IVF-SQ8 or IVFPQ)", _cmd_ann_build)
     p.add_argument("embeddings", help="embeddings parquet path")
     p.add_argument("index", help="index root directory")
+    p.add_argument("--kind", choices=("sq8", "pq"), default="sq8")
     p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--pq-m", type=int, default=4,
+                   help="PQ subspaces (kind=pq)")
+    p.add_argument("--pq-codebook", type=int, default=8,
+                   help="centroids per PQ codebook (kind=pq)")
     p.add_argument("--sample-mod", type=int, default=None,
                    help="train the quantizer on a 1/N md5 hash sample")
     p.add_argument("--vec-col", default="embedding")
@@ -445,6 +465,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = add("ann-query", "top-k batch against a persisted ANN index", _cmd_ann_query)
     p.add_argument("index", help="index root directory")
     p.add_argument("queries", help="query vectors parquet path")
+    p.add_argument("--kind", choices=("sq8", "pq"), default="sq8")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--probes", type=int, default=1,
                    help="probe the N nearest cells per query (recall lever)")

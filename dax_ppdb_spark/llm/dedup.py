@@ -1076,6 +1076,7 @@ def _gram_fp_relation(
     text_col: str,
     id_col: str,
     with_tokens: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The span family's shared materialization: per doc, the ordered
     array of 60-bit n-gram fingerprints (``ga``;
@@ -1097,7 +1098,10 @@ def _gram_fp_relation(
     ]
     if with_tokens:
         cols.append(toks.alias("toks"))
-    return docs.select(*cols).localCheckpoint(eager=False)
+    out = docs.select(*cols)
+    # checkpoint=False exists for the plan tests, which pin the
+    # fingerprint width on the expression the checkpoint would hide
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def _dup_grams_from(rel: DataFrame, min_doc_freq: int) -> DataFrame:

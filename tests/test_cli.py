@@ -348,6 +348,20 @@ def test_cli_ann_build_and_query(tmp_path, capsys):
     hits = spark.read.parquet(out_path)
     assert hits.count() == 6  # 2 queries x top-3
     assert set(hits.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+    # the PQ tier behind the same commands
+    idx_pq = str(tmp_path / "index_pq")
+    assert main(
+        ["ann-build", emb_path, idx_pq, "--kind", "pq", "--clusters", "4",
+         "--pq-m", "2", "--pq-codebook", "4"]
+    ) == 0
+    out_pq = str(tmp_path / "hits_pq.parquet")
+    assert main(
+        ["ann-query", idx_pq, q_path, "--kind", "pq", "-k", "3",
+         "--out", out_pq]
+    ) == 0
+    hits_pq = spark.read.parquet(out_pq)
+    assert hits_pq.count() == 6
+    assert set(hits_pq.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
 
 
 def test_bucket_table_and_validate_cmds(spark, tmp_path, capsys):

@@ -295,7 +295,17 @@ def test_dup_spans_no_cartesian_single_gram_shuffle(spark, sf_dir, registry):
     assert plan.count("Exchange hashpartitioning(gram") <= 1
     # 60-bit fingerprints: hash-equality stands in for value equality
     # here; the 32-bit window would birthday-collide at corpus scale.
-    assert "substring(md5(cast(gram" in plan and ", 1, 15)" in plan
+    # The registered plan's lineage is truncated at the shared
+    # fingerprint materialization (localCheckpoint), so the width is
+    # pinned on the SAME relation built uncheckpointed.
+    from dax_ppdb_spark.llm.dedup import _gram_fp_relation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp_plan = plan_of(
+        _gram_fp_relation(docs, 5, "text", "doc_id", checkpoint=False)
+    )
+    assert "md5(" in fp_plan and ", 1, 15)" in fp_plan
+    assert ", 1, 8)" not in fp_plan
 
 
 def test_embedding_quantize_is_map_only(spark, sf_dir, registry):
