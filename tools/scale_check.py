@@ -121,27 +121,46 @@ QUERIES = [
     "multimodal_decode",
 ]
 
-# id column to shift per replica so keys stay unique (tables absent
-# from a query are still copied unshifted).
+# id columns to shift per replica so keys stay unique.  FOREIGN keys
+# shift alongside their dimension's primary key (l_suppkey with
+# s_suppkey, l_partkey with p_partkey) so each replica's facts join
+# its own replica's dimensions 1:1 — an unshifted FK against a
+# replicated dimension would give every fact row n matches and the
+# probe would measure n^2 OUTPUT blow-up, not plan scaling (this was
+# exactly revenue_by_nation's phantom 257x growth row).
 ID_SHIFT = {
-    "orders": ("o_orderkey", 100_000_000),
-    "lineitem": ("l_orderkey", 100_000_000),
-    "customer": ("c_custkey", 100_000_000),
-    "part": ("p_partkey", 100_000_000),
-    "events": ("event_id", 100_000_000),
-    "documents": ("doc_id", 100_000_000),
-    "embeddings": ("vec_id", 100_000_000),
+    "orders": (("o_orderkey", 100_000_000),),
+    "lineitem": (
+        ("l_orderkey", 100_000_000),
+        ("l_suppkey", 100_000_000),
+        ("l_partkey", 100_000_000),
+    ),
+    "customer": (("c_custkey", 100_000_000),),
+    "part": (("p_partkey", 100_000_000),),
+    "supplier": (("s_suppkey", 100_000_000),),
+    "events": (("event_id", 100_000_000),),
+    "documents": (("doc_id", 100_000_000),),
+    "embeddings": (("vec_id", 100_000_000),),
 }
+
+# Fixed-cardinality dimensions: a 10x corpus has 10x documents, not
+# 10x continents.  Copied once — replicating them duplicates their
+# KEYS, and every join through them multiplies its output n-fold.
+FIXED_DIMS = {"region", "nation"}
 
 
 def scale_table(spark, src: str, dst: str, table: str, n: int) -> None:
     df = spark.read.parquet(f"{src}/{table}.parquet")
-    col, shift = ID_SHIFT.get(table, (None, 0))
+    if table in FIXED_DIMS:
+        df.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+        return
+    shifts = ID_SHIFT.get(table, ())
     parts = []
     for i in range(n):
         p = df
-        if col is not None and i > 0:
-            p = p.withColumn(col, F.col(col) + F.lit(i * shift))
+        if i > 0:
+            for col, shift in shifts:
+                p = p.withColumn(col, F.col(col) + F.lit(i * shift))
         if table == "documents" and i > 0:
             # Replica texts must NOT be near-dups of the base copy,
             # or the dedup operators' TRUE output grows ~n^2 (every
