@@ -912,7 +912,14 @@ def bigram_logprob_score(
         .localCheckpoint(eager=False)
     )
     tok = tk.select(F.col(id_col), F.explode(ts).alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # freq feeds THREE consumers (context counts, kept-unigram side,
+    # OOV totals); checkpointed so the explode+count aggregation runs
+    # once, not once per diverged branch
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     kept_uni = freq.filter(F.col("n") >= min_count).select(
         F.col("t").alias("w"), F.col("n").alias("n_w")
     )
