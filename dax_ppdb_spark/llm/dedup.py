@@ -331,15 +331,24 @@ def cdc_neardup_pairs(
     shared / min(chunk counts) — the asymmetric measure that catches
     a small doc embedded in a large one.
     """
+    from pyspark.sql import Window
+
     from .text import cdc_chunks
 
+    # checkpointed: the chunker (codepoint array + per-position
+    # polynomial + per-chunk md5) is the dominant per-byte cost and
+    # would otherwise re-run for every downstream branch; the per-doc
+    # chunk count rides a window over the SAME materialized relation
+    # instead of a second aggregate + join
     ch = (
         cdc_chunks(docs, window, divisor, text_col, id_col)
         .select(F.col(id_col).alias("doc_id"), "chunk_fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    counted = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ch"))
-    inv = ch.join(counted, "doc_id")
+    inv = ch.withColumn(
+        "n_ch", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     members = (
         inv.groupBy("chunk_fp")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n_ch"))).alias("ms"))
@@ -1339,47 +1348,39 @@ def remove_duplicated_spans(
     60-bit fingerprints — 32 bits would birthday-collide at corpus
     scale and this operator DELETES text on collision) finds
     duplicated grams, which broadcast back onto the position explode
-    (``broadcast_dup=False`` falls back to a shuffle join); each
-    match expands to its n covered token indices (ids+ints only),
-    the token relation anti-joins the covered set, and one per-doc
-    aggregation rebuilds the text (``array_sort`` of (idx, token)
-    structs — a deterministic in-group sort, bounded by document
-    length).  The tokenize+gram+hash pass runs ONCE
+    (``broadcast_dup=False`` falls back to a shuffle join); the MATCH
+    POSITIONS aggregate per doc into one int array (no n-fold covered-
+    index expansion, no exploded-token relation ever shuffles), that
+    array joins back onto the materialized (doc, tokens) relation, and
+    the rebuild is a single in-row pass — a token at index ``i`` is
+    covered iff some match position ``p`` satisfies ``p <= i <
+    p + n`` (``exists`` over the sorted match array, bounded by the
+    doc's own match count).  The tokenize+gram+hash pass runs ONCE
     (:func:`_gram_fp_relation` with tokens carried for the rebuild).
     """
     rel = _gram_fp_relation(docs, n, text_col, id_col, with_tokens=True)
-    tk = rel.select(
-        "doc_id", F.posexplode(F.col("toks")).alias("idx", "tok")
-    )
     g = rel.select("doc_id", F.posexplode(F.col("ga")).alias("pos", "gram"))
     dup_grams = _dup_grams_from(rel, min_doc_freq)
     if broadcast_dup:
         dup_grams = F.broadcast(dup_grams)
-    covered = (
+    match_pos = (
         g.join(dup_grams, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("mp"))
     )
-    kept = tk.join(covered, ["doc_id", "idx"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                lambda s: s.tok,
-            ),
-            " ",
-        ).alias("cleaned"),
-        F.count(F.lit(1)).alias("n_kept"),
+    joined = rel.join(match_pos, "doc_id", "left").withColumn(
+        "mp", F.coalesce("mp", F.array().cast("array<int>"))
     )
-    base = rel.select("doc_id", F.size(F.col("toks")).alias("n_tokens"))
-    return base.join(rebuilt, "doc_id", "left").select(
+    mp = F.col("mp")
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(mp, lambda p: (p <= i) & (i < p + n)),
+    )
+    return joined.select(
         "doc_id",
-        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned"),
+        F.size(F.col("toks")).alias("n_tokens"),
+        (F.size(F.col("toks")) - F.size(kept)).alias("n_removed"),
     )
 
 
