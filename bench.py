@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_verified",
+    "dedup_index_probe",
     "dedup_jaccard_prefix",
     "dedup_clusters",
     "dedup_simhash",

@@ -1098,12 +1098,14 @@ _VERIFY_TAIL = (
     "tfidf_keywords",
     "hybrid_search",
     "dedup_edit",
-    # rotated in round 7 to make head slots for ann_index_pq and
-    # bpe_merges_batched (the new persisted-IVFPQ and batched-BPE
-    # tiers): both names below are green in CORRECTNESS_r06 and their
-    # implementations are untouched this round.
+    # rotated in round 7 to make head slots for ann_index_pq,
+    # bpe_merges_batched, and dedup_index_probe (the new
+    # persisted-IVFPQ, batched-BPE, and persisted-dedup-index tiers):
+    # every name below is green in CORRECTNESS_r06 and its
+    # implementation is untouched this round.
     "sequence_pack",
     "semdedup_flat",
+    "doc_chunks",
 )
 
 

@@ -646,6 +646,22 @@ def incremental_neardup_pairs(
         .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )
+    return _verify_batch_pairs(cand, new_docs, corpus, n, threshold, text_col, id_col)
+
+
+def _verify_batch_pairs(
+    cand: DataFrame,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over a (new_id, corpus_id) candidate
+    set — the shared verification tail of the incremental and
+    index-probe discovery paths (one code path = one semantics = one
+    oracle)."""
     txt_new = new_docs.select(
         F.col(id_col).alias("new_id"), F.col(text_col).alias("txt_a")
     )
@@ -1464,5 +1480,184 @@ def dedup_paragraphs(
         "n_paragraphs",
         (F.col("n_paragraphs") - F.coalesce("n_kept", F.lit(0))).alias(
             "n_removed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup index — the serving tier for rolling-ingest dedup,
+# completing the story the persisted ANN indexes (similarity.py)
+# started: the corpus's MinHash band keys are computed ONCE and stored
+# as a versioned ParquetTable, so each arriving batch pays
+# O(batch) banding + one map-side join against the standing keys
+# instead of re-hashing the whole corpus per call
+# (incremental_neardup_pairs' documented "at scale the corpus keys are
+# precomputed once and stored" — this is that store).  Same commit
+# discipline as the ANN tiers: build meta (banding params + exact
+# corpus fingerprint) rides a sidecar under the index's single CAS
+# pointer; appends are versioned commits; ensure() rebuilds only when
+# the corpus or the params moved.
+
+
+def _dedup_index_meta(index_root: str) -> dict:
+    """The committed generation's build meta (banding params live
+    here so probes can NEVER band a batch differently from the
+    index); driver-local read, zero Spark jobs."""
+    from .similarity import (
+        _BUILD_META_SIDECAR,
+        _ivf_index_table,
+        _read_sidecar_local,
+    )
+
+    tbl = _ivf_index_table(index_root)
+    rows = _read_sidecar_local(tbl, _BUILD_META_SIDECAR).to_pylist()
+    if not rows:
+        raise FileNotFoundError(f"no build meta under {index_root}")
+    return rows[0]
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_root: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _meta: dict | None = None,
+) -> None:
+    """Build (or atomically rebuild) the persisted band index: one
+    ``(band, key, doc_id)`` row per (document, band), partitioned by
+    band, with the banding parameters recorded in the ``_build_meta``
+    sidecar under the same pointer.  ~``bands`` 16-byte-ish rows per
+    document — a tiny fraction of corpus bytes — and the expensive
+    part of discovery (k md5 window parses per shingle) is paid once
+    per corpus instead of once per probe."""
+    import pyarrow as pa
+
+    from .similarity import _ivf_index_table
+
+    meta = {"k": int(k), "bands": int(bands), "n": int(n)}
+    meta.update(_meta or {})
+    rows = banded_minhash_keys(docs, k, bands, n, text_col, id_col).select(
+        "band", "key", "doc_id"
+    )
+    tbl = _ivf_index_table(index_root)
+    tbl.overwrite(
+        rows,
+        partition_by=("band",),
+        sidecars={
+            "_build_meta": pa.table({kk: [vv] for kk, vv in meta.items()})
+        },
+    )
+
+
+def probe_dedup_index(
+    spark: "SparkSession",
+    index_root: str,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against the persisted index —
+    bit-identical to :func:`incremental_neardup_pairs` run with the
+    index's banding parameters (pinned by the shared oracle), but the
+    corpus side never re-hashes and never shuffles:
+
+    - the batch bands with the INDEX's own (k, bands, n) read from its
+      meta sidecar (a probe cannot band differently from the store);
+    - the batch's distinct band keys BROADCAST onto the index scan —
+      a map-side hash semi-probe, the corpus keys stream from parquet;
+    - bucket-size capping counts rows per matched key over the matched
+      subset only (every corpus row of a matched key joins, so the
+      count IS the full bucket size — same cap semantics as the
+      per-call form's collect_set size);
+    - verification fetches candidate text only (``corpus`` supplies
+      text — the index stores derived keys, not a copy of the corpus)
+      via the shared exact-Jaccard tail.
+
+    Output: (new_id, corpus_id, jaccard >= threshold); batch docs
+    absent from the output are novel and safe to append
+    (:func:`append_to_dedup_index`).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _ivf_index_table
+
+    meta = _dedup_index_meta(index_root)
+    k, bands, n = int(meta["k"]), int(meta["bands"]), int(meta["n"])
+    bn = banded_minhash_keys(new_docs, k, bands, n, text_col, id_col).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    idx = _ivf_index_table(index_root).read(spark)
+    keys = bn.select("band", "key").distinct()
+    matched = idx.join(F.broadcast(keys), ["band", "key"])
+    if max_bucket is not None:
+        bs = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        matched = matched.withColumn("__bs", bs).filter(
+            F.col("__bs") <= max_bucket
+        )
+    cand = (
+        matched.join(bn, ["band", "key"])
+        .select("new_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    return _verify_batch_pairs(
+        cand, new_docs, corpus, n, threshold, text_col, id_col
+    )
+
+
+def append_to_dedup_index(
+    new_docs: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Extend the persisted index with a new batch's band keys — the
+    ingest companion of :func:`probe_dedup_index` (probe first, then
+    append what was kept).  Bands with the index's OWN parameters and
+    publishes old+batch via a versioned commit (hardlink copy-on-write
+    + CAS flip), so a concurrent probe never observes a partial batch.
+    The original build's corpus fingerprint stays in the meta, so a
+    later :func:`ensure_dedup_index` against the grown corpus
+    correctly sees it as stale."""
+    from .similarity import _ivf_index_table
+
+    meta = _dedup_index_meta(index_root)
+    k, bands, n = int(meta["k"]), int(meta["bands"]), int(meta["n"])
+    rows = banded_minhash_keys(new_docs, k, bands, n, text_col, id_col).select(
+        "band", "key", "doc_id"
+    )
+    _ivf_index_table(index_root).append_commit(rows, partition_by=("band",))
+
+
+def ensure_dedup_index(
+    docs: DataFrame,
+    index_root: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """Build-if-stale over :func:`build_dedup_index`: rebuild only
+    when the exact corpus fingerprint (count + summed
+    xxhash64(id, text)) or the banding parameters differ from the
+    committed generation's meta — the same serving contract as the
+    persisted ANN tiers (``similarity._ensure_index``)."""
+    from .similarity import _ensure_index
+
+    params = {"k": int(k), "bands": int(bands), "n": int(n)}
+    return _ensure_index(
+        docs,
+        index_root,
+        text_col,
+        id_col,
+        params,
+        lambda meta: build_dedup_index(
+            docs, index_root, k, bands, n, text_col, id_col, _meta=meta
         ),
     )

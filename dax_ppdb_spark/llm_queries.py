@@ -282,6 +282,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_index_probe", _incremental_sql())
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-dedup-index serving path: ensure the standing corpus
+    band index is current (exact corpus fingerprint gate), then probe
+    today's batch against it — the batch's distinct band keys
+    broadcast onto the stored keys (the corpus never re-hashes and
+    never shuffles), candidates exact-verify through the same tail as
+    dedup_incremental.  Bit-identical to incremental_neardup_pairs
+    with the index's banding, so the SAME oracle replays it; what
+    this adds is the store: at 100 TB each batch costs O(batch), not
+    O(corpus) re-banding per call."""
+    import os
+    import tempfile
+
+    from .llm.dedup import ensure_dedup_index, probe_dedup_index
+
+    # spread like dedup_incremental: the BATCH banding (the probe's
+    # only per-byte cost) is md5-dense and must parallelize; the
+    # ensure fingerprint is order-insensitive so the spread is safe
+    docs = _read_spread(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dax_ppdb_spark_dedup_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ensure_dedup_index(corpus, root, k=8, bands=4, n=3)
+    return probe_dedup_index(spark, root, batch, corpus, threshold=0.5)
+
+
 # Exact incremental dedup: the oracle states pure new-x-corpus
 # pairwise Jaccard — no banding, no caps (prefix filtering is
 # lossless, see llm.dedup.incremental_jaccard_prefix).

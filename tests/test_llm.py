@@ -1725,3 +1725,61 @@ def test_ann_pq_index_append_and_ensure(spark, tmp_path):
     # grown corpus: the fingerprint is stale, ensure retrains
     grown = emb.unionByName(twin)
     assert ensure_ivf_pq_index(grown, root, n_clusters=4, m=2, k_cb=4) is True
+
+
+def test_dedup_index_probe_matches_per_call_incremental(spark, tmp_path):
+    """probe_dedup_index against a built index must reproduce
+    incremental_neardup_pairs bit for bit (same banding read from the
+    index meta, same cap semantics, same verify tail); ensure() is a
+    no-op while the corpus matches and retrains on change; append is a
+    versioned commit whose keys the next probe sees."""
+    import os
+
+    from dax_ppdb_spark.io.table import ParquetTable
+    from dax_ppdb_spark.llm.dedup import (
+        append_to_dedup_index,
+        ensure_dedup_index,
+        incremental_neardup_pairs,
+        probe_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i % 7}") for i in range(40)]
+        + [(100 + i, f"unrelated text number {i} with its own words entirely") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    root = str(tmp_path / "didx")
+
+    assert ensure_dedup_index(corpus, root, k=8, bands=4, n=3) is True
+    got = probe_dedup_index(spark, root, batch, corpus, threshold=0.5).collect()
+    want = incremental_neardup_pairs(
+        batch, corpus, k=8, bands=4, n=3, threshold=0.5
+    ).collect()
+    key = lambda r: (r.new_id, r.corpus_id, r.jaccard)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert got  # the near-dup family must actually pair up
+
+    t = ParquetTable(os.path.join(root, "index"))
+    v1 = t.current_version()
+    assert ensure_dedup_index(corpus, root, k=8, bands=4, n=3) is False
+    assert t.current_version() == v1
+    # param change forces a rebuild
+    assert ensure_dedup_index(corpus, root, k=8, bands=2, n=3) is True
+    assert ensure_dedup_index(corpus, root, k=8, bands=4, n=3) is True
+
+    # append a twin of a batch doc, versioned commit, then probe:
+    # the batch doc must pair with the appended id
+    twin = spark.createDataFrame(
+        [(999, base + " tail0")], "doc_id LONG, text STRING"
+    )
+    v2 = t.current_version()
+    append_to_dedup_index(twin, root)
+    assert t.current_version() != v2
+    grown_corpus = corpus.unionByName(twin)
+    after = probe_dedup_index(spark, root, batch, grown_corpus, threshold=0.5)
+    assert any(r.corpus_id == 999 for r in after.collect())
+    # grown corpus -> stale fingerprint -> ensure retrains
+    assert ensure_dedup_index(grown_corpus, root, k=8, bands=4, n=3) is True

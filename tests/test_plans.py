@@ -525,3 +525,26 @@ def test_retention_cohorts_no_event_self_join(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_dedup_index_probe_corpus_never_shuffles(spark, sf_dir, registry):
+    """The persisted-dedup-index probe's whole point: the stored
+    corpus band keys STREAM out of their parquet scan into a broadcast
+    hash join against the batch's key set — no cartesian, no nested
+    loop, and every hash exchange in the plan is batch-driven (batch
+    signature aggregation, batch key distinct, matched-subset window,
+    candidate distinct), never a re-partition of the full index."""
+    plan = plan_of(registry["dedup_index_probe"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the index scan is the streamed side of a broadcast join
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    # batch-driven exchanges only (sig agg, key distinct, matched
+    # window, candidate distinct — a handful of small relations); the
+    # full index is never among them: it streams into the BuildRight
+    # join pinned above, and a re-partition of the corpus would add
+    # an exchange keyed on the index columns BELOW that join, pushing
+    # the count past this bound
+    assert plan.count("Arguments: hashpartitioning") <= 8, plan.count(
+        "Arguments: hashpartitioning"
+    )
