@@ -84,6 +84,7 @@ HEADLINE = [
     "shard_pack",
     "corpus_curate",
     "gopher_quality",
+    "quality_classifier",
     "top_ngrams",
     "dedup_keep_best",
     "quality_quantiles",

@@ -1106,6 +1106,7 @@ _VERIFY_TAIL = (
     "sequence_pack",
     "semdedup_flat",
     "doc_chunks",
+    "shard_pack",
 )
 
 

@@ -282,6 +282,85 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_sql(dim: int = 64, rounds: int = 3, lr: float = 0.5) -> str:
+    """Oracle for the hashed logistic classifier: replays the FULL
+    training (per-round left-fold dot product, round-6 decimal
+    residuals, exact per-feature gradient sums via a j->g map, the
+    identical IEEE weight update) and the final scoring pass.  The
+    weight vector rides each round as a one-row list CTE."""
+    hj = (
+        f"list_transform({_TOKS}, tk -> "
+        f"CAST({md5_long_sql('tk')} % {dim} AS INT))"
+    )
+    # left fold, bias at w[dim+1]; empty token lists fold to 0.0
+    def wx(wrel: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(hj, j -> {wrel}.w[j + 1])), (a, b) -> a + b) "
+            f"+ {wrel}.w[{dim + 1}]"
+        )
+
+    sql = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           {hj} AS hj
+    FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+w0 AS (SELECT list_transform(range(1, {dim + 2}), j -> CAST(0.0 AS DOUBLE)) AS w)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+p{r} AS (
+    SELECT doc_id, hj,
+           CAST(round(y - 1.0 / (1.0 + exp(-({wx(f"w{r-1}")}))), 6)
+                AS DECIMAL(16,6)) AS rd
+    FROM t, w{r - 1}
+),
+g{r} AS (
+    SELECT map(coalesce(list(j), []), coalesce(list(g), [])) AS gm
+    FROM (SELECT j, SUM(rd) AS g
+          FROM (SELECT rd, unnest(list_append(hj, {dim})) AS j FROM p{r})
+          GROUP BY j)
+),
+w{r} AS (
+    SELECT list_transform(range(0, {dim + 1}), j ->
+        w{r - 1}.w[j + 1]
+        + ({lr} * CAST(coalesce(gm[j][1], 0) AS DOUBLE)) / nn.n) AS w
+    FROM w{r - 1}, g{r}, nn
+)"""
+    sql += f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({wx(f"w{rounds}")}))), 6) + 0.0 AS score,
+       (round(1.0 / (1.0 + exp(-({wx(f"w{rounds}")}))), 6) + 0.0) >= 0.5
+           AS predicted
+FROM t, w{rounds}
+"""
+    return sql
+
+
+@register("quality_classifier", _classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality/domain filter, trained IN the engine: a
+    fasttext-style hashed bag-of-tokens logistic regression (dim-64
+    features, 3 GD rounds) fit against the is-English label, then
+    scored over the corpus in one map pass — the CCNet/LLaMA
+    classifier-gate shape.  Per round: one map-side residual pass
+    under broadcast-literal weights + one decimal-exact per-feature
+    gradient aggregation; the model (65 doubles) is the only thing
+    that leaves the executors.  The oracle replays the entire
+    training, so the learned weights — not just the scores — are
+    cross-engine exact."""
+    from .llm.classify import train_and_score
+
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    return train_and_score(
+        docs, label_col="y", dim=64, rounds=3, lr=0.5
+    )
+
+
 @register("dedup_index_probe", _incremental_sql())
 def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-dedup-index serving path: ensure the standing corpus

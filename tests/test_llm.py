@@ -1783,3 +1783,91 @@ def test_dedup_index_probe_matches_per_call_incremental(spark, tmp_path):
     assert any(r.corpus_id == 999 for r in after.collect())
     # grown corpus -> stale fingerprint -> ensure retrains
     assert ensure_dedup_index(grown_corpus, root, k=8, bands=4, n=3) is True
+
+
+def test_hashed_logistic_learns_separable_classes(spark):
+    """Two vocabularies that never overlap: after 3 rounds the
+    classifier must score every positive above every negative and
+    predict both classes correctly; weights are dim+1 with bias
+    last."""
+    from dax_ppdb_spark.llm.classify import (
+        hashed_logistic_score,
+        hashed_logistic_train,
+    )
+
+    pos = [(i, "good clean prose sentence here", 1.0) for i in range(20)]
+    neg = [(100 + i, "zz9 qq8 xx7 vv6 kk5", 0.0) for i in range(20)]
+    docs = spark.createDataFrame(
+        pos + neg, "doc_id LONG, text STRING, label DOUBLE"
+    )
+    w = hashed_logistic_train(docs, "label", dim=32, rounds=3, lr=1.0)
+    assert len(w) == 33
+    rows = hashed_logistic_score(docs, w, dim=32).collect()
+    s = {r.doc_id: r for r in rows}
+    pos_scores = [s[i].score for i, _, _ in pos]
+    neg_scores = [s[i].score for i, _, _ in neg]
+    assert min(pos_scores) > max(neg_scores)
+    assert all(s[i].predicted for i, _, _ in pos)
+    assert not any(s[i].predicted for i, _, _ in neg)
+
+
+def test_hashed_logistic_matches_bruteforce(spark):
+    """Plain-Python replay of the full training: hashed features,
+    left-fold dot product, round-6 residuals summed exactly (Decimal),
+    identical IEEE weight updates — the learned weights and every
+    score must match bit for bit."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dax_ppdb_spark.llm.classify import (
+        hashed_logistic_score,
+        hashed_logistic_train,
+    )
+
+    data = [
+        (0, "alpha beta gamma alpha", 1.0),
+        (1, "delta beta", 0.0),
+        (2, "gamma gamma epsilon", 1.0),
+        (3, "zeta", 0.0),
+        (4, "", 1.0),
+    ]
+    dim, rounds, lr = 8, 3, 0.5
+    docs = spark.createDataFrame(data, "doc_id LONG, text STRING, label DOUBLE")
+    w = hashed_logistic_train(docs, "label", dim=dim, rounds=rounds, lr=lr)
+
+    def h(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    feats = [(y, [h(t) for t in txt.split()]) for _, txt, y in data]
+    want = [0.0] * (dim + 1)
+    n = len(data)
+    for _ in range(rounds):
+        g = {}
+        for y, hj in feats:
+            wx = 0.0
+            for j in hj:
+                wx = wx + want[j]
+            wx += want[dim]
+            rd = Decimal(repr(r6(y - 1.0 / (1.0 + math.exp(-wx)))))
+            for j in hj + [dim]:
+                g[j] = g.get(j, Decimal(0)) + rd
+        want = [
+            want[j] + (lr * float(g.get(j, 0))) / n for j in range(dim + 1)
+        ]
+    assert w == want
+    got = {
+        r.doc_id: r.score
+        for r in hashed_logistic_score(docs, w, dim=dim).collect()
+    }
+    for i, (y, hj) in enumerate(feats):
+        wx = 0.0
+        for j in hj:
+            wx = wx + want[j]
+        wx += want[dim]
+        assert got[i] == r6(1.0 / (1.0 + math.exp(-wx))) + 0.0

@@ -99,6 +99,7 @@ QUERIES = [
     "ann_index_pq",
     "bpe_merges_batched",
     "dedup_index_probe",
+    "quality_classifier",
     # round 7: the remaining bench headliners join the table so every
     # non-trivial benched plan has a measured growth row
     "topk_per_key",
