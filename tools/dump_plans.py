@@ -197,6 +197,30 @@ ANNOTATED = {
         " query side hash-joins its cell only; the corpus never"
         " shuffles."
     ),
+    "ann_index_pq": (
+        "Persisted IVFPQ probe: PartitionFilters prune the scan to the"
+        " probed cells, the m-code payloads reconstruct"
+        " cents[cid] + books[s][codes[s]] INSIDE the scan expression"
+        " (both model levels ride one broadcast data row), and the"
+        " collected query batch broadcasts — one small assignment job"
+        " plus one scoring job, zero model-load jobs on a warm cache."
+    ),
+    "dedup_index_probe": (
+        "Persisted dedup-index probe: the stored corpus band keys"
+        " STREAM out of their parquet scan into a broadcast hash join"
+        " against the batch's key set (BuildRight); every hash exchange"
+        " in the plan is batch-driven (signature agg, key distinct,"
+        " matched-subset window, candidate distinct) — the index is"
+        " never re-partitioned, the corpus never re-hashed."
+    ),
+    "quality_classifier": (
+        "Learned filter scoring after in-engine training: the final"
+        " pass is ONE map-side projection (hashed features folded"
+        " against literal weights, sigmoid, round) — no join, no"
+        " shuffle, no Python; training ran as three"
+        " residual+gradient-aggregation jobs whose only driver traffic"
+        " is the 65-double model."
+    ),
 }
 
 
