@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_banded",
+    "embedding_recall",
     "text_stats",
     "repetition_ratio",
     "lm_score",

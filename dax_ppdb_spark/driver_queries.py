@@ -1107,6 +1107,7 @@ _VERIFY_TAIL = (
     "semdedup_flat",
     "doc_chunks",
     "shard_pack",
+    "stratified_sample",
 )
 
 

@@ -990,6 +990,7 @@ def embedding_neardup_pairs(
     n_bands: int = 8,
     target_bucket_size: int = 32,
     corpus_count: int | None = None,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
 
@@ -1034,7 +1035,17 @@ def embedding_neardup_pairs(
             bands = (tuple(sign_dims),)
         else:
             n = corpus_count if corpus_count is not None else emb.count()
-            bands = auto_bands(dim, n, n_bands, target_bucket_size)
+            # target_recall derives the BAND COUNT from the hyperplane
+            # model at this operator's cosine threshold (auto_bands),
+            # so the tier's miss rate is a chosen number
+            bands = auto_bands(
+                dim,
+                n,
+                n_bands,
+                target_bucket_size,
+                target_recall=target_recall,
+                threshold=threshold if target_recall is not None else None,
+            )
     keys = F.array(*[_key(b) for b in bands])
     # Candidate generation shuffles IDs ONLY — the same agg-and-expand
     # shape as minhash_lsh_pairs, but the 64-double vectors never ride

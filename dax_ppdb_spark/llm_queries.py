@@ -627,7 +627,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_banded_sql(bands: tuple[tuple[int, ...], ...]) -> str:
+def _emb_banded_sql(
+    bands: tuple[tuple[int, ...], ...], threshold: float = 0.3
+) -> str:
     """Oracle for the OR-of-ANDs banded sign-LSH: per-band bucket
     self-joins, DISTINCT candidate pairs, cosine scored once."""
     keyed = "\n    UNION ALL ".join(
@@ -660,7 +662,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN e ea ON ea.id = c.id_a
 JOIN e eb ON eb.id = c.id_b
-WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 """
 
 
@@ -674,6 +676,129 @@ def _emb_banded_auto_sql() -> str:
     from .llm.dedup import auto_bands
 
     return _emb_banded_sql(auto_bands(64, oracle_table_rows("embeddings")))
+
+
+def _emb_recall_sql() -> str:
+    """Lazily-resolved oracle for the sign-LSH recall evaluation:
+    exact truth from a capped deterministic sample (vec_id < 256 —
+    bounded at ANY corpus size), the recall-derived banded tier over
+    the full corpus, and the hyperplane-model prediction computed by
+    the SAME Python expression the Spark side embeds (a literal, so
+    the hash compares it exactly)."""
+    import math
+
+    from .driver_queries import oracle_table_rows
+    from .llm.dedup import auto_bands
+
+    n = oracle_table_rows("embeddings")
+    bands = auto_bands(64, n)
+    q = 1.0 - math.acos(0.32) / math.pi
+    p, nb = len(bands[0]), len(bands)
+    model = round(1.0 - (1.0 - q**p) ** nb, 6)
+    return f"""
+WITH s AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id < 256
+),
+truth AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.32
+),
+cand AS (
+    SELECT id_a, id_b FROM ({_emb_banded_sql(bands, 0.32)})
+    WHERE id_a < 256 AND id_b < 256
+),
+hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN cand c USING (id_a, id_b))
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS recall,
+       CAST({model!r} AS DOUBLE) AS model_recall,
+       CAST({nb} AS BIGINT) AS n_bands
+"""
+
+
+@register("embedding_recall", _emb_recall_sql)
+def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH tier evaluation — the embedding twin of dedup_recall:
+    measured recall of the default corpus-scaled banded tier against
+    exact cosine >= 0.32 truth on a capped deterministic sample
+    (vec_id < 256, so the quadratic truth stays bounded at any corpus
+    size), reported next to the hyperplane model's prediction for the
+    SAME band structure.  This is the calibration check behind
+    auto_bands(target_recall=): the axis planes are not iid random
+    hyperplanes, so the model is a calibrated approximation, and this
+    query measures how calibrated — at a mid-similarity threshold the
+    banded tier is EXPECTED to miss most pairs (it is built for
+    near-dup-grade cosines; the model says so too, which is the
+    point).  (Candidates are cosine-verified, so the banded tier's
+    precision is 1 by construction; recall is the only free number.)
+    """
+    import math
+
+    from .llm.dedup import auto_bands, embedding_neardup_pairs
+    from .llm.similarity import cosine_similarity
+
+    emb = _read_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = _read(spark, sf_dir, "embeddings").count()
+    bands = auto_bands(64, n)
+    q = 1.0 - math.acos(0.32) / math.pi
+    p, nb = len(bands[0]), len(bands)
+    model = round(1.0 - (1.0 - q**p) ** nb, 6)
+
+    s = emb.filter(F.col("vec_id") < 256)
+    one = s.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("id"), F.col("v")))
+        ).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.round(cosine_similarity(x["v"], y["v"]), 6).alias("c"),
+                ),
+            ),
+        )
+    )
+    truth = (
+        one.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.c") >= 0.32)
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        embedding_neardup_pairs(
+            emb,
+            threshold=0.32,
+            vec_col="v",
+            corpus_count=n,
+        )
+        .filter((F.col("id_a") < 256) & (F.col("id_b") < 256))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    counts = truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return counts.select(
+        "n_true",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
+        F.lit(model).alias("model_recall"),
+        F.lit(nb).cast("long").alias("n_bands"),
+    )
 
 
 @register("dedup_embedding_banded", _emb_banded_auto_sql)

@@ -1871,3 +1871,55 @@ def test_hashed_logistic_matches_bruteforce(spark):
             wx = wx + want[j]
         wx += want[dim]
         assert got[i] == r6(1.0 / (1.0 + math.exp(-wx))) + 0.0
+
+
+def test_embedding_neardup_target_recall_wiring(spark):
+    """target_recall threads through to auto_bands: the banded run
+    uses the model-derived band count (more bands than the default 8
+    when the target demands it), and its output stays a cosine-exact
+    subset of the brute-force truth — extra bands only ADD candidate
+    coverage, never wrong pairs."""
+    from dax_ppdb_spark.llm.dedup import auto_bands, embedding_neardup_pairs
+
+    rows = []
+    for i in range(120):
+        base = [float((i * 5 + j) % 9) - 4.0 for j in range(16)]
+        rows.append((i, base))
+        if i % 10 == 0:  # a near-twin: same direction, tiny jitter
+            rows.append((1000 + i, [x * 1.01 + 0.01 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    n = emb.count()
+    t, r = 0.98, 0.999
+    derived = auto_bands(16, n, target_recall=r, threshold=t)
+    got = embedding_neardup_pairs(
+        emb, threshold=t, dim=16, corpus_count=n, target_recall=r
+    ).collect()
+    # exact truth by brute force on the driver (240 vectors)
+    import math
+
+    vecs = {i: v for i, v in rows}
+    want = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                va, vb = vecs[a], vecs[b]
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = math.sqrt(sum(x * x for x in va))
+                nb = math.sqrt(sum(x * x for x in vb))
+                if na and nb and round(dot / (na * nb), 6) >= t:
+                    want.add((a, b))
+    got_pairs = {(r2.id_a, r2.id_b) for r2 in got}
+    assert got_pairs <= want  # cosine-verified: no false pairs ever
+    # the derived band count is the model's minimal B for the target
+    # (at a 0.98 threshold that is FEWER than the default 8 — high
+    # thresholds are easy; the target both adds and removes work)
+    import math as _m
+
+    q = 1.0 - _m.acos(t) / _m.pi
+    per = q ** len(derived[0])
+    assert 1.0 - (1.0 - per) ** len(derived) >= r
+    if len(derived) > 1:
+        assert 1.0 - (1.0 - per) ** (len(derived) - 1) < r
+    # the near-twin pairs are exactly the high-cosine truth; the
+    # derived banding must catch the overwhelming majority
+    assert len(got_pairs) >= int(0.9 * len(want)) and want

@@ -100,6 +100,7 @@ QUERIES = [
     "bpe_merges_batched",
     "dedup_index_probe",
     "quality_classifier",
+    "embedding_recall",
     # round 7: the remaining bench headliners join the table so every
     # non-trivial benched plan has a measured growth row
     "topk_per_key",
