@@ -167,8 +167,13 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # The driver captures only the tail of stdout; with 86 per-query
+    # floats the full map outgrew that capture and BENCH_r06/r07 recorded
+    # "parsed": null.  Keep the printed line compact (aggregates + the 10
+    # slowest queries) and write the complete per-query map alongside.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
@@ -176,6 +181,22 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "repeat": repeat,
+            },
+            fh,
+            indent=1,
+        )
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": top,
+                "n_queries": len(timings),
+                "sf": sf,
+                "repeat": repeat,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

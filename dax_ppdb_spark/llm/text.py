@@ -876,47 +876,55 @@ def bigram_logprob_score(
     text — shuffled tokens, keyword stuffing — that per-token unigram
     statistics cannot see.
 
-    Single-tokenize for real: the corpus is tokenized ONCE into a
-    per-doc token-array relation whose lineage is truncated
-    (``localCheckpoint``); BOTH the bigram-pair relation and the
-    unigram frequency model explode that materialized array — the
-    regex tokenizer (the per-byte-expensive pass) never runs twice.
-    (The previous shape checkpointed only the bigram side and
-    re-tokenized the full corpus for the unigram model, which doubled
-    the dominant cost.)  The bigram model CANNOT be broadcast-hinted
-    at corpus scale (the min-count-pruned bigram table still grows
-    with the corpus, unlike the pooled unigram vocab), so its join is
-    left to AQE — runtime sizes pick broadcast when it is actually
-    small, and a hot context splits under AQE skew-join.  Docs with
-    fewer than two tokens have no bigrams and are absent from the
-    output (both engines agree).
+    Single-tokenize AND single-explode: the corpus is tokenized once
+    and exploded ONCE into a per-position relation ``(doc, v, w)``
+    with ``v`` the token at position i and ``w`` its successor (NULL
+    at the last position of each doc).  Every token appears exactly
+    once as ``v``, so the SAME exploded relation feeds both the
+    unigram frequency model (groupBy v) and the per-doc bigram counts
+    (filter w IS NOT NULL, groupBy) — the round-7 shape exploded the
+    token arrays twice, doubling the per-token row cost that
+    dominates at corpus scale.  The global bigram count ``c2`` is a
+    window sum over (v, w) on the per-doc bigram relation — one
+    exchange replacing the previous groupBy-then-self-join (one fewer
+    shuffle, one fewer checkpoint, and the model and the scoring rows
+    are co-partitioned by construction).  The unigram model joins
+    (context counts, kept-unigram backoff) are left to AQE: the vocab
+    relation usually broadcasts, but it grows with the corpus (typos,
+    URLs), so a hint would be wrong at 100 TB.  Docs with fewer than
+    two tokens have no bigrams and are absent from the output (both
+    engines agree).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    tk = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__ts")
-    ).localCheckpoint(eager=False)
-    ts = F.col("__ts")
+    ts = tokens(F.col(text_col))
     n = F.size(ts)
-    pairs = F.zip_with(
-        F.slice(ts, 1, n - 1),
-        F.slice(ts, 2, n - 1),
-        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    succ = F.concat(
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
     )
-    dbig = (
-        tk.filter(n >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
-        .groupBy(id_col, "v", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    pos = (
+        docs.filter(n >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(ts, succ, lambda a, b: F.struct(a.alias("v"), b.alias("w")))
+            ).alias("p"),
+        )
+        .select(id_col, "p.v", "p.w")
         .localCheckpoint(eager=False)
     )
-    tok = tk.select(F.col(id_col), F.explode(ts).alias("t"))
+    dbig = (
+        pos.filter(F.col("w").isNotNull())
+        .groupBy(id_col, "v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     # freq feeds THREE consumers (context counts, kept-unigram side,
-    # OOV totals); checkpointed so the explode+count aggregation runs
-    # once, not once per diverged branch
+    # OOV totals); checkpointed so the count aggregation over the
+    # token-sized relation runs once, not once per diverged branch
     freq = (
-        tok.groupBy("t")
+        pos.groupBy(F.col("v").alias("t"))
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
     )
@@ -928,20 +936,17 @@ def bigram_logprob_score(
         F.sum("n").alias("z"),
         F.sum(F.when(F.col("n") < min_count, F.col("n"))).alias("n_oov"),
     )
-    big_model = (
-        dbig.groupBy("v", "w")
-        .agg(F.sum("c").alias("c2"))
-        .filter(F.col("c2") >= min_count)
-    )
     scored = (
-        dbig.join(big_model, ["v", "w"], "left")
+        dbig.withColumn(
+            "c2", F.sum("c").over(Window.partitionBy("v", "w"))
+        )
         .join(ctx, "v")
         .join(kept_uni, "w", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "lp",
             F.when(
-                F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("c1"))
+                F.col("c2") >= min_count, F.log(F.col("c2") / F.col("c1"))
             ).otherwise(
                 F.log(
                     F.lit(alpha)

@@ -4,9 +4,15 @@ The BASELINE target (BASELINE.json) is "within 2x of DuckDB on the
 same sf parquet" — the reference publishes no numbers, so DuckDB
 executing the oracle SQL is the stand-in single-node baseline.
 
-Usage: python tools/bench_compare.py [sf_dir] [--md]
+Usage: python tools/bench_compare.py [sf_dir] [--md] [--repeat N]
 Prints query | duckdb s | pyspark s | ratio, plus a markdown table
 with --md (paste into BASELINE.md).
+
+Each side runs ``--repeat N`` times (default 2) and reports the
+MINIMUM — same noise-floor discipline as bench.py.  The round-7
+verdict showed the single-run table disagreeing with min-of-2 BENCH
+by 2-3x on exactly the rows under adjudication (dedup_span_removal
+3.29s vs 1.26s), so single-run ratios cannot adjudicate the 2x bar.
 """
 
 from __future__ import annotations
@@ -26,8 +32,19 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    md = "--md" in sys.argv
+    argv = sys.argv[1:]
+    repeat = 2
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = max(int(argv[i + 1]), 1)
+        del argv[i : i + 2]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    md = "--md" in argv
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # Lazily-resolved oracles (size-derived SQL) must see the same
@@ -36,6 +53,8 @@ def main() -> None:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = [n for n in HEADLINE if n in queries and n in oracles]
+    if only:
+        names = [n for n in names if n in only]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -68,12 +87,16 @@ def main() -> None:
 
     rows = []
     for name in names:
-        t0 = time.time()
-        con.execute(oracles[name]).fetchall()
-        duck = time.time() - t0
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        sprk = time.time() - t0
+        duck = sprk = None
+        for _ in range(repeat):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            dt = time.time() - t0
+            duck = dt if duck is None else min(duck, dt)
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            sprk = dt if sprk is None else min(sprk, dt)
         rows.append((name, duck, sprk, sprk / duck if duck > 0 else float("inf")))
         print(f"{name:28s} duckdb={duck:7.3f}s  spark={sprk:7.3f}s  ratio={sprk/max(duck,1e-9):6.2f}x")
 
