@@ -131,7 +131,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("dax_ppdb_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = driver_queries.queries()
+    registry = driver_queries.all_queries()  # incl. driver-folded twins
     names = [n for n in HEADLINE if n in registry]
     # Warm the JVM so timings measure the engine, not JIT compilation:
     # run every headline query once against the tiny sf0.001 tables

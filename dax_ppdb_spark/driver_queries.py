@@ -1054,7 +1054,6 @@ _VERIFY_TAIL = (
     "except_ids",
     "intersect_ids",
     "dedup_verified",
-    "dedup_incremental",
     "dedup_clusters",
     "dedup_embedding",
     "dedup_embedding_banded",
@@ -1063,7 +1062,6 @@ _VERIFY_TAIL = (
     "multimodal_decode",
     "multimodal_resize",
     "corpus_curate",
-    "ann_topk_ivf_sq8",
     "ann_topk_kmeans",
     "gopher_quality",
     "top_ngrams",
@@ -1087,7 +1085,6 @@ _VERIFY_TAIL = (
     # take head slots: every name below is green at its last external
     # check with its implementation file untouched this round.
     # tests/test_registry.py enforces head == 50 mechanically.
-    "pivot_patch",
     "updates_pipeline",
     "update_validate",
     "latest_only",
@@ -1111,11 +1108,32 @@ _VERIFY_TAIL = (
 )
 
 
-def _ordered() -> dict[str, Query]:
+# Folded out of the DRIVER surface only (round-8 registry hygiene):
+# each name is bit-identical per call to a registered twin that shares
+# its oracle BY CONSTRUCTION (same SQL object), so an external slot
+# spent on it duplicates its twin's check while stretching the
+# rotation cadence for everyone else.  The fold keeps the persisted-
+# index variants registered — one slot then covers the per-call
+# algorithm (shared oracle) PLUS the index build/commit/prune layers.
+# The folded queries stay fully implemented, benched, scale-checked,
+# and oracle-gated through all_queries()/all_oracle_sql() (tools/
+# selfcheck.py, bench.py, tools/scale_check.py, tests), and the
+# per-call equivalence is pytest-pinned (tests/test_llm.py).
+_FOLDED = frozenset({
+    "ann_topk_ivf_sq8",   # twin: ann_index_persisted (same _ivf_sq8_sql)
+    "ann_topk_ivfpq",     # twin: ann_index_pq (same _ivfpq_sql)
+    "dedup_incremental",  # twin: dedup_index_probe (same _incremental_sql)
+})
+
+
+def _ordered(include_folded: bool = False) -> dict[str, Query]:
     from . import llm_queries  # noqa: F401  (registers the LLM-data queries)
 
-    head = {n: q for n, q in REGISTRY.items() if n not in _VERIFY_TAIL}
-    tail = {n: REGISTRY[n] for n in _VERIFY_TAIL if n in REGISTRY}
+    reg = REGISTRY if include_folded else {
+        n: q for n, q in REGISTRY.items() if n not in _FOLDED
+    }
+    head = {n: q for n, q in reg.items() if n not in _VERIFY_TAIL}
+    tail = {n: reg[n] for n in _VERIFY_TAIL if n in reg}
     return {**head, **tail}
 
 
@@ -1127,6 +1145,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: (q.sql() if callable(q.sql) else q.sql)
         for name, q in _ordered().items()
+        if q.sql is not None
+    }
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query INCLUDING the driver-folded twins — the
+    surface the internal gates (selfcheck, bench, scale study, plan
+    pins) run against, so folding a query out of the external window
+    never drops it from verification."""
+    return {name: q.fn for name, q in _ordered(include_folded=True).items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {
+        name: (q.sql() if callable(q.sql) else q.sql)
+        for name, q in _ordered(include_folded=True).items()
         if q.sql is not None
     }
 

@@ -31,7 +31,8 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def registry():
-    return driver_queries.queries()
+    # all_queries: plan pins cover the driver-folded twins too
+    return driver_queries.all_queries()
 
 
 def test_ledger_scan_pushes_range_filter(spark, sf_dir, registry):

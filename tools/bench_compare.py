@@ -50,8 +50,10 @@ def main() -> None:
     # Lazily-resolved oracles (size-derived SQL) must see the same
     # corpus the DuckDB views below read.
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    from dax_ppdb_spark import driver_queries as _dq
+
+    queries = _dq.all_queries()
+    oracles = _dq.all_oracle_sql()
     names = [n for n in HEADLINE if n in queries and n in oracles]
     if only:
         names = [n for n in names if n in only]

@@ -230,7 +230,7 @@ def main() -> None:
     # events.parquet stores TIMESTAMP(NANOS); read as raw ns (the
     # query fns standardize on integer µs regardless).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    registry = driver_queries.queries()
+    registry = driver_queries.all_queries()
 
     tmp = tempfile.mkdtemp(prefix="scale_check_")
     try:

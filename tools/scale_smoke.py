@@ -70,7 +70,7 @@ def main() -> int:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    registry = driver_queries.queries()
+    registry = driver_queries.all_queries()
 
     tables = sorted({t for ts in GATED.values() for t in ts})
     tmp = tempfile.mkdtemp(prefix="scale_smoke_")

@@ -96,8 +96,12 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # Full registry incl. the driver-folded twins: folding a query out
+    # of the external window must never drop it from the internal gate.
+    from dax_ppdb_spark import driver_queries
+
+    qs = driver_queries.all_queries()
+    oracles = driver_queries.all_oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
