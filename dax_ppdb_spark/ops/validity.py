@@ -50,6 +50,7 @@ def fill_validity_end(
     start_col: str = "validityStartMjdTai",
     end_col: str = "validityEndMjdTai",
     tiebreak_cols: tuple[str, ...] = (),
+    observe_as: str | None = None,
 ) -> DataFrame:
     """W2/J4/P8: close open validity intervals from the next version's start.
 
@@ -58,21 +59,53 @@ def fill_validity_end(
     ``tiebreak_cols`` extend the window ordering when ``start_col``
     alone is not unique per object (the reference's PK guarantees
     uniqueness; generic inputs may not).  Column order of ``target``
-    is preserved.
+    is preserved.  ``observe_as`` attaches per-MERGE DML counts
+    (rows scanned, touched-object rows, intervals actually closed) to
+    the next action — the analog of the reference's affected-row
+    logging for this UPDATE (``updates_manager.py:242-271``); resolve
+    with ``metrics.flush_observations``.
     """
     if staged_ids is not None:
         ids = F.broadcast(staged_ids.select(id_col).distinct())
-        touched = target.join(ids, id_col, "left_semi")
-        untouched = target.join(ids, id_col, "left_anti")
+        touched = target.join(ids, id_col, "left_semi").withColumn(
+            "__touched", F.lit(True)
+        )
+        untouched = target.join(ids, id_col, "left_anti").withColumn(
+            "__touched", F.lit(False)
+        )
     else:
-        touched, untouched = target, None
+        touched = target.withColumn("__touched", F.lit(True))
+        untouched = None
 
     w = Window.partitionBy(id_col).orderBy(start_col, *tiebreak_cols)
-    filled = touched.withColumn(
+    filled = touched.withColumn("__was_open", F.col(end_col).isNull()).withColumn(
         end_col, F.coalesce(F.col(end_col), F.lead(start_col).over(w))
     )
     if untouched is not None:
-        filled = filled.unionByName(untouched)
+        filled = filled.unionByName(
+            untouched.withColumn("__was_open", F.lit(False)),
+            allowMissingColumns=True,
+        )
+    if observe_as:
+        from .. import metrics
+
+        filled = metrics.observe(
+            filled,
+            observe_as,
+            {
+                "rows": F.count(F.lit(1)),
+                "touched": F.count(F.when(F.col("__touched"), 1)),
+                "filled": F.count(
+                    F.when(
+                        F.col("__touched")
+                        & F.col("__was_open")
+                        & F.col(end_col).isNotNull(),
+                        1,
+                    )
+                ),
+            },
+            op="fill_validity_end",
+        )
     return filled.select(*target.columns)
 
 

@@ -44,6 +44,7 @@ reference's CTAS does too).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -57,6 +58,8 @@ from ..ops.spatial import with_geo_point
 from ..ops.updates import TABLE_PATCHES, expand_updates, latest_updates, table_patch
 from ..ops.validity import fill_validity_end
 from ..schema.registry import CHUNK_COLUMN, ChunkStatus, validity_columns
+
+_LOG = logging.getLogger("dax_ppdb_spark.promote")
 
 DIA_TABLES = ("DiaObject", "DiaSource", "DiaForcedSource")
 
@@ -89,6 +92,8 @@ class Promoter:
     ) -> None:
         self.spark = spark
         self.root = root
+        # DML stats of the most recent promote() (reset per call).
+        self.last_dml: list[dict] = []
         # Ids per bucket: size so one bucket's rows are a comfortable
         # rewrite unit (a few GB at production row sizes).
         self.bucket_width = bucket_width
@@ -174,6 +179,11 @@ class Promoter:
             chunk_ids = self.ledger.promotable_chunks()
         if not chunk_ids:
             return []
+        # Per-promotion DML stats (the reference logs inserted/updated/
+        # deleted counts per MERGE, updates_manager.py:242-271): each
+        # merge/fill step appends its resolved observation here, and a
+        # one-line summary lands in the promote log at the end.
+        self.last_dml: list[dict] = []
         try:
             steps = (
                 ("copy_staging_to_promotion", self._copy_staging_to_promotion),
@@ -195,6 +205,18 @@ class Promoter:
                 self._delete_staged(chunk_ids)
             for cid in chunk_ids:
                 self.ledger.update_chunk(cid, status=ChunkStatus.PROMOTED)
+            if self.last_dml:
+                summary = {
+                    "stages": len(self.last_dml),
+                    "updated": sum(int(e.get("updated", 0)) for e in self.last_dml),
+                    "filled": sum(int(e.get("filled", 0)) for e in self.last_dml),
+                    "rows": sum(int(e.get("rows", 0)) for e in self.last_dml),
+                }
+                _LOG.info(
+                    "promote dml summary chunks=%s %s",
+                    chunk_ids,
+                    " ".join(f"{k}={v}" for k, v in summary.items()),
+                )
             return chunk_ids
         finally:
             self._cleanup()
@@ -254,11 +276,16 @@ class Promoter:
         start_col, end_col = validity_columns(target.columns)
         touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
         filled = fill_validity_end(
-            touched, ids, start_col=start_col, end_col=end_col
+            touched,
+            ids,
+            start_col=start_col,
+            end_col=end_col,
+            observe_as="fill_validity_end_DiaObject",
         )
         self.promotion["DiaObject"].replace_partitions(
             self._id_sorted(filled, "DiaObject"), OBJ_BUCKET, buckets
         )
+        self.last_dml.extend(flush_observations())
 
     def _apply_updates(self, chunk_ids: list[int]) -> None:
         """Step 3: expand -> latest-only -> per-table bucket-pruned merge.
@@ -290,7 +317,7 @@ class Promoter:
             self.promotion[t].replace_partitions(
                 self._id_sorted(merged, t), OBJ_BUCKET, buckets
             )
-            flush_observations()
+            self.last_dml.extend(flush_observations())
 
     def _swap_promotion_to_internal(self) -> None:
         """Step 4: atomic truncate-swap (zero-copy clone + pointer flip)."""

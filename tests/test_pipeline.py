@@ -262,6 +262,26 @@ def test_dml_metrics_logged(spark, promoted):
     assert last["updated"] == 2 and last["rows"] >= 2
 
 
+def test_promote_exposes_dml_struct(spark, promoted):
+    """promote() collects every step's DML observation into
+    ``Promoter.last_dml`` (matched/updated/filled counts per MERGE) —
+    the reference logs these per DML statement
+    (updates_manager.py:242-271, query_runner.py:63-100)."""
+    stages = {e["stage"]: e for e in promoted.last_dml}
+    # Validity fill: object 10 has versions at 100/110/120 -> two
+    # intervals closed; object 20's single version stays open.
+    fv = stages["fill_validity_end_DiaObject"]
+    assert fv["op"] == "fill_validity_end"
+    assert fv["filled"] == 2
+    assert fv["touched"] == 4 and fv["rows"] == 4
+    # Update MERGE: withdraw 1002 + reassign 1001 -> 2 updated.
+    assert stages["merge_DiaSource"]["updated"] == 2
+    from dax_ppdb_spark import metrics
+
+    fills = metrics.recent("fill_validity_end_DiaObject", kind="dml")
+    assert fills and fills[-1]["filled"] == 2
+
+
 def test_internal_files_sorted_by_merge_key(spark, promoted):
     """Write path keeps every internal data file sorted by its MERGE
     key (search-index analog, dataset_builder.py:257-265): row-group
