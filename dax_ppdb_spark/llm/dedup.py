@@ -331,25 +331,18 @@ def cdc_neardup_pairs(
     shared / min(chunk counts) — the asymmetric measure that catches
     a small doc embedded in a large one.
     """
-    from .text import cdc_chunks
+    from .text import cdc_fp_inverted
 
     # The plan is LINEAR (chunk -> per-doc sets -> inverted index ->
     # pairs), so no checkpoint is needed — the chunker runs exactly
-    # once.  DISTINCT-per-doc and the per-doc chunk count are fused
-    # into ONE groupBy(doc_id).collect_set (set size = distinct
-    # count), replacing the round-7 distinct + window pair of
-    # shuffles with a single exchange — the stage-fan-in residue the
-    # round-7 verdict flagged on this query.
-    ch = (
-        cdc_chunks(docs, window, divisor, text_col, id_col)
-        .select(F.col(id_col).alias("doc_id"), "chunk_fp")
-        .groupBy("doc_id")
-        .agg(F.collect_set("chunk_fp").alias("fps"))
-    )
-    inv = ch.select(
-        "doc_id",
-        F.size("fps").alias("n_ch"),
-        F.explode("fps").alias("chunk_fp"),
+    # once.  The per-doc DISTINCT fingerprint set is built IN-ROW and
+    # exploded with its count stamped into each element
+    # (cdc_fp_inverted) — the round-7 groupBy(doc_id).collect_set
+    # exchange (a shuffle that only reassembled rows the chunker had
+    # just exploded) is gone; the first exchange in the whole plan is
+    # the inverted index's groupBy(chunk_fp).
+    inv = cdc_fp_inverted(docs, window, divisor, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "n_ch", "chunk_fp"
     )
     members = (
         inv.groupBy("chunk_fp")

@@ -625,6 +625,41 @@ def cdc_chunks(
     chunk_fp)`` with 1-based ``start``, chunks tiling the document
     exactly, and ``chunk_fp`` the md5 hex of the chunk text.
     """
+    b = _cdc_bounds(docs, window, divisor, text_col, id_col)
+    bs = F.col("__bs")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(bs) - 2),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.element_at(bs, j + 1).alias("start"),
+            (F.element_at(bs, j + 2) - F.element_at(bs, j + 1)).alias("n_chars"),
+        ),
+    )
+    out = b.select(
+        F.col(id_col), F.col("__t"), F.explode(spans).alias("c")
+    ).select(
+        id_col,
+        "c.chunk_idx",
+        "c.start",
+        "c.n_chars",
+        F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.n_chars"))).alias(
+            "chunk_fp"
+        ),
+    )
+    return out
+
+
+def _cdc_bounds(
+    docs,
+    window: int,
+    divisor: int,
+    text_col: str,
+    id_col: str,
+):
+    """Shared CDC stage 1+2: per-doc 1-based boundary array
+    ``(id_col, __t text, __bs array<long>)`` — the cut positions both
+    :func:`cdc_chunks` (explode to rows) and :func:`cdc_fp_sets`
+    (in-row distinct fingerprints) slice from."""
     text = F.col(text_col)
     length = F.length(text)
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
@@ -661,28 +696,97 @@ def cdc_chunks(
         F.array((n.cast("long") + 1)),
     )
     # Stage 2: materialize bounds (again multi-referenced below).
-    b = base.select(F.col(id_col), F.col("__t"), bounds.alias("__bs"))
+    return base.select(F.col(id_col), F.col("__t"), bounds.alias("__bs"))
+
+
+def cdc_fp_sets(
+    docs,
+    window: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document DISTINCT CDC chunk-fingerprint sets, entirely
+    in-row: ``(id_col, fps array<string>, n_ch)`` where ``fps`` is
+    exactly ``collect_set(chunk_fp)`` over :func:`cdc_chunks` and
+    ``n_ch`` its size — but built with ``array_distinct`` over the
+    per-doc span array BEFORE any explode, so the whole relation is
+    ZERO shuffles.  :func:`~..dedup.cdc_neardup_pairs` previously
+    exploded the chunker's output and immediately re-aggregated it
+    with ``groupBy(doc_id).collect_set`` — a full exchange that only
+    reassembled rows that were in-row one operator earlier.
+    """
+    b = _cdc_bounds(docs, window, divisor, text_col, id_col)
+    fps = _cdc_fps_expr()
+    return b.select(F.col(id_col), fps.alias("fps")).withColumn(
+        "n_ch", F.size("fps")
+    )
+
+
+def _cdc_fps_expr():
+    """The per-row distinct-fingerprint array over a
+    :func:`_cdc_bounds` frame (columns ``__t``, ``__bs``)."""
     bs = F.col("__bs")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.size(bs) - 2),
-        lambda j: F.struct(
-            j.cast("long").alias("chunk_idx"),
-            F.element_at(bs, j + 1).alias("start"),
-            (F.element_at(bs, j + 2) - F.element_at(bs, j + 1)).alias("n_chars"),
-        ),
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(bs) - 2),
+            lambda j: F.md5(
+                F.col("__t").substr(
+                    F.element_at(bs, j + 1).cast("int"),
+                    (F.element_at(bs, j + 2) - F.element_at(bs, j + 1)).cast(
+                        "int"
+                    ),
+                )
+            ),
+        )
     )
-    out = b.select(
-        F.col(id_col), F.col("__t"), F.explode(spans).alias("c")
-    ).select(
-        id_col,
-        "c.chunk_idx",
-        "c.start",
-        "c.n_chars",
-        F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.n_chars"))).alias(
-            "chunk_fp"
+
+
+def cdc_fp_inverted(
+    docs,
+    window: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exploded CDC fingerprint index ``(id_col, chunk_fp, n_ch)`` —
+    one row per DISTINCT per-doc fingerprint, ``n_ch`` the doc's
+    distinct-fingerprint count — still ZERO shuffles.
+
+    Two optimizer traps shape this plan, measured (50 docs, sf0.01):
+
+    * ``explode`` of a bare ATTRIBUTE whose lineage is the expensive
+      in-row fps expression makes ``InferFiltersFromGenerate`` add a
+      ``size(fps) > 0`` filter, which predicate pushdown then inlines
+      BELOW the ``__cs``/``__bs`` projections — every ``element_at``
+      re-evaluates the O(L) codepoint transform, turning the scan
+      into O(L² · window) per doc (84 s for 50 docs vs 0.3 s).  Spark
+      skips the inference when the generator child is NOT a cheap
+      attribute (SPARK-33544's expensive-expression guard), so the
+      generator here is the full expression, never a projected
+      column.
+    * ``n_ch`` as a sibling ``size(fps)`` column would evaluate the
+      fps expression a second time per row.  Binding the array to a
+      lambda variable via a singleton ``transform(array(fps), a ->
+      transform(a, fp -> struct(fp, size(a))))`` evaluates fps ONCE
+      and stamps the count into every exploded element.
+    """
+    b = _cdc_bounds(docs, window, divisor, text_col, id_col)
+    wrapped = F.element_at(
+        F.transform(
+            F.array(_cdc_fps_expr()),
+            lambda a: F.transform(
+                a,
+                lambda fp: F.struct(
+                    fp.alias("chunk_fp"), F.size(a).alias("n_ch")
+                ),
+            ),
         ),
+        1,
     )
-    return out
+    return b.select(F.col(id_col), F.explode(wrapped).alias("__e")).select(
+        id_col, "__e.chunk_fp", "__e.n_ch"
+    )
 
 
 def unigram_logprob_score(

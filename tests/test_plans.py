@@ -508,6 +508,28 @@ def test_cdc_chunks_is_map_only(spark, sf_dir, registry):
     assert "HashAggregate" not in plan
 
 
+def test_cdc_neardup_no_inferred_generator_filter(spark, sf_dir, registry):
+    """dedup_cdc's inverted index explodes the in-row fingerprint
+    EXPRESSION, never a projected fps attribute: explode-of-attribute
+    makes InferFiltersFromGenerate add a ``size(fps) > 0`` filter that
+    predicate pushdown inlines below the ``__cs``/``__bs`` projections,
+    re-evaluating the O(L) codepoint transform per element_at —
+    measured 84 s vs 0.3 s on 50 docs.  The inference signature is an
+    array_distinct inside a Filter condition; the intended plan has
+    exactly two hash exchanges (inverted-index groupBy(chunk_fp) +
+    pair groupBy), with the chunker map-side."""
+    plan = plan_of(registry["dedup_cdc"](spark, sf_dir))
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "array_distinct" not in line, f"inferred filter: {line[:200]}"
+    n_hash = sum(
+        1
+        for li in plan.splitlines()
+        if li.strip().startswith("Arguments: hashpartitioning")
+    )
+    assert n_hash == 2, f"expected 2 hash exchanges, saw {n_hash}"
+
+
 def test_incremental_prefix_no_cartesian(spark, sf_dir, registry):
     """Batch-vs-corpus prefix join: candidates must come from the
     shingle equi-join of the two prefix indexes — a cartesian/BNLJ

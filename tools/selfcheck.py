@@ -10,11 +10,18 @@ tolerant compare masked the CORRECTNESS_r05 failure classes).  Oracle-less queri
 still go through canonicalization so driver-crashing outputs (e.g.
 unsortable ``array`` columns) fail HERE first.
 
-Usage: python tools/selfcheck.py [sf_dir] [--repeat N] [query ...]
+Usage: python tools/selfcheck.py [sf_dir] [--repeat N] [--tail] [query ...]
 
 ``--repeat N`` re-runs each Spark query N times and fails if the
 canonical hash differs between runs — the net for order-sensitive
 float aggregations (shuffle-merge order flakes).
+
+``--tail`` restricts to the rotation tail (``_VERIFY_TAIL``) — the
+queries outside the driver's 50-row external window this round.  The
+`make check` gate runs this subset at the DRIVER's scale (sf0.1): a
+scale-dependent regression in a tailed query (a corpus-derived
+banding/threshold crossing that only manifests at sf0.1) would
+otherwise have no net under it until its external round comes up.
 """
 
 from __future__ import annotations
@@ -85,6 +92,9 @@ def main() -> int:
         i = argv.index("--repeat")
         repeat = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    tail_only = "--tail" in argv
+    if tail_only:
+        argv.remove("--tail")
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
     only = set(argv[1:]) if argv and os.path.isdir(argv[0]) else set(argv)
     # Lazily-resolved oracles (size-derived SQL) must see the same
@@ -102,6 +112,9 @@ def main() -> int:
 
     qs = driver_queries.all_queries()
     oracles = driver_queries.all_oracle_sql()
+    if tail_only:
+        tail = set(driver_queries._VERIFY_TAIL)
+        qs = {n: f for n, f in qs.items() if n in tail}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
