@@ -15,12 +15,21 @@ PYTEST ?= python -m pytest
 SHELL := /bin/bash
 .SHELLFLAGS := -o pipefail -c
 
-.PHONY: check selfcheck test bench-smoke bench scale-smoke
+.PHONY: check selfcheck selfcheck-tail test bench-smoke bench scale-smoke
 
-check: selfcheck test bench-smoke scale-smoke
+check: selfcheck selfcheck-tail test bench-smoke scale-smoke
 
 selfcheck:
 	python tools/selfcheck.py $(SF_SMALL)
+
+# The rotation tail at the DRIVER's scale: queries outside this
+# round's external window get their oracle compare at sf0.1 here — a
+# corpus-derived threshold (auto_bands & co) that only crosses at
+# sf0.1 would otherwise regress with no net under it until the
+# query's external round comes back around.  Head queries skip this
+# leg (the driver itself runs them at sf0.1 every round).
+selfcheck-tail:
+	python tools/selfcheck.py $(SF_BENCH) --tail
 
 test:
 	$(PYTEST) tests/ -q

@@ -1019,6 +1019,13 @@ def bigram_logprob_score(
         .select(id_col, "p.v", "p.w")
         .localCheckpoint(eager=False)
     )
+    # Measured alternative, rejected: repartition("v", "w") before the
+    # groupBy would satisfy both this aggregation's clustering AND the
+    # c2 window's (v, w) requirement — one exchange instead of two —
+    # but the shuffle then carries raw position rows instead of
+    # map-side partially-counted (id, v, w) rows, and the lost combine
+    # outweighed the saved exchange at every scale tried (sf1-equiv
+    # realistic vocab: 2.93 s -> 3.13 s).
     dbig = (
         pos.filter(F.col("w").isNotNull())
         .groupBy(id_col, "v", "w")
