@@ -1011,100 +1011,91 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-6 tail (49 = registry 99 - head 50; the round-5 tail held 35
-# while the registry had grown to 96, so 11 queries overflowed the
-# head unchecked in r5 — this round's tail is sized exactly).  Tail
-# contents: the 46 queries green in CORRECTNESS_r05 whose
-# implementation round 6 did not touch, plus 3 deferred re-tails
-# (union_concat, split_assign, pii_redact, doc_fingerprint — trivial
-# map-side plans, green at every check since r3, locally exact-hash
-# green this round; with 100 registered queries and a 50-row external
-# window, 54 candidates competed for 50 head slots and these four
-# were the lowest-risk deferrals).  The head therefore holds: every query
-# whose implementation or oracle changed in round 6
-# (embedding_covariance, embedding_whiten, dup_spans,
-# dedup_span_removal, source_overlap, url_block_filter), every query
-# never externally checked (semdedup_flat — the one r01-r05 rotation
-# gap — plus new dedup_paragraphs, ann_index_persisted,
-# bigram_lm_score), and the 40 queries the r5 round left unchecked
-# (its 35-query tail and 8 overflow, minus the 3 deferrals).
+# Round-8 tail (63 = registry 113 - head 50).  Rule recap: tail =
+# externally green in the immediately preceding round, implementation
+# untouched this round; with 113 registered queries and a 50-row
+# window, full consecutive-tail disjointness is arithmetically
+# impossible (cadence ~2.3 rounds), so the overflow defers the
+# LOWEST-RISK stale rows — preferring the most recently checked.
+#
+# Contents: the 46 CORRECTNESS_r07-green queries whose implementation
+# round 8 did not touch (validity_fill, cdc_chunks and dedup_cdc WERE
+# r7-green but their operators changed this round — observe_as DML
+# metrics in fill_validity_end, the cdc_fp_inverted rewrite — so they
+# take head slots for re-verification), plus 17 deferrals: the five
+# r6-checked rows (freshest stale: doc_chunks, semdedup_flat,
+# sequence_pack, shard_pack, stratified_sample) and twelve r5-checked
+# trivial-plan rows, all green at every external check and untouched
+# since.  The head therefore holds: the 3 changed-this-round queries
+# and all 11 r3-checked + 5 r4-checked + 31 of the r5-checked
+# queries — every query whose external record is staler than r5 is
+# back in the window this round.
 _VERIFY_TAIL = (
-    "validity_fill_pruned",
-    "rank_versions",
-    "replication_diff",
-    "semi_prune",
-    "consistency_lookup",
-    "merge_upsert",
-    "merge_composite",
-    "ledger_scan",
-    "inlist_filter",
+    # --- 17 deferrals (stale but lowest-risk; re-head next round) ---
+    "doc_chunks",
+    "semdedup_flat",
+    "sequence_pack",
+    "shard_pack",
+    "stratified_sample",
+    "distinct_ids",
+    "except_ids",
+    "intersect_ids",
     "existence_probe",
     "notin_filter",
     "contiguous_run",
-    "distinct_ids",
-    "spatial_box",
-    "cone_search",
-    "cone_search_sorted",
-    "funnel",
-    "asof_attribution",
-    "asof_tolerance",
-    "asof_forward",
-    "range_join",
-    "rollup_revenue",
-    "except_ids",
-    "intersect_ids",
-    "dedup_verified",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_embedding_banded",
-    "lm_score",
-    "multimodal_frame_sample",
-    "multimodal_decode",
-    "multimodal_resize",
-    "corpus_curate",
-    "ann_topk_kmeans",
-    "gopher_quality",
-    "top_ngrams",
-    "dedup_keep_best",
-    "embedding_quantize",
-    "dsir_weights",
-    # sequence_pack rotated back to the head: its cumsum block was
-    # refactored through _bucket_bases this round, so it must be
-    # re-verified externally (the changed-this-round rule).
-    "leak_safe_split",
-    "url_dedup",
-    "corpus_cube",
-    "ann_recall",
     "text_clean",
-    "union_concat",
-    "split_assign",
-    "pii_redact",
-    "doc_fingerprint",
-    # deferred a second round so the round-6 additions (prefix
-    # Jaccard, weighted sampling, CDC family, PQ/IVFPQ, BPE pair)
-    # take head slots: every name below is green at its last external
-    # check with its implementation file untouched this round.
-    # tests/test_registry.py enforces head == 50 mechanically.
-    "updates_pipeline",
-    "update_validate",
-    "latest_only",
-    "pricing_summary",
-    "windowed_counts",
-    "update_explode",
-    "perplexity_buckets",
-    "tfidf_keywords",
-    "hybrid_search",
-    "dedup_edit",
-    # rotated in round 7 to make head slots for ann_index_pq,
-    # bpe_merges_batched, and dedup_index_probe (the new
-    # persisted-IVFPQ, batched-BPE, and persisted-dedup-index tiers):
-    # every name below is green in CORRECTNESS_r06 and its
-    # implementation is untouched this round.
-    "sequence_pack",
-    "semdedup_flat",
-    "doc_chunks",
-    "shard_pack",
-    "stratified_sample",
+    "url_dedup",
+    "top_ngrams",
+    "gopher_quality",
+    "rollup_revenue",
+    "cone_search_sorted",
+    # --- 46 round-7-green, implementation untouched this round ------
+    "retention_cohorts",
+    "sessionize",
+    "revenue_by_nation",
+    "crossmatch",
+    "topk_per_key",
+    "snapshot_asof",
+    "overlap_violations",
+    "distinct_sketch",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "quality_classifier",
+    "dedup_index_probe",
+    "dedup_incr_prefix",
+    "dedup_recall",
+    "dedup_simhash",
+    "embedding_recall",
+    "repetition_ratio",
+    "text_stats",
+    "lang_id",
+    "token_count_bpe",
+    "ann_topk_bruteforce",
+    "ann_topk_multiprobe",
+    "ann_topk_ivf",
+    "bpe_encode",
+    "bpe_merges_batched",
+    "bpe_merges",
+    "ann_topk_pq",
+    "decontaminate",
+    "quality_quantiles",
+    "dup_spans",
+    "embedding_covariance",
+    "embedding_whiten",
+    "url_block_filter",
+    "semdedup",
+    "sample_exact_k",
+    "weighted_sample",
+    "source_overlap",
+    "dedup_span_removal",
+    "mixture_sample",
+    "dedup_paragraphs",
+    "ann_index_persisted",
+    "ann_index_pq",
+    "bigram_lm_score",
+    "corpus_drift",
 )
 
 
