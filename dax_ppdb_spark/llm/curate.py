@@ -1,0 +1,202 @@
+"""Incremental corpus curation: the standing-state twin of the
+one-shot curation chain (``llm_queries.q_corpus_curate`` /
+``tools/curation_bench.py``).
+
+Production corpora are not curated once — batches arrive and each must
+be deduplicated against EVERYTHING already seen without re-reading the
+corpus.  This module composes the persisted building blocks the
+engine already serves (the MinHash band index family —
+``build_dedup_index`` / ``probe_dedup_index`` / ``append_to_dedup_index``
+— and the versioned ``ParquetTable`` commit protocol) into one batch
+step whose cumulative output is PROVABLY the one-shot result:
+
+    curate_batch(b1); curate_batch(b2); ...  ==  one-shot curation
+    of b1 ∪ b2 ∪ ...                          (id-ascending batches)
+
+The equivalence (pinned by ``tests/test_curate_incremental.py``) holds
+because every stage's keep rule is an "earlier doc wins" rule:
+
+- exact dedup keeps the min doc_id per md5(text): within-batch keep-min
+  plus an anti-join against the standing md5 set IS global keep-min
+  when batch id ranges ascend;
+- near-dup drops every ``doc_b`` of a verified pair (doc_a < doc_b):
+  the standing index holds every prior EXACT-SURVIVOR (kept or
+  near-dup-dropped — a dropped doc can still be the earlier witness
+  that drops a later one), so probe pairs (new vs seen) plus
+  within-batch pairs reproduce exactly the one-shot pair set.
+
+Bucket capping (``max_bucket``) is the one knob that breaks bit
+equivalence: a band bucket grows across batches, so a bucket the
+one-shot run caps out may still be under the cap at an early batch
+(the incremental path then catches MORE near-dups, never fewer).
+Pass ``max_bucket=None`` for bit-exact replay; keep the default for
+production skew safety.
+
+Reference scope note: the reference engine has no curation surface —
+this is part of the beyond-reference LLM-data library; the state
+commit discipline mirrors its chunk-ledger exactly-once design
+(``ppdb-replication`` chunk idempotency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_MAX_BUCKET,
+    append_to_dedup_index,
+    build_dedup_index,
+    probe_dedup_index,
+    verified_neardup_pairs,
+)
+
+
+def _seen_table(state_root: str):
+    import os
+
+    from ..io.table import ParquetTable
+
+    return ParquetTable(os.path.join(state_root, "seen"))
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_root: str,
+    quality_min: float = 0.4,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curate one batch against the standing state under
+    ``state_root`` and extend the state; returns the curated batch
+    rows (the batch's columns, survivors only).
+
+    Stages: quality filter -> exact dedup (within batch, then vs the
+    standing md5 set) -> verified near-dup (within batch, then a
+    probe of the persisted band index; candidates verified by exact
+    shingle Jaccard >= ``threshold``) -> state append (band keys +
+    (doc_id, text, md5) of every exact-survivor, one versioned commit
+    each — a re-run of a crashed batch rebuilds the same state).
+
+    Scale shape: the batch never joins the corpus — the md5 anti-join
+    streams the standing hash column, the probe broadcasts the
+    batch's band keys onto a partition-pruned index scan, and
+    verification fetches candidate text only.  Per-batch cost is
+    O(batch + matched buckets), independent of corpus size.
+    """
+    seen = _seen_table(state_root)
+    first = not seen.exists()
+
+    q = batch.filter(
+        _quality_score(F.col(text_col)) >= F.lit(quality_min)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    in_batch = (
+        q.withColumn("__keep", F.min(id_col).over(w) == F.col(id_col))
+        .filter("__keep")
+        .drop("__keep")
+    )
+    if first:
+        survivors_exact = in_batch
+    else:
+        seen_md5 = seen.read(spark).select("md5").distinct()
+        survivors_exact = in_batch.withColumn(
+            "md5", F.md5(F.col(text_col))
+        ).join(seen_md5, "md5", "left_anti").drop("md5")
+    # Multi-consumer relation (within-batch pairs, probe, two state
+    # appends, output anti-join): truncate lineage so the quality +
+    # dedup work runs once.
+    survivors_exact = survivors_exact.localCheckpoint(eager=False)
+
+    pairs_in = verified_neardup_pairs(
+        survivors_exact, k, bands, n, threshold, text_col, id_col, max_bucket
+    ).select(F.col("doc_b").alias(id_col))
+    if first:
+        drop_ids = pairs_in
+    else:
+        corpus_txt = seen.read(spark).select(
+            F.col(id_col), F.col(text_col)
+        )
+        px = probe_dedup_index(
+            spark,
+            state_root,
+            survivors_exact,
+            corpus_txt,
+            threshold,
+            text_col,
+            id_col,
+            max_bucket,
+        ).select(F.col("new_id").alias(id_col))
+        drop_ids = pairs_in.unionByName(px)
+
+    curated = survivors_exact.join(
+        drop_ids.distinct(), id_col, "left_anti"
+    )
+
+    # State append AFTER the curated frame is defined but computed
+    # lazily — materialize the output first so the state commit never
+    # races the caller's read of a pre-append lineage.
+    curated = curated.localCheckpoint(eager=True)
+    if first:
+        build_dedup_index(
+            survivors_exact, state_root, k, bands, n, text_col, id_col
+        )
+        seen.overwrite(_seen_rows(survivors_exact, text_col, id_col))
+    else:
+        append_to_dedup_index(survivors_exact, state_root, text_col, id_col)
+        seen.append_commit(_seen_rows(survivors_exact, text_col, id_col))
+    return curated
+
+
+def _seen_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.col(text_col)).alias("md5"),
+    )
+
+
+def _quality_score(text):
+    from .text import quality_metrics
+
+    return quality_metrics(text)["quality_score"]
+
+
+def curate_oneshot(
+    docs: DataFrame,
+    quality_min: float = 0.4,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stateless equivalent of draining every batch through
+    :func:`curate_batch`: quality -> global exact keep-min ->
+    drop every verified near-dup pair's higher id.  Exists so the
+    incremental path has an in-engine replay target (the equivalence
+    test) and as the one-call form for corpora curated in one pass."""
+    q = docs.filter(_quality_score(F.col(text_col)) >= F.lit(quality_min))
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    survivors = (
+        q.withColumn("__keep", F.min(id_col).over(w) == F.col(id_col))
+        .filter("__keep")
+        .drop("__keep")
+        .localCheckpoint(eager=False)
+    )
+    pairs = verified_neardup_pairs(
+        survivors, k, bands, n, threshold, text_col, id_col, max_bucket
+    )
+    return survivors.join(
+        pairs.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )

@@ -1,0 +1,119 @@
+"""Incremental curation == one-shot curation (llm/curate.py).
+
+The standing-state batch step (exact dedup vs the persisted md5 set,
+near-dup vs the persisted band index) must reproduce the stateless
+one-shot chain exactly when batches arrive in ascending id ranges —
+including the transitive-witness case where a near-dup-DROPPED doc
+from an earlier batch is the witness that drops a later doc (the
+index keeps every exact-survivor, not just curated output).
+
+max_bucket=None everywhere: bucket capping is corpus-size dependent,
+so it is the one documented bit-equivalence breaker.  bands=8 (r=1)
+so LSH discovery probability at the test jaccards is ~1 and the
+scenario assertions depend only on true Jaccard vs the threshold —
+equivalence itself holds for ANY banding (both paths share the hash
+family deterministically).
+"""
+
+from pyspark.sql import functions as F
+
+from dax_ppdb_spark.llm.curate import curate_batch, curate_oneshot
+
+PARAMS = dict(max_bucket=None, k=8, bands=8, n=3)
+
+
+def _seg(tag: str, n: int) -> list[str]:
+    return [f"{tag}{j}" for j in range(n)]
+
+
+# Chain construction: doc9 = A+B, doc27 = B+C, doc40 = B[10:]+C+D.
+# True 3-gram Jaccards (self-checked below): 0.611 / 0.579 / 0.286 —
+# (9,27) and (27,40) above the 0.5 threshold, (9,40) below it — so 40
+# is dropped ONLY via the dropped witness 27.
+A, B, C, D = _seg("a", 4), _seg("b", 24), _seg("c", 10), _seg("d", 6)
+CHAIN_9 = " ".join(A + B)
+CHAIN_27 = " ".join(B + C)
+CHAIN_40 = " ".join(B[10:] + C + D)
+DUP = " ".join(_seg("shared", 30))
+
+
+def _uniq(i: int) -> str:
+    return " ".join(f"u{i}w{j}" for j in range(30))
+
+
+def _jac(x: str, y: str) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(x), sh(y)
+    return len(a & b) / len(a | b)
+
+
+def _mk_docs(spark):
+    rows = []
+    # batch 1: ids 0-19
+    for i in range(0, 8):
+        rows.append((i, _uniq(i)))
+    rows.append((8, DUP))
+    rows.append((9, CHAIN_9))
+    rows.append((10, "!!! ??? ### $$$ %%%"))  # fails quality
+    # batch 2: ids 20-39
+    for i in range(20, 26):
+        rows.append((i, _uniq(i)))
+    rows.append((26, DUP))  # exact dup of 8
+    rows.append((27, CHAIN_27))  # near-dup of 9 -> dropped, stays a witness
+    # batch 3: ids 40-59
+    rows.append((40, CHAIN_40))  # near-dup of 27 only
+    for i in range(41, 47):
+        rows.append((i, _uniq(i)))
+    rows.append((47, DUP))  # exact dup again
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chain_construction_has_the_intended_jaccards():
+    assert _jac(CHAIN_9, CHAIN_27) >= 0.55
+    assert _jac(CHAIN_27, CHAIN_40) >= 0.55
+    assert _jac(CHAIN_9, CHAIN_40) <= 0.45
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    docs = _mk_docs(spark)
+    state = str(tmp_path / "curation_state")
+
+    kept = []
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        out = curate_batch(spark, batch, state, **PARAMS)
+        kept.extend(r.doc_id for r in out.select("doc_id").collect())
+
+    oneshot = sorted(
+        r.doc_id
+        for r in curate_oneshot(docs, **PARAMS).select("doc_id").collect()
+    )
+    assert sorted(kept) == oneshot
+
+    # The chain actually exercised every rule:
+    assert 10 not in oneshot  # quality-filtered
+    assert 8 in oneshot and 26 not in oneshot and 47 not in oneshot  # exact
+    assert 9 in oneshot and 27 not in oneshot  # near-dup vs batch 1
+    # transitive witness: 40 is a near-dup of DROPPED 27 (not of 9) —
+    # the standing index must still drop it.
+    assert 40 not in oneshot
+    assert len(oneshot) == 8 + 1 + 1 + 6 + 6  # per-group survivors
+
+
+def test_redelivered_batch_curates_to_empty(spark, tmp_path):
+    """Batch redelivery (the at-least-once ingest case): re-running a
+    batch whose state commit already landed must curate to empty —
+    every doc is now an exact dup of the standing md5 set — and the
+    state append of the empty survivor set is a no-op commit."""
+    docs = _mk_docs(spark).filter(F.col("doc_id") < 20)
+    state = str(tmp_path / "curation_state")
+    first = curate_batch(spark, docs, state, **PARAMS)
+    n_first = first.count()
+    again = curate_batch(spark, docs, state, **PARAMS)
+    assert again.count() == 0
+    assert n_first > 0
