@@ -32,6 +32,14 @@ one-shot run caps out may still be under the cap at an early batch
 Pass ``max_bucket=None`` for bit-exact replay; keep the default for
 production skew safety.
 
+``curate_batch`` is additionally IDEMPOTENT under at-least-once
+delivery: re-running a batch whose state commit already landed
+returns the SAME curated rows (self-matches are excluded in both the
+md5 anti-join and the index probe, and state appends are keyed by
+doc_id), so a ``foreachBatch`` sink that overwrites per-batch
+partitions gets exactly-once output end to end
+(:func:`~..streaming.chunks.stream_curated`).
+
 Reference scope note: the reference engine has no curation surface —
 this is part of the beyond-reference LLM-data library; the state
 commit discipline mirrors its chunk-ledger exactly-once design
@@ -105,10 +113,22 @@ def curate_batch(
     if first:
         survivors_exact = in_batch
     else:
-        seen_md5 = seen.read(spark).select("md5").distinct()
-        survivors_exact = in_batch.withColumn(
-            "md5", F.md5(F.col(text_col))
-        ).join(seen_md5, "md5", "left_anti").drop("md5")
+        # Drop a batch doc iff some OTHER doc already owns its md5 —
+        # a seen row with the SAME id is this very doc redelivered
+        # (at-least-once ingest), and redelivery must reproduce the
+        # original output, not curate to empty (idempotence; see the
+        # streaming wrapper's exactly-once contract).
+        seen_rows = seen.read(spark).select(
+            F.col("md5").alias("__seen_md5"),
+            F.col(id_col).alias("__seen_id"),
+        )
+        b = in_batch.withColumn("__md5", F.md5(F.col(text_col)))
+        survivors_exact = b.join(
+            seen_rows,
+            (b["__md5"] == seen_rows["__seen_md5"])
+            & (b[id_col] != seen_rows["__seen_id"]),
+            "left_anti",
+        ).drop("__md5")
     # Multi-consumer relation (within-batch pairs, probe, two state
     # appends, output anti-join): truncate lineage so the quality +
     # dedup work runs once.
@@ -123,16 +143,29 @@ def curate_batch(
         corpus_txt = seen.read(spark).select(
             F.col(id_col), F.col(text_col)
         )
-        px = probe_dedup_index(
-            spark,
-            state_root,
-            survivors_exact,
-            corpus_txt,
-            threshold,
-            text_col,
-            id_col,
-            max_bucket,
-        ).select(F.col("new_id").alias(id_col))
+        # On redelivery the index already holds THIS batch's docs: a
+        # corpus witness only counts if it is NOT a current-batch
+        # member — the (x, x) self-pair must not drop x, and a
+        # same-batch higher-id doc must not outrank the within-batch
+        # ordering (pairs_in owns intra-batch precedence).  On a fresh
+        # batch the anti-join is a no-op (its ids are new).
+        batch_ids = survivors_exact.select(
+            F.col(id_col).alias("corpus_id")
+        )
+        px = (
+            probe_dedup_index(
+                spark,
+                state_root,
+                survivors_exact,
+                corpus_txt,
+                threshold,
+                text_col,
+                id_col,
+                max_bucket,
+            )
+            .join(F.broadcast(batch_ids), "corpus_id", "left_anti")
+            .select(F.col("new_id").alias(id_col))
+        )
         drop_ids = pairs_in.unionByName(px)
 
     curated = survivors_exact.join(
@@ -149,8 +182,14 @@ def curate_batch(
         )
         seen.overwrite(_seen_rows(survivors_exact, text_col, id_col))
     else:
-        append_to_dedup_index(survivors_exact, state_root, text_col, id_col)
-        seen.append_commit(_seen_rows(survivors_exact, text_col, id_col))
+        # Append only NEW ids: a redelivered batch's survivors are
+        # already in the state, and re-appending would duplicate seen
+        # rows and band keys.
+        novel = survivors_exact.join(
+            seen.read(spark).select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=False)
+        append_to_dedup_index(novel, state_root, text_col, id_col)
+        seen.append_commit(_seen_rows(novel, text_col, id_col))
     return curated
 
 

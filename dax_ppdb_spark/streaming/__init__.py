@@ -2,6 +2,7 @@ from .chunks import (  # noqa: F401
     dedup_events_within_watermark,
     session_event_counts,
     stream_chunks,
+    stream_curated,
     windowed_event_counts,
 )
 from .stateful import (  # noqa: F401

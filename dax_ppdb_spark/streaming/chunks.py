@@ -117,3 +117,45 @@ def windowed_event_counts(
     return df.groupBy(
         F.window(F.col(ts_col), window_duration).alias("win"), *group_cols
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stream_curated(
+    spark: SparkSession,
+    source_path: str,
+    schema: StructType,
+    checkpoint: str,
+    state_root: str,
+    sink_path: str,
+    **curate_kw,
+) -> None:
+    """Streaming corpus curation: file-source micro-batches through
+    :func:`~..llm.curate.curate_batch` (standing dedup state under
+    ``state_root``) into a per-batch-partitioned parquet sink —
+    exactly-once END TO END despite the sink and the curation state
+    committing separately:
+
+    - ``curate_batch`` is idempotent under redelivery (same output
+      rows, state appends keyed by doc_id), so replaying a micro-batch
+      after a crash between the two commits recomputes the identical
+      survivor set;
+    - the sink write is a DYNAMIC partition overwrite keyed by
+      ``batch_id`` — a replay overwrites its own partition with the
+      same rows and touches nothing else.
+
+    Keep rule across batches is first-seen-wins (arrival order); with
+    id-ascending batches this is exactly the one-shot min-id chain
+    (tests/test_curate_incremental.py).
+    """
+    from ..llm.curate import curate_batch
+
+    def _process(df: DataFrame, batch_id: int) -> None:
+        out = curate_batch(spark, df, state_root, **curate_kw)
+        (
+            out.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_path)
+        )
+
+    stream_chunks(spark, source_path, schema, checkpoint, _process)

@@ -105,15 +105,91 @@ def test_incremental_equals_oneshot(spark, tmp_path):
     assert len(oneshot) == 8 + 1 + 1 + 6 + 6  # per-group survivors
 
 
-def test_redelivered_batch_curates_to_empty(spark, tmp_path):
+def test_redelivered_batch_is_idempotent(spark, tmp_path):
     """Batch redelivery (the at-least-once ingest case): re-running a
-    batch whose state commit already landed must curate to empty —
-    every doc is now an exact dup of the standing md5 set — and the
-    state append of the empty survivor set is a no-op commit."""
+    batch whose state commit already landed must return the SAME
+    curated rows (self-matches never drop a doc) and must not grow the
+    state (appends are keyed by doc_id) — the property that makes a
+    partition-overwrite streaming sink exactly-once."""
+    from dax_ppdb_spark.llm.curate import _seen_table
+
     docs = _mk_docs(spark).filter(F.col("doc_id") < 20)
     state = str(tmp_path / "curation_state")
     first = curate_batch(spark, docs, state, **PARAMS)
-    n_first = first.count()
+    ids_first = sorted(r.doc_id for r in first.select("doc_id").collect())
+    n_seen = _seen_table(state).read(spark).count()
     again = curate_batch(spark, docs, state, **PARAMS)
-    assert again.count() == 0
-    assert n_first > 0
+    ids_again = sorted(r.doc_id for r in again.select("doc_id").collect())
+    assert ids_first and ids_again == ids_first
+    assert _seen_table(state).read(spark).count() == n_seen
+
+
+def test_stream_curated_exactly_once(spark, tmp_path):
+    """Streaming curation end to end: file-source micro-batches ->
+    curate_batch -> per-batch dynamic-partition-overwrite sink.
+
+    Drain 1 curates batch 1; drain 2 (same checkpoint) picks up only
+    the newly landed file and dedups it against the standing state;
+    deleting the checkpoint's LAST COMMIT MARKER (Spark's actual
+    at-least-once case: the batch ran — sink and state committed —
+    but the crash hit before the commit log advanced, so restart
+    replays the SAME batch id with the same files) and draining again
+    must leave the sink's curated id set IDENTICAL — idempotent
+    curation + per-batch partition overwrite = exactly-once."""
+    import os
+
+    from dax_ppdb_spark.streaming import stream_curated
+
+    docs = _mk_docs(spark)
+    b1 = docs.filter(F.col("doc_id") < 20)
+    b2 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    sink = str(tmp_path / "curated")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        # availableNow terminates the query, but Spark 4's
+        # one-query-per-checkpoint registry deregisters asynchronously
+        # after awaitTermination returns — wait it out before the next
+        # drain reuses the checkpoint.
+        import time
+
+        stream_curated(
+            spark, src + "/*", docs.schema, ckpt, state, sink, **PARAMS
+        )
+        for _ in range(100):
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+        return sorted(
+            r.doc_id
+            for r in spark.read.parquet(sink).select("doc_id").collect()
+        )
+
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    ids1 = drain()
+    assert 9 in ids1 and 10 not in ids1  # curated, not raw
+
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    ids2 = drain()
+    assert set(ids1) < set(ids2)
+    assert 26 not in ids2 and 27 not in ids2  # deduped vs standing state
+
+    # Crash-replay: drop the newest commit marker so the restart
+    # re-executes that micro-batch (same id, same files) against the
+    # already-committed sink + state.
+    commits = os.path.join(ckpt, "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits, newest))
+    # ... and its Hadoop checksum sidecar: a stale .crc makes the
+    # replay's atomic rename throw FileAlreadyExists, which Spark
+    # surfaces as "multiple streaming queries concurrently using".
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    ids3 = drain()
+    assert ids3 == ids2
