@@ -294,9 +294,13 @@ def test_layout_properties_on_adversarial_frames(spark):
             joined = t.join(t.select(F.col("k")), "k")
             plain = df.join(df.select("k"), "k")
             assert "Exchange" not in plan_of(joined)
-            assert sorted(
-                map(tuple, joined.collect())
-            ) == sorted(map(tuple, plain.collect()))
+            # None-safe sort: rows can pair a duplicate key with both
+            # NULL and non-NULL payloads, and Python's tuple compare
+            # raises on str-vs-None.
+            nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+            assert sorted(map(tuple, joined.collect()), key=nkey) == sorted(
+                map(tuple, plain.collect()), key=nkey
+            )
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             drop_bucketed(spark, "prop_bkt")
