@@ -84,6 +84,12 @@ HEADLINE = [
     "stratified_sample",
     "shard_pack",
     "corpus_curate",
+    # curate_incr is registry-only: the bench table is a like-for-like
+    # query-vs-oracle comparison, but its Spark side pays persisted
+    # state machinery (index build/probe/append, versioned commits)
+    # that the stateless one-shot oracle doesn't — the composed-chain
+    # timing story lives in tools/curation_bench.py, which compares
+    # chain against chain.
     "gopher_quality",
     "quality_classifier",
     "top_ngrams",

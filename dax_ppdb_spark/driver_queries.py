@@ -1031,7 +1031,12 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries — every query whose external record is staler than r5 is
 # back in the window this round.
 _VERIFY_TAIL = (
-    # --- 17 deferrals (stale but lowest-risk; re-head next round) ---
+    # --- 18 deferrals (stale but lowest-risk; re-head next round).
+    # ann_topk_kmeans defers to make a head slot for the new
+    # curate_incr (new queries are never tailed); its Lloyd chain is
+    # externally covered by the other green ANN rows' shared oracle
+    # machinery and it is untouched this round. ---
+    "ann_topk_kmeans",
     "doc_chunks",
     "semdedup_flat",
     "sequence_pack",

@@ -33,11 +33,13 @@ Pass ``max_bucket=None`` for bit-exact replay; keep the default for
 production skew safety.
 
 ``curate_batch`` is additionally IDEMPOTENT under at-least-once
-delivery: re-running a batch whose state commit already landed
-returns the SAME curated rows (self-matches are excluded in both the
-md5 anti-join and the index probe, and state appends are keyed by
-doc_id), so a ``foreachBatch`` sink that overwrites per-batch
-partitions gets exactly-once output end to end
+delivery: re-running ANY batch whose state commit already landed —
+even after later batches extended the state — returns the SAME
+curated rows, because every drop rule is the one-shot lower-id rule
+(the md5 anti-join requires a DIFFERENT owner id, the index probe
+requires ``corpus_id < new_id``) and state appends are keyed by
+doc_id.  A ``foreachBatch`` sink that overwrites per-batch partitions
+therefore gets exactly-once output end to end
 (:func:`~..streaming.chunks.stream_curated`).
 
 Reference scope note: the reference engine has no curation surface —
@@ -143,15 +145,16 @@ def curate_batch(
         corpus_txt = seen.read(spark).select(
             F.col(id_col), F.col(text_col)
         )
-        # On redelivery the index already holds THIS batch's docs: a
-        # corpus witness only counts if it is NOT a current-batch
-        # member — the (x, x) self-pair must not drop x, and a
-        # same-batch higher-id doc must not outrank the within-batch
-        # ordering (pairs_in owns intra-batch precedence).  On a fresh
-        # batch the anti-join is a no-op (its ids are new).
-        batch_ids = survivors_exact.select(
-            F.col(id_col).alias("corpus_id")
-        )
+        # A corpus witness counts only when its id is LOWER than the
+        # probed doc's — exactly the one-shot drop-doc_b rule.  This
+        # single predicate makes the step idempotent against ANY
+        # replay: the (x, x) self-pair never drops x, a same-batch
+        # higher-id doc in the index (redelivery) cannot outrank the
+        # within-batch ordering pairs_in owns, and a LATER batch's
+        # docs in the index cannot retroactively drop a replayed
+        # earlier batch's survivors.  On a fresh id-ascending batch
+        # every genuine witness has a lower id, so the filter is a
+        # no-op there.
         px = (
             probe_dedup_index(
                 spark,
@@ -163,7 +166,7 @@ def curate_batch(
                 id_col,
                 max_bucket,
             )
-            .join(F.broadcast(batch_ids), "corpus_id", "left_anti")
+            .filter(F.col("corpus_id") < F.col("new_id"))
             .select(F.col("new_id").alias(id_col))
         )
         drop_ids = pairs_in.unionByName(px)

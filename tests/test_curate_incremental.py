@@ -124,6 +124,30 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     assert _seen_table(state).read(spark).count() == n_seen
 
 
+def test_replay_of_early_batch_after_later_batches(spark, tmp_path):
+    """The harder at-least-once case: replaying batch 1 AFTER batches
+    2 and 3 extended the state.  Later-seen (higher-id) docs are in
+    the index but must not retroactively drop the replayed batch's
+    survivors — the probe's lower-id witness rule (corpus_id <
+    new_id) is what pins this; a batch-membership filter alone fails
+    it (doc 27 would drop its own witness doc 9)."""
+    docs = _mk_docs(spark)
+    state = str(tmp_path / "curation_state")
+    outs = {}
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        out = curate_batch(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            state,
+            **PARAMS,
+        )
+        outs[lo] = sorted(r.doc_id for r in out.select("doc_id").collect())
+    replay = curate_batch(
+        spark, docs.filter(F.col("doc_id") < 20), state, **PARAMS
+    )
+    assert sorted(r.doc_id for r in replay.select("doc_id").collect()) == outs[0]
+
+
 def test_stream_curated_exactly_once(spark, tmp_path):
     """Streaming curation end to end: file-source micro-batches ->
     curate_batch -> per-batch dynamic-partition-overwrite sink.
