@@ -8,10 +8,19 @@ status update, D6 duplicate-checked insert, O3 contiguous-STAGED-run
 selection, and the replication watermark gate (§2.9).
 
 The ledger is tiny (one row per ~10-minute chunk — a few thousand rows
-per year) so it always broadcasts; correctness, not throughput, is the
-concern here.  All mutations go through ``ParquetTable.overwrite``
-(atomic pointer swap) keyed off a full read-modify-write of the small
-table — the Spark analog of the reference's single-row transactions.
+per year) so it always broadcasts, but it is mutated on EVERY chunk
+transition, so mutation cost compounds over the deployment's lifetime.
+It is therefore an **append-only status-event log**: each insert /
+upsert / update appends O(batch) event rows stamped with a monotonic
+``__event_seq``; the logical table is the last event per chunk id,
+compacted through the already-built last-writer-wins view
+(``ops/latest.py::latest_only``).  Cumulative write IO is O(events),
+not the O(N²-in-chunks) a full read-modify-write per transition would
+cost — the Spark analog of the reference's indexed single-row UPDATE
+(``bigquery/ppdb_bigquery.py:620-657``).  Appends commit through
+``ParquetTable.append_commit`` (copy-on-write hardlinks + CAS pointer
+flip), so readers see whole batches atomically and racing writers lose
+loudly; ``compact_log`` is the explicit housekeeping rewrite.
 """
 
 from __future__ import annotations
@@ -22,12 +31,24 @@ from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .io.table import ParquetTable
+from .ops.latest import latest_only
 from .schema.registry import PPDB_REPLICA_CHUNK, ChunkStatus
 
 # D5 field whitelist (bigquery/ppdb_bigquery.py:70-75).
 UPDATABLE_FIELDS = frozenset({"status", "gcs_uri"})
+
+# Event-log ordering column: strictly increasing across commits (each
+# commit reads max(seq)+1 under the single-writer/CAS contract), shared
+# within a commit (one batch touches distinct chunk ids, so the
+# last-writer-wins key (chunk, seq) stays unique).
+EVENT_SEQ = "__event_seq"
+
+LEDGER_LOG_SCHEMA = StructType(
+    list(PPDB_REPLICA_CHUNK.fields) + [StructField(EVENT_SEQ, LongType(), False)]
+)
 
 
 class Ledger:
@@ -37,10 +58,19 @@ class Ledger:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read_log(self) -> DataFrame:
+        """The raw status-event log, one row per transition, ordered by
+        ``__event_seq`` within each chunk id."""
         if not self.table.exists():
-            return self.spark.createDataFrame([], PPDB_REPLICA_CHUNK)
+            return self.spark.createDataFrame([], LEDGER_LOG_SCHEMA)
         return self.table.read(self.spark)
+
+    def read(self) -> DataFrame:
+        """The logical ledger: last event per chunk id (W3 compaction
+        via ``ops/latest.py::latest_only``)."""
+        return latest_only(
+            self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
+        ).select(*[f.name for f in PPDB_REPLICA_CHUNK.fields])
 
     def query_chunks(
         self,
@@ -85,52 +115,100 @@ class Ledger:
             out.append(r.apdb_replica_chunk)
         return out
 
-    # -- writes -------------------------------------------------------------
+    # -- writes (append-only events; IO is O(batch), never O(table)) ---------
+
+    def _next_seq(self) -> int:
+        """max(seq)+1 over the (tiny) log — one scalar aggregate; the
+        single-writer / CAS-append contract makes it race-safe."""
+        if not self.table.exists():
+            return 0
+        top = self.read_log().agg(F.max(EVENT_SEQ)).first()[0]
+        return 0 if top is None else int(top) + 1
+
+    def _append_events(self, rows: list[dict], seq: int) -> None:
+        events = [dict(r, **{EVENT_SEQ: seq}) for r in rows]
+        self.table.append_commit(
+            self.spark.createDataFrame(events, LEDGER_LOG_SCHEMA)
+        )
 
     def insert_chunks(self, rows: Iterable[dict]) -> None:
-        """D6: batch insert; duplicate chunk ids raise (IntegrityError analog)."""
-        new = self.spark.createDataFrame(
-            [self._complete_row(r) for r in rows], PPDB_REPLICA_CHUNK
-        )
-        existing = self.read()
+        """D6: batch insert; duplicate chunk ids raise (IntegrityError
+        analog, ``bigquery/ppdb_bigquery.py:598-618``).  Appends
+        O(batch) event rows in one commit; the dup probe is a bounded
+        ``limit`` (a few offending ids as the error sample), never a
+        full-result collect."""
+        completed = [self._complete_row(r) for r in rows]
+        ids = [r["apdb_replica_chunk"] for r in completed]
+        if len(set(ids)) != len(ids):
+            dup = sorted({i for i in ids if ids.count(i) > 1})
+            raise ValueError(f"duplicate replica chunk ids: {dup}")
         dupes = [
             r.apdb_replica_chunk
-            for r in new.join(existing, "apdb_replica_chunk", "left_semi")
+            for r in self.read()
+            .filter(F.col("apdb_replica_chunk").isin(ids))
             .select("apdb_replica_chunk")
+            .limit(8)
             .collect()
         ]
         if dupes:
             raise ValueError(f"duplicate replica chunk ids: {sorted(dupes)}")
-        self.table.overwrite(existing.unionByName(new))
+        self._append_events(completed, self._next_seq())
 
     def upsert_chunk(self, row: dict) -> None:
-        """D2: re-replication upsert (sql/_ppdb_sql.py:175-179)."""
-        new = self.spark.createDataFrame([self._complete_row(row)], PPDB_REPLICA_CHUNK)
-        existing = self.read().filter(
-            F.col("apdb_replica_chunk") != row["apdb_replica_chunk"]
-        )
-        self.table.overwrite(existing.unionByName(new))
+        """D2: re-replication upsert (sql/_ppdb_sql.py:175-179) — one
+        appended event; last-writer-wins compaction IS the upsert."""
+        self._append_events([self._complete_row(row)], self._next_seq())
 
     def update_chunk(self, chunk_id: int, **fields) -> None:
         """D5: whitelisted field update; LookupError when the row is absent.
 
-        Reference: bigquery/ppdb_bigquery.py:620-657.
+        Reference: bigquery/ppdb_bigquery.py:620-657 (indexed point
+        UPDATE + LookupError on rowcount 0).
         """
+        self.update_chunks([chunk_id], **fields)
+
+    def update_chunks(self, chunk_ids: Iterable[int], **fields) -> None:
+        """Batched D5: one ledger commit for a whole chunk batch — the
+        promotion of k chunks costs ONE append of k event rows, not k
+        table writes.  The new events are the current winning rows with
+        the whitelisted fields replaced, built distributed (no collect
+        of ledger rows)."""
+        ids = sorted(set(chunk_ids))
+        if not ids:
+            return
         bad = set(fields) - UPDATABLE_FIELDS
         if bad:
             raise ValueError(f"fields not updatable: {sorted(bad)}")
-        if not self.exists(chunk_id):
-            raise LookupError(f"no such replica chunk: {chunk_id}")
-        df = self.read()
+        current = self.read().filter(F.col("apdb_replica_chunk").isin(ids))
+        present = {
+            r.apdb_replica_chunk
+            for r in current.select("apdb_replica_chunk").collect()
+        }  # bounded by the batch size, never the ledger
+        missing = [i for i in ids if i not in present]
+        if missing:
+            raise LookupError(f"no such replica chunk: {missing}")
+        seq = self._next_seq()
+        events = current
         for name, value in fields.items():
-            df = df.withColumn(
+            events = events.withColumn(
                 name,
-                F.when(
-                    F.col("apdb_replica_chunk") == chunk_id,
-                    F.lit(value.value if isinstance(value, ChunkStatus) else value),
-                ).otherwise(F.col(name)),
+                F.lit(value.value if isinstance(value, ChunkStatus) else value),
             )
-        self.table.overwrite(df)
+        events = events.withColumn(EVENT_SEQ, F.lit(seq).cast("long")).select(
+            *[f.name for f in LEDGER_LOG_SCHEMA.fields]
+        )
+        self.table.append_commit(events)
+
+    def compact_log(self) -> None:
+        """Housekeeping: rewrite the event log down to the winning row
+        per chunk (O(live rows)); the logical table is unchanged.  Run
+        on a schedule, not per transition."""
+        if not self.table.exists():
+            return
+        compacted = latest_only(
+            self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
+        ).select(*[f.name for f in LEDGER_LOG_SCHEMA.fields])
+        self.table.overwrite(compacted)
 
     @staticmethod
     def _complete_row(r: dict) -> dict:

@@ -203,8 +203,9 @@ class Promoter:
                 export_delta_log(self.public_diaobject, self.spark)
             with timer("delete_staged", chunks=chunk_ids):
                 self._delete_staged(chunk_ids)
-            for cid in chunk_ids:
-                self.ledger.update_chunk(cid, status=ChunkStatus.PROMOTED)
+            # One ledger commit for the whole batch (k event rows), not
+            # k table writes — see ledger.update_chunks.
+            self.ledger.update_chunks(chunk_ids, status=ChunkStatus.PROMOTED)
             if self.last_dml:
                 summary = {
                     "stages": len(self.last_dml),

@@ -65,6 +65,85 @@ def test_promotable_contiguous_run(ledger):
     assert ledger.promotable_chunks() == [1, 3]
 
 
+def _data_files(ledger):
+    """(relative path, inode) of every parquet data file in the ledger
+    table's CURRENT version directory."""
+    import os
+
+    d = ledger.table.data_dir()
+    out = {}
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                p = os.path.join(root, n)
+                out[os.path.relpath(p, d)] = os.stat(p).st_ino
+    return out
+
+
+def test_update_is_append_only_no_rewrite(ledger):
+    """Pin What's-wrong #1's fix: a status transition appends O(batch)
+    event rows; every pre-existing data file survives byte-identical
+    (hardlinked — same inode), i.e. NO full-table rewrite."""
+    ledger.insert_chunks([{"apdb_replica_chunk": i} for i in range(1, 6)])
+    before = _data_files(ledger)
+    assert before
+    ledger.update_chunks([1, 2, 3], status=ChunkStatus.STAGED)
+    after = _data_files(ledger)
+    # every old file is still present with the same inode (hardlink,
+    # zero bytes rewritten) ...
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"pre-existing file rewritten: {rel}"
+    # ... plus at least one new event file for the batch
+    assert set(after) - set(before)
+
+
+def _n_commits(ledger):
+    with open(ledger.table._journal()) as f:
+        return sum(1 for line in f if line.strip())
+
+
+def test_update_chunks_batch_one_commit(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": i} for i in range(1, 6)])
+    n_commits = _n_commits(ledger)
+    ledger.update_chunks([1, 2, 4], status=ChunkStatus.STAGED, gcs_uri="file:///b")
+    assert _n_commits(ledger) == n_commits + 1
+    rows = {r.apdb_replica_chunk: r for r in ledger.read().collect()}
+    assert len(rows) == 5
+    for i in (1, 2, 4):
+        assert rows[i].status == "STAGED" and rows[i].gcs_uri == "file:///b"
+    for i in (3, 5):
+        assert rows[i].status == "EXPORTED" and rows[i].gcs_uri is None
+    with pytest.raises(LookupError, match=r"\[7, 9\]"):
+        ledger.update_chunks([1, 7, 9], status=ChunkStatus.STAGED)
+    with pytest.raises(ValueError, match="not updatable"):
+        ledger.update_chunks([1], update_count=3)
+    ledger.update_chunks([], status=ChunkStatus.STAGED)  # no-op
+
+
+def test_compact_log_preserves_logical_table(ledger):
+    ledger.insert_chunks([{"apdb_replica_chunk": i} for i in (1, 2, 3)])
+    ledger.update_chunks([1, 2], status=ChunkStatus.UPLOADED)
+    ledger.update_chunks([1], status=ChunkStatus.STAGED)
+    ledger.upsert_chunk({"apdb_replica_chunk": 3, "unique_id": "re"})
+    before = sorted(
+        (r.apdb_replica_chunk, r.status, r.unique_id)
+        for r in ledger.read().collect()
+    )
+    assert ledger.read_log().count() > 3
+    ledger.compact_log()
+    assert ledger.read_log().count() == 3
+    after = sorted(
+        (r.apdb_replica_chunk, r.status, r.unique_id)
+        for r in ledger.read().collect()
+    )
+    assert before == after
+    # log stays mutable after compaction
+    ledger.update_chunks([2], status=ChunkStatus.PROMOTED)
+    assert {
+        r.status for r in ledger.read().filter("apdb_replica_chunk = 2").collect()
+    } == {"PROMOTED"}
+
+
 def test_watermark_gate():
     now = datetime.datetime(2024, 1, 1, 12, 0, 0)
     t = lambda s: now - datetime.timedelta(seconds=s)
