@@ -22,12 +22,62 @@ Spark for the Hive metastore), exercising the REAL
 from __future__ import annotations
 
 import datetime
+import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline.replicate import SourceChunk
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+# A password provider is any zero-arg callable returning the secret —
+# the reference's pluggable ``PasswordProvider.get_password()``
+# (sql/_ppdb_sql_base.py:53-70) reduced to its one method.  It is
+# invoked lazily at connection-property build time, never stored, so
+# rotating secrets managers are re-read per read/write and the secret
+# lives only inside Spark's JDBC options (which Spark's default
+# ``spark.redaction.regex`` masks in plans/UI/logs; pinned by
+# tests/test_jdbc.py::test_password_redacted_in_plan).
+PasswordProvider = Callable[[], str]
+
+
+def env_password_provider(var: str) -> PasswordProvider:
+    """Provider reading the secret from an environment variable at
+    connection time (the reference ships the same convenience for its
+    CLI; raises KeyError when unset rather than sending '')."""
+
+    def get_password() -> str:
+        return os.environ[var]
+
+    return get_password
+
+
+def _connection_properties(
+    driver: str | None,
+    properties: dict | None,
+    password_provider: PasswordProvider | None,
+) -> dict:
+    """Merge driver name, caller properties (user/password/ssl/...)
+    and a lazily-invoked password provider into ``spark.read.jdbc``
+    connection properties.
+
+    Mirrors the reference's injection contract
+    (sql/_ppdb_sql_base.py:183-207): a provider may only be used when
+    the properties do not already carry a password — two sources of
+    truth for a secret is a misconfiguration, not a merge.
+    """
+    props = dict(properties or {})
+    if driver:
+        props.setdefault("driver", driver)
+    if password_provider is not None:
+        if "password" in props:
+            raise ValueError(
+                "connection properties must not contain a password when "
+                "password_provider is used"
+            )
+        props["password"] = password_provider()
+    return props
 
 
 def read_jdbc_chunks(
@@ -37,6 +87,8 @@ def read_jdbc_chunks(
     chunk_ids: list[int],
     chunk_col: str = "apdb_replica_chunk",
     driver: str | None = None,
+    properties: dict | None = None,
+    password_provider: PasswordProvider | None = None,
 ) -> DataFrame:
     """S1 source side: ``getTableDataChunks`` as a partitioned JDBC
     read — one partition (one connection, one pushed-down WHERE) per
@@ -51,7 +103,7 @@ def read_jdbc_chunks(
     """
     if not chunk_ids:
         raise ValueError("read_jdbc_chunks needs at least one chunk id")
-    props = {"driver": driver} if driver else {}
+    props = _connection_properties(driver, properties, password_provider)
     # ANSI-quoted column: servers with case-folding identifier rules
     # (Derby/Postgres fold unquoted names) must resolve the exact
     # column Spark's writer created.
@@ -65,10 +117,12 @@ def write_jdbc_table(
     table: str,
     driver: str | None = None,
     mode: str = "append",
+    properties: dict | None = None,
+    password_provider: PasswordProvider | None = None,
 ) -> None:
     """Multi-row JDBC sink (S7's database twin): executors write
     batched INSERTs over per-partition connections."""
-    props = {"driver": driver} if driver else {}
+    props = _connection_properties(driver, properties, password_provider)
     df.write.jdbc(url, table, mode=mode, properties=props)
 
 
@@ -95,15 +149,28 @@ class JdbcApdbSource:
         chunk_table: str = "apdb_replica_chunks",
         chunk_col: str = "apdb_replica_chunk",
         driver: str | None = None,
+        properties: dict | None = None,
+        password_provider: PasswordProvider | None = None,
     ) -> None:
+        """``properties`` carries JDBC connection options (user, ssl,
+        ...); ``password_provider`` is the reference's pluggable
+        credential hook (sql/_ppdb_sql_base.py:53-70) — invoked per
+        connection-property build, never stored or logged."""
         self.spark = spark
         self.url = url
         self.chunk_table = chunk_table
         self.chunk_col = chunk_col
         self.driver = driver
+        self.properties = dict(properties or {})
+        self.password_provider = password_provider
+        # Fail fast on the two-sources-of-truth misconfiguration
+        # instead of at first read.
+        _connection_properties(driver, self.properties, password_provider)
 
     def _props(self) -> dict:
-        return {"driver": self.driver} if self.driver else {}
+        return _connection_properties(
+            self.driver, self.properties, self.password_provider
+        )
 
     def list_chunks(self) -> list[SourceChunk]:
         """Pending-chunk catalog in strictly increasing id order (the
@@ -129,5 +196,12 @@ class JdbcApdbSource:
         """One chunk's (or several chunks') rows from a data table,
         one JDBC partition per chunk."""
         return read_jdbc_chunks(
-            self.spark, self.url, table, chunk_ids, self.chunk_col, self.driver
+            self.spark,
+            self.url,
+            table,
+            chunk_ids,
+            self.chunk_col,
+            self.driver,
+            properties=self.properties,
+            password_provider=self.password_provider,
         )

@@ -123,3 +123,147 @@ def test_replicator_runs_against_live_jdbc_source(spark, apdb_tables, tmp_path):
     assert led == {1, 2, 3, 4}
     # idempotent: a second poll finds nothing to copy
     assert rep.replicate_once(stage_fn, now=now) == []
+
+
+# ---------------------------------------------------------------------------
+# S1 credentials: the PasswordProvider analog (sql/_ppdb_sql_base.py:53-70)
+# against a Derby database with BUILTIN authentication REQUIRED.
+# ---------------------------------------------------------------------------
+
+AUTH_USER, AUTH_PASSWORD = "alice", "s3kretpw"
+
+
+@pytest.fixture(scope="module")
+def auth_db(spark, derby_url):
+    """A separate Derby database that REQUIRES authentication: created
+    open, loaded, then locked down via database-level properties and
+    rebooted so the requirement takes effect."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    home = jvm.java.lang.System.getProperty("derby.system.home")
+    url = f"jdbc:derby:{home}/authdb"
+    dm = jvm.java.sql.DriverManager
+    conn = dm.getConnection(url + ";create=true")
+    try:
+        cs = conn.prepareCall("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(?, ?)")
+        for k, v in [
+            ("derby.connection.requireAuthentication", "true"),
+            ("derby.authentication.provider", "BUILTIN"),
+            (f"derby.user.{AUTH_USER}", AUTH_PASSWORD),
+        ]:
+            cs.setString(1, k)
+            cs.setString(2, v)
+            cs.execute()
+        cs.close()
+    finally:
+        conn.close()
+    # Derby applies requireAuthentication on database boot; a clean
+    # shutdown always signals via SQLException (state 08006).
+    try:
+        dm.getConnection(url + ";shutdown=true")
+    except Exception:
+        pass
+    # Authenticated load through the Spark JDBC write path.
+    data = spark.createDataFrame(
+        [(c, 100 * c + i) for c in (1, 2) for i in range(5)],
+        "apdb_replica_chunk LONG, diaObjectId LONG",
+    )
+    write_jdbc_table(
+        data,
+        url,
+        "diaobject",
+        DERBY_DRIVER,
+        properties={"user": AUTH_USER, "password": AUTH_PASSWORD},
+    )
+    return url
+
+
+def test_authenticated_read_requires_credentials(spark, auth_db):
+    with pytest.raises(Exception, match="(?i)auth|connect"):
+        read_jdbc_chunks(
+            spark, auth_db, "diaobject", [1], driver=DERBY_DRIVER
+        ).count()
+
+
+def test_authenticated_read_with_properties(spark, auth_db):
+    out = read_jdbc_chunks(
+        spark,
+        auth_db,
+        "diaobject",
+        [1, 2],
+        driver=DERBY_DRIVER,
+        properties={"user": AUTH_USER, "password": AUTH_PASSWORD},
+    )
+    assert out.count() == 10
+    assert out.rdd.getNumPartitions() == 2
+
+
+def test_password_provider_is_lazy_and_exclusive(spark, auth_db):
+    calls = []
+
+    def provider():
+        calls.append(1)
+        return AUTH_PASSWORD
+
+    src = JdbcApdbSource(
+        spark,
+        auth_db,
+        driver=DERBY_DRIVER,
+        properties={"user": AUTH_USER},
+        password_provider=provider,
+    )
+    n_construct = len(calls)
+    df = src.get_table_data_chunks("diaobject", [2])
+    assert df.count() == 5
+    assert len(calls) > n_construct  # re-invoked per read, never cached
+    assert "password" not in src.properties  # secret never stored
+    # provider + explicit password is a misconfiguration, not a merge
+    with pytest.raises(ValueError, match="must not contain a password"):
+        JdbcApdbSource(
+            spark,
+            auth_db,
+            driver=DERBY_DRIVER,
+            properties={"user": AUTH_USER, "password": "x"},
+            password_provider=provider,
+        )
+
+
+def test_env_password_provider(spark, auth_db, monkeypatch):
+    from dax_ppdb_spark.io.jdbc import env_password_provider
+
+    provider = env_password_provider("TEST_APDB_PASSWORD")
+    with pytest.raises(KeyError):
+        provider()
+    monkeypatch.setenv("TEST_APDB_PASSWORD", AUTH_PASSWORD)
+    out = read_jdbc_chunks(
+        spark,
+        auth_db,
+        "diaobject",
+        [1],
+        driver=DERBY_DRIVER,
+        properties={"user": AUTH_USER},
+        password_provider=provider,
+    )
+    assert out.count() == 5
+
+
+def test_password_redacted_in_plan(spark, auth_db):
+    """The secret must never surface in plans/explain/UI strings —
+    Spark's default spark.redaction.regex masks JDBC options named
+    password; pin that our pass-through keeps it in options (not the
+    URL), where the redaction applies."""
+    df = read_jdbc_chunks(
+        spark,
+        auth_db,
+        "diaobject",
+        [1],
+        driver=DERBY_DRIVER,
+        properties={"user": AUTH_USER, "password": AUTH_PASSWORD},
+    )
+    qe = df._jdf.queryExecution()
+    full = qe.toString()
+    simple = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    assert AUTH_PASSWORD not in full
+    assert AUTH_PASSWORD not in simple
