@@ -955,6 +955,41 @@ def _load_index_centroids(
     return cents
 
 
+def _guarded_query_side(
+    spark: "SparkSession", q: DataFrame, max_collect_queries: int | None
+):
+    """Size-guarded query side for the persisted-index probes.
+
+    Interactive top-k batches (queries ≪ corpus) take the collect fast
+    path: one ``limit(guard+1)`` job whose rows serve both the probed-
+    cell literal (parquet partition pruning needs literals) and the
+    scoring join's broadcast side — the historical plan, bit-identical
+    results.  A batch-scoring call whose assigned query rows EXCEED
+    the guard never serializes through the driver: the assignment is
+    persisted once, the prune literal comes from ``distinct cid``
+    (bounded by the CENTROID count — model-sized — regardless of query
+    rows), and the scoring join runs as a regular distributed equi-join
+    on ``cid`` (AQE picks the strategy).  Both lanes read only the
+    probed cells' partitions.
+
+    Returns ``(query_side_df, probed_cells, big)``.
+    """
+    if max_collect_queries is not None:
+        qrows = q.limit(max_collect_queries + 1).collect()
+        if len(qrows) <= max_collect_queries:
+            probed = sorted({r.cid for r in qrows})
+            # qv doubles round-trip bit-exactly through collect
+            # (Python floats ARE IEEE doubles)
+            return (
+                F.broadcast(spark.createDataFrame(qrows, schema=q.schema)),
+                probed,
+                False,
+            )
+    big = q.persist()
+    probed = sorted(r.cid for r in big.select("cid").distinct().collect())
+    return big, probed, True
+
+
 def corpus_fingerprint(
     corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> tuple[int, int]:
@@ -1147,6 +1182,7 @@ def topk_ivf_sq8_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probes: int = 1,
+    max_collect_queries: int | None = 8192,
 ) -> DataFrame:
     """Query a :func:`build_ivf_sq8_index` index: assign each query to
     its nearest persisted centroid(s), read ONLY the probed cells'
@@ -1165,14 +1201,15 @@ def topk_ivf_sq8_index(
     Driver round-trips per probe: the centroid load is cache-first
     (ZERO jobs when this session built or already probed this index
     generation — :data:`_CENTROID_CACHE`), and the assigned query
-    batch is collected ONCE — the same rows serve both the probed-cell
-    discovery (the cid list must be a LITERAL for parquet partition
-    pruning) and the scoring join's broadcast side, so the scoring job
-    re-executes no query lineage.  Collecting the batch is not a new
-    exposure: this operator's contract already broadcasts it to every
-    executor (a batch too big to collect was too big to broadcast);
-    scan-sized batches belong on the per-call :func:`topk_ivf_sq8`
-    path.  Total: one small assignment job + the scoring job.
+    batch is collected ONCE when it fits ``max_collect_queries`` — the
+    same rows serve both the probed-cell discovery (the cid list must
+    be a LITERAL for parquet partition pruning) and the scoring join's
+    broadcast side, so the scoring job re-executes no query lineage.
+    Total: one small assignment job + the scoring job.  Assigned query
+    rows EXCEEDING the guard never serialize through the driver: see
+    :func:`_guarded_query_side` — prune literal from model-sized
+    ``distinct cid``, distributed equi-join for scoring; per-call
+    results are identical either way (pytest-pinned).
     """
     cents = _load_index_centroids(spark, index_root)
     qsel = queries.select(
@@ -1183,12 +1220,9 @@ def topk_ivf_sq8_index(
         q = assign_cells_multi(qsel, cents, probes, vec_col="qv")
     else:
         q = assign_cells(qsel, cents, vec_col="qv")
-    qrows = q.collect()
-    probed_cells = sorted({r.cid for r in qrows})
-    # qv doubles round-trip bit-exactly through collect (Python floats
-    # ARE IEEE doubles), so scoring stays bit-identical to the
-    # lineage-broadcast form — pinned by the shared oracle
-    q = spark.createDataFrame(qrows, schema=q.schema)
+    qside, probed_cells, _big = _guarded_query_side(
+        spark, q, max_collect_queries
+    )
     idx = (
         _ivf_index_table(index_root)
         .read(spark)
@@ -1197,7 +1231,7 @@ def topk_ivf_sq8_index(
     rv = F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
     joined = (
         idx.select("cid", "neighbor_id", rv.alias("rv"))
-        .join(F.broadcast(q), "cid")
+        .join(qside, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("rv")), 6)
@@ -1442,6 +1476,7 @@ def topk_ivf_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probes: int = 1,
+    max_collect_queries: int | None = 8192,
 ) -> DataFrame:
     """Query a :func:`build_ivf_pq_index` index: assign each query to
     its nearest persisted coarse centroid(s), read ONLY the probed
@@ -1451,10 +1486,12 @@ def topk_ivf_pq_index(
     model levels ride one broadcast data row), and window the
     asymmetric cosine to the top ``k``.  With ``probes=1``,
     bit-identical to :func:`topk_ivfpq` run with the same parameters —
-    pinned by the shared oracle.  Same driver-round-trip shape as the
-    SQ8 probe: cache-first model load (zero jobs), one assignment
-    job whose collected rows serve both the prune literal and the
-    scoring broadcast, one scoring job.
+    pinned by the shared oracle.  Same driver-round-trip and
+    size-guard shape as the SQ8 probe: cache-first model load (zero
+    jobs), one assignment job whose collected rows serve both the
+    prune literal and the scoring broadcast when the batch fits
+    ``max_collect_queries``, else the :func:`_guarded_query_side`
+    distributed lane (identical results, pytest-pinned).
     """
     cents = _load_index_centroids(spark, index_root)
     books = _load_index_codebooks(spark, index_root)
@@ -1467,9 +1504,9 @@ def topk_ivf_pq_index(
         q = assign_cells_multi(qsel, cents, probes, vec_col="qv")
     else:
         q = assign_cells(qsel, cents, vec_col="qv")
-    qrows = q.collect()
-    probed_cells = sorted({r.cid for r in qrows})
-    q = spark.createDataFrame(qrows, schema=q.schema)
+    qside, probed_cells, _big = _guarded_query_side(
+        spark, q, max_collect_queries
+    )
     idx = (
         _ivf_index_table(index_root)
         .read(spark)
@@ -1496,7 +1533,7 @@ def topk_ivf_pq_index(
     joined = (
         idx.crossJoin(F.broadcast(mdf))
         .select("cid", "neighbor_id", cv.alias("cv"))
-        .join(F.broadcast(q), "cid")
+        .join(qside, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)

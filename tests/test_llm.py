@@ -1284,6 +1284,54 @@ def test_ann_persisted_index_matches_per_call_chain(spark, tmp_path):
     assert sorted(map(key, again)) == sorted(map(key, want))
 
 
+def test_ann_index_probe_guarded_distributed_lane(spark, tmp_path):
+    """Forcing the query batch over the collect guard must switch both
+    persisted-index probes to the distributed lane (query assignments
+    persisted and equi-joined on cid — no driver serialization of the
+    batch) while returning IDENTICAL rows and still pruning the index
+    scan to the probed cid partitions."""
+    from dax_ppdb_spark.llm.similarity import (
+        build_ivf_pq_index,
+        build_ivf_sq8_index,
+        topk_ivf_pq_index,
+        topk_ivf_sq8_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") < 6)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+
+    sq8_root = str(tmp_path / "sq8")
+    build_ivf_sq8_index(emb, sq8_root, n_clusters=4)
+    fast = topk_ivf_sq8_index(spark, sq8_root, q, k=3)
+    big = topk_ivf_sq8_index(
+        spark, sq8_root, q, k=3, max_collect_queries=0
+    )
+    assert sorted(map(key, big.collect())) == sorted(map(key, fast.collect()))
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # distributed lane: the assignment survives as a persisted scan,
+    # not a driver-collected LocalTableScan of query rows
+    assert "InMemoryTableScan" in plan
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    pq_root = str(tmp_path / "pq")
+    build_ivf_pq_index(emb, pq_root, n_clusters=4, m=4, k_cb=8)
+    fast_pq = topk_ivf_pq_index(spark, pq_root, q, k=3, probes=2)
+    big_pq = topk_ivf_pq_index(
+        spark, pq_root, q, k=3, probes=2, max_collect_queries=0
+    )
+    assert sorted(map(key, big_pq.collect())) == sorted(
+        map(key, fast_pq.collect())
+    )
+    plan_pq = big_pq._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan_pq
+    assert "PartitionFilters" in plan_pq
+
+
 def test_ann_index_incremental_append(spark, tmp_path):
     """Appending new vectors must extend the persisted index without
     retraining: existing answers are unchanged where the new vectors
