@@ -986,6 +986,7 @@ def embedding_neardup_pairs(
     target_bucket_size: int = 32,
     corpus_count: int | None = None,
     target_recall: float | None = None,
+    id_pred=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with a sign-bucket LSH prefilter.
 
@@ -1014,6 +1015,16 @@ def embedding_neardup_pairs(
     The cap is applied via a broadcast join against the (tiny,
     one-row-per-(band,)bucket) size table *before* the pair join, so an
     oversized bucket never materializes its pair expansion.
+
+    ``id_pred`` (a callable mapping the id Column to a boolean Column)
+    restricts the OUTPUT pairs to ids satisfying the predicate while
+    bucketing — bucket membership, occupancy counts, and the
+    ``max_bucket`` cap — still runs over the FULL corpus: exactly
+    ``result.filter(pred(id_a) & pred(id_b))``, but the non-qualifying
+    ids never enter the quadratic pair expansion or the vector-attach
+    joins.  This is the recall-evaluation lane (score a bounded sample
+    against full-corpus banding) at sample cost instead of corpus
+    cost.
     """
     from .similarity import dot
 
@@ -1051,13 +1062,22 @@ def embedding_neardup_pairs(
     # ``max_bucket`` (a free size filter before the expansion) and
     # corpus-scaled plane counts bound.
     e = emb.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bucket"))
+    # collect only the PREDICATE-QUALIFYING ids per bucket (collect_set
+    # drops the nulls when() emits) while count(*) sees every member —
+    # the cap stays a full-corpus property under id_pred.  Each id
+    # appears once per (band,bucket) (bands key distinct planes), so
+    # count(*) == full occupancy.
+    member = F.when(id_pred(F.col("id")), F.col("id")) if id_pred is not None else F.col("id")
     grouped = (
         e.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .agg(
+            F.sort_array(F.collect_set(member)).alias("ids"),
+            F.count(F.lit(1)).alias("__occ"),
+        )
         .filter(F.size("ids") > 1)
     )
     if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
+        grouped = grouped.filter(F.col("__occ") <= max_bucket)
     cand = (
         grouped.select(
             F.explode(
@@ -1085,7 +1105,12 @@ def embedding_neardup_pairs(
     # hint here OOMs the moment the plane count lags the corpus
     # (measured: 25M candidates at 10x sf0.1 with 2k-tuned planes).
     # AQE broadcasts whichever side is actually small at runtime.
-    ev = emb.select(F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2"))
+    ev = emb
+    if id_pred is not None:
+        # only qualifying ids can appear in candidates — prune the
+        # vector-attach side to the sample too
+        ev = ev.filter(id_pred(F.col(id_col)))
+    ev = ev.select(F.col(id_col).alias("id"), v.alias("v"), dot(v, v).alias("n2"))
     joined = cand.join(
         ev.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n2").alias("n2a")),
         "id_a",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .driver_queries import _read, register
+from .driver_queries import _read, register, table_rows_meta
 from .llm.dedup import (
     DEFAULT_MAX_BUCKET,
     DEFAULT_MAX_DOC_FREQ,
@@ -746,10 +746,12 @@ def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import auto_bands, embedding_neardup_pairs
     from .llm.similarity import cosine_similarity
 
-    emb = _read_spread(spark, sf_dir, "embeddings").select(
+    # Raw read (no spread): same reasoning as dedup_embedding_banded —
+    # the banding groupBy distributes everything downstream.
+    emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = _read(spark, sf_dir, "embeddings").count()
+    n = table_rows_meta(sf_dir, "embeddings")
     bands = auto_bands(64, n)
     q = 1.0 - math.acos(0.32) / math.pi
     p, nb = len(bands[0]), len(bands)
@@ -781,14 +783,20 @@ def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .localCheckpoint(eager=False)
     )
+    # Candidate chain at SAMPLE cost: id_pred restricts the quadratic
+    # pair expansion and the vector-attach joins to the evaluation
+    # sample while bucketing and the occupancy cap still see the full
+    # corpus — identical pairs to filtering the full banded output to
+    # the sample (the oracle's formulation), without materializing the
+    # corpus-wide candidate base this query immediately discards.
     cand = (
         embedding_neardup_pairs(
             emb,
             threshold=0.32,
             vec_col="v",
             corpus_count=n,
+            id_pred=lambda c: c < 256,
         )
-        .filter((F.col("id_a") < 256) & (F.col("id_b") < 256))
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
@@ -820,13 +828,18 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     superlinear plan in the repo (20.2x time under 10x data with a
     fixed plane count; 1.3x with the rule).
 
-    The corpus count feeds the rule from the RAW scan (one skinny
-    count job over the source files), not the repartitioned relation —
-    counting after the spread would pay the round-robin shuffle just
-    to size the planes."""
-    n = _read(spark, sf_dir, "embeddings").count()
+    The corpus count that funds the rule comes from parquet FOOTER
+    metadata (``driver_queries.table_rows_meta`` — zero Spark jobs,
+    the exact number a count() job returns), so the query schedules
+    ONLY the banding pipeline; the count job this used to pay was pure
+    fixed overhead at every scale."""
+    n = table_rows_meta(sf_dir, "embeddings")
+    # Raw read, no spread: the banding groupBy is the FIRST shuffle
+    # and already distributes the expansion/scoring stages; a
+    # round-robin repartition in front of it is a pure extra
+    # shuffle+stage here (measured ~25% of this query's wall clock).
     return embedding_neardup_pairs(
-        _read_spread(spark, sf_dir, "embeddings"), threshold=0.3, corpus_count=n
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, corpus_count=n
     )
 
 
@@ -2840,7 +2853,7 @@ def q_semdedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N^(4/3)) production tier."""
     from .llm.embeddings import auto_semdedup_clusters, semdedup_pairs
 
-    n = _read(spark, sf_dir, "embeddings").count()
+    n = table_rows_meta(sf_dir, "embeddings")
     return semdedup_pairs(
         _read_spread(spark, sf_dir, "embeddings"),
         threshold=0.3,
@@ -2916,7 +2929,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     funds both level sizes."""
     from .llm.embeddings import auto_semdedup_levels, semdedup_pairs_two_level
 
-    n = _read(spark, sf_dir, "embeddings").count()
+    n = table_rows_meta(sf_dir, "embeddings")
     k1, k2 = auto_semdedup_levels(n)
     return semdedup_pairs_two_level(
         _read_spread(spark, sf_dir, "embeddings"),

@@ -306,6 +306,41 @@ def test_embedding_neardup_recall_and_cap(spark):
         axis_planes(64, 0)
 
 
+def test_embedding_neardup_id_pred_restriction(spark):
+    """id_pred must equal post-filtering the unrestricted output on
+    both pair ids — bucketing and the occupancy cap still see the full
+    corpus (a bucket over the cap drops SAMPLE pairs too)."""
+    from dax_ppdb_spark.llm.dedup import banded_axis_planes, embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bands = banded_axis_planes(64, 4, 8)
+    key = lambda df: sorted((r.id_a, r.id_b, r.cosine) for r in df.collect())
+
+    full = embedding_neardup_pairs(emb, threshold=0.3, bands=bands)
+    want = key(full.filter((F.col("id_a") < 40) & (F.col("id_b") < 40)))
+    got = key(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, bands=bands, id_pred=lambda c: c < 40
+        )
+    )
+    assert got == want and want  # non-trivial and identical
+
+    # full-corpus cap semantics: a cap below the sample's bucket size
+    # must drop the same pairs in both formulations
+    capped_want = key(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, bands=bands, max_bucket=12
+        ).filter((F.col("id_a") < 40) & (F.col("id_b") < 40))
+    )
+    capped_got = key(
+        embedding_neardup_pairs(
+            emb, threshold=0.3, bands=bands, max_bucket=12,
+            id_pred=lambda c: c < 40,
+        )
+    )
+    assert capped_got == capped_want
+
+
 def test_resize_images_plumbing(spark):
     from dax_ppdb_spark.llm.multimodal import resize_images
 
