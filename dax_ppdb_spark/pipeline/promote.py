@@ -34,7 +34,13 @@ Scale notes — every step is O(batch), never O(table):
   hardlinks the rest) — the touched-rows-only IO of the reference's
   MERGE statements;
 - update patch sets are one batch's worth — broadcast merges, no
-  target-side shuffle.
+  target-side shuffle;
+- within steps 1 and 3 the per-table jobs are INDEPENDENT (distinct
+  promotion tables, no shared state beyond the Spark scheduler) and
+  are submitted concurrently from a thread pool (each thread tagged
+  with its own scheduler pool, honored under FAIR mode and harmless
+  under FIFO) — a cluster promotes DiaObject/DiaSource/DiaForcedSource
+  in parallel instead of serializing three half-idle jobs.
 
 The public snapshot is range-partitioned + sorted on ``geo_point`` so
 row-group min/max stats prune sky-region queries (the BigQuery
@@ -222,6 +228,43 @@ class Promoter:
         finally:
             self._cleanup()
 
+    @staticmethod
+    def _concurrent(thunks) -> None:
+        """Run independent per-table Spark thunks concurrently.
+
+        Spark job submission is thread-safe; each thread names its own
+        scheduler pool so a FAIR-mode cluster interleaves the jobs
+        (FIFO ignores the property — the threads still overlap wherever
+        task slots are free).  The first failure propagates after all
+        threads finish, so a crashed table never leaves a sibling
+        mid-write."""
+        thunks = list(thunks)
+        if len(thunks) <= 1:
+            for t in thunks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def pooled(i, t):
+            def run():
+                from pyspark.sql import SparkSession
+
+                sess = SparkSession.getActiveSession()
+                if sess is not None:
+                    sess.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"promote-{i}"
+                    )
+                t()
+
+            return run
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(pooled(i, t)) for i, t in enumerate(thunks)]
+            errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
+
     def _copy_staging_to_promotion(self, chunk_ids: list[int]) -> None:
         """Step 1: promo := zero-copy clone(internal) + append of the
         staged rows only, with geo_point and bucket computed.
@@ -229,35 +272,40 @@ class Promoter:
         Matches ``bigquery/chunk_promoter.py:199-227`` (CLONE + INSERT
         INTO ... SELECT): the clone is hardlinks (O(files)), the insert
         writes one batch — promotion IO is O(batch), never O(table).
-        """
-        for t in DIA_TABLES:
-            staged = self._staged(t, chunk_ids)
-            add = (
-                self._with_bucket(with_geo_point(staged.drop(CHUNK_COLUMN)), t)
-                if staged is not None
-                else None
+        The three tables' copies are independent jobs, submitted
+        concurrently (:meth:`_concurrent`)."""
+        self._concurrent(
+            (lambda t=t: self._copy_one_table(t, chunk_ids)) for t in DIA_TABLES
+        )
+
+    def _copy_one_table(self, t: str, chunk_ids: list[int]) -> None:
+        staged = self._staged(t, chunk_ids)
+        add = (
+            self._with_bucket(with_geo_point(staged.drop(CHUNK_COLUMN)), t)
+            if staged is not None
+            else None
+        )
+        if self.internal[t].exists():
+            self.promotion[t].clone_from(self.internal[t])
+            if add is not None:
+                cur_cols = set(self.promotion[t].read(self.spark).columns)
+                if set(add.columns) == cur_cols:
+                    self.promotion[t].append(
+                        self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
+                    )
+                else:
+                    # Schema drift (new/dropped columns in a batch):
+                    # fall back to a full rewrite — rare by design.
+                    combined = self.promotion[t].read(self.spark).unionByName(
+                        add, allowMissingColumns=True
+                    )
+                    self.promotion[t].overwrite(
+                        self._id_sorted(combined, t), partition_by=(OBJ_BUCKET,)
+                    )
+        elif add is not None:
+            self.promotion[t].overwrite(
+                self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
             )
-            if self.internal[t].exists():
-                self.promotion[t].clone_from(self.internal[t])
-                if add is not None:
-                    cur_cols = set(self.promotion[t].read(self.spark).columns)
-                    if set(add.columns) == cur_cols:
-                        self.promotion[t].append(
-                            self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
-                        )
-                    else:
-                        # Schema drift (new/dropped columns in a batch):
-                        # fall back to a full rewrite — rare by design.
-                        combined = self.promotion[t].read(self.spark).unionByName(
-                            add, allowMissingColumns=True
-                        )
-                        self.promotion[t].overwrite(
-                            self._id_sorted(combined, t), partition_by=(OBJ_BUCKET,)
-                        )
-            elif add is not None:
-                self.promotion[t].overwrite(
-                    self._id_sorted(add, t), partition_by=(OBJ_BUCKET,)
-                )
 
     def _fill_validity_end(self, chunk_ids: list[int]) -> None:
         """Step 2: close open DiaObject intervals — touched buckets only.
@@ -302,23 +350,33 @@ class Promoter:
         if not raw.limit(1).count():
             return
         latest = latest_updates(expand_updates(raw)).localCheckpoint()
-        for t, (key_cols, _fields) in TABLE_PATCHES.items():
-            if not self.promotion[t].exists():
-                continue
-            patch = table_patch(latest, t)
-            if not patch.limit(1).count():
-                continue
-            buckets = self._buckets_of(patch, key_cols[0])
-            target = self.promotion[t].read(self.spark)
-            touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
-            # observe_as rides the write job below: per-MERGE scanned/
-            # updated row counts land in the metrics log, the analog of
-            # the reference's DML stats (updates_manager.py:242-271).
-            merged = merge_patch(touched, patch, key_cols, observe_as=f"merge_{t}")
-            self.promotion[t].replace_partitions(
-                self._id_sorted(merged, t), OBJ_BUCKET, buckets
-            )
-            self.last_dml.extend(flush_observations())
+        # The per-table merges are independent (distinct promotion
+        # tables, patch slices of the shared checkpointed `latest`) —
+        # submit them concurrently; observations resolve after the pool
+        # joins (each entry is stage-tagged, so attribution survives
+        # the interleave).
+        self._concurrent(
+            (lambda t=t, kc=key_cols: self._merge_one_table(t, kc, latest))
+            for t, (key_cols, _fields) in TABLE_PATCHES.items()
+        )
+        self.last_dml.extend(flush_observations())
+
+    def _merge_one_table(self, t: str, key_cols, latest: DataFrame) -> None:
+        if not self.promotion[t].exists():
+            return
+        patch = table_patch(latest, t)
+        if not patch.limit(1).count():
+            return
+        buckets = self._buckets_of(patch, key_cols[0])
+        target = self.promotion[t].read(self.spark)
+        touched = target.filter(F.col(OBJ_BUCKET).isin(buckets))
+        # observe_as rides the write job below: per-MERGE scanned/
+        # updated row counts land in the metrics log, the analog of
+        # the reference's DML stats (updates_manager.py:242-271).
+        merged = merge_patch(touched, patch, key_cols, observe_as=f"merge_{t}")
+        self.promotion[t].replace_partitions(
+            self._id_sorted(merged, t), OBJ_BUCKET, buckets
+        )
 
     def _swap_promotion_to_internal(self) -> None:
         """Step 4: atomic truncate-swap (zero-copy clone + pointer flip)."""
