@@ -114,7 +114,12 @@ def _cmd_run(args: argparse.Namespace) -> int:
             for t in cfg.jdbc_tables
         }
         return store_chunk(
-            spark, export_dir, chunk.chunk_id, tables, unique_id=chunk.unique_id
+            spark,
+            export_dir,
+            chunk.chunk_id,
+            tables,
+            unique_id=chunk.unique_id,
+            compression=cfg.parq_compression,
         )
 
     # The replicator inserts the EXPORTED ledger row after stage_fn
@@ -396,6 +401,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--update", action="store_true", default=None,
                    help="allow re-replication of chunks whose uuid changed")
     p.add_argument("--loop", action="store_true", help="poll continuously")
+    from .io.parquet_io import COMPRESSION_CHOICES
+
+    p.add_argument("--parq-compression", default=None,
+                   choices=sorted(COMPRESSION_CHOICES),
+                   help="parquet codec for exported chunks "
+                        "(zstd_lvl8/zstd_lvl15 set the zstd level; "
+                        "reference cli/options.py:205-213)")
 
     p = add("upload-chunks", "upload EXPORTED chunks to the bucket", _cmd_upload)
     p.add_argument("--ledger")

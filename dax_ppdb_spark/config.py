@@ -89,6 +89,9 @@ class SparkPipelineConfig(PpdbConfig):
     exit_on_error: bool = False
     schema: str | None = None
     prefix: str = "ppdb"
+    # Parquet codec for exported chunks; accepts leveled zstd settings
+    # (``zstd_lvl8``/``zstd_lvl15``), reference cli/options.py:205-213.
+    parq_compression: str = "snappy"
 
 
 def config_type_for_name(type_name: str) -> type[PpdbConfig]:

@@ -23,6 +23,38 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "manifest.json"
 MANIFEST_VERSION = 1
 
+# Compression settings accepted everywhere a codec name is (reference
+# ``cli/options.py:205-213``): plain codec names plus leveled zstd.
+COMPRESSION_CHOICES = (
+    "none", "snappy", "gzip", "brotli", "lz4", "zstd", "zstd_lvl8", "zstd_lvl15",
+)
+
+
+def parse_compression(name: str) -> tuple[str, dict[str, str]]:
+    """Split a compression setting into (Spark codec, extra writer
+    options).
+
+    ``zstd_lvl<N>`` (the reference's leveled settings,
+    ``cli/options.py:205-213``, ``bigquery/ppdb_bigquery_config.py:
+    111-112``) maps to the ``zstd`` codec plus parquet-java's
+    ``parquet.compression.codec.zstd.level`` — Spark copies writer
+    options into the write job's Hadoop configuration, so the level
+    reaches the executor-side encoder; any ``<N>`` is accepted, not
+    just the reference's two presets.  Levels exist only for zstd
+    (parquet-java exposes no per-codec level key for the others), so
+    a ``_lvl`` suffix on any other codec raises.
+    """
+    base, sep, lvl = name.partition("_lvl")
+    if not sep:
+        return name, {}
+    if base != "zstd":
+        raise ValueError(
+            f"compression level suffix is only supported for zstd (got {name!r})"
+        )
+    if not lvl.isdigit():
+        raise ValueError(f"bad compression level in {name!r}")
+    return base, {"parquet.compression.codec.zstd.level": lvl}
+
 
 def write_parquet(
     df: DataFrame,
@@ -35,9 +67,14 @@ def write_parquet(
 
     ``exclude`` mirrors the reference's dropping of
     ``apdb_replica_subchunk`` on export (``bigquery/ppdb_bigquery.py:444``).
+    ``compression`` accepts codec names and leveled ``zstd_lvl<N>``
+    settings (:func:`parse_compression`).
     """
+    codec, extra = parse_compression(compression)
     out = df.drop(*[c for c in exclude if c in df.columns])
-    writer = out.write.mode("overwrite").option("compression", compression)
+    writer = out.write.mode("overwrite").option("compression", codec)
+    for k, v in extra.items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -35,6 +35,7 @@ def store_chunk(
     updates: DataFrame | None = None,
     ledger: Ledger | None = None,
     unique_id: str | None = None,
+    compression: str = "snappy",
 ) -> str:
     """Export one chunk's tables + updates + manifest, then commit to ledger.
 
@@ -59,6 +60,7 @@ def store_chunk(
             tagged.observe(obs, F.count(F.lit(1)).alias("rows")),
             path,
             exclude=EXPORT_EXCLUDE,
+            compression=compression,
         )
         total += int(obs.get["rows"])
     if updates is not None:
@@ -69,6 +71,7 @@ def store_chunk(
                 uobs, F.count(F.lit(1)).alias("rows")
             ),
             upath,
+            compression=compression,
         )
         update_count = int(uobs.get["rows"])
         if not update_count:

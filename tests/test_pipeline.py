@@ -412,3 +412,61 @@ def test_promote_legacy_validity_schema_end_to_end(spark, tmp_path):
         (10, t(2)),
         (20, t(1)),
     ]
+
+
+def test_parquet_compression_levels(spark, tmp_path):
+    """zstd_lvl<N> parity (reference cli/options.py:205-213): the codec
+    reaches the footer and the LEVEL reaches the encoder (higher level
+    -> smaller file on compressible data)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dax_ppdb_spark.io.parquet_io import parse_compression, write_parquet
+
+    assert parse_compression("snappy") == ("snappy", {})
+    assert parse_compression("zstd_lvl8") == (
+        "zstd", {"parquet.compression.codec.zstd.level": "8"}
+    )
+    with pytest.raises(ValueError, match="only supported for zstd"):
+        parse_compression("gzip_lvl9")
+    with pytest.raises(ValueError, match="bad compression level"):
+        parse_compression("zstd_lvlx")
+
+    df = spark.range(40_000).select(
+        F.col("id"),
+        F.concat(F.lit("the quick brown fox jumps over the lazy dog "),
+                 (F.col("id") % 97).cast("string")).alias("text"),
+    ).coalesce(1)
+
+    def size_of(setting, name):
+        out = str(tmp_path / name)
+        write_parquet(df, out, compression=setting)
+        files = glob.glob(os.path.join(out, "*.parquet"))
+        assert files
+        meta = pq.ParquetFile(files[0]).metadata
+        codec = meta.row_group(0).column(0).compression
+        return codec, sum(os.path.getsize(f) for f in files)
+
+    codec1, s1 = size_of("zstd_lvl1", "z1")
+    codec15, s15 = size_of("zstd_lvl15", "z15")
+    assert codec1 == codec15 == "ZSTD"
+    assert s15 < s1  # the level actually reached the encoder
+
+
+def test_store_chunk_plumbs_compression(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tables = {
+        "DiaObject": spark.range(100).select(
+            F.col("id").alias("diaObjectId"), F.lit(1.0).alias("ra")
+        )
+    }
+    d = store_chunk(
+        spark, str(tmp_path / "exp"), 7, tables, compression="zstd_lvl8"
+    )
+    files = glob.glob(os.path.join(d, "DiaObject", "*.parquet"))
+    assert files
+    assert pq.ParquetFile(files[0]).metadata.row_group(0).column(0).compression == "ZSTD"
