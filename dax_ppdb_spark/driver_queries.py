@@ -62,6 +62,30 @@ def oracle_table_rows(table: str) -> int:
     return pq.ParquetFile(f"{oracle_sf_dir()}/{table}.parquet").metadata.num_rows
 
 
+def table_rows_meta(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER metadata — driver-local,
+    ZERO Spark jobs.  This is the count that sizes corpus-derived
+    parameters (``auto_bands``, ``auto_semdedup_levels``): the same
+    number a ``count()`` job returns, without scheduling a scan.
+    Handles the single-file test tables and multi-file directories
+    (sums footers — O(files) driver IO, the same listing cost the
+    scan's planning pays anyway; a production pipeline passes
+    ``corpus_count`` from its catalog instead)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    total += pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -1011,95 +1035,101 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-8 tail (63 = registry 113 - head 50).  Rule recap: tail =
-# externally green in the immediately preceding round, implementation
-# untouched this round; with 113 registered queries and a 50-row
-# window, full consecutive-tail disjointness is arithmetically
-# impossible (cadence ~2.3 rounds), so the overflow defers the
-# LOWEST-RISK stale rows — preferring the most recently checked.
+# Round-10 tail (64 = visible registry 114 - head 50).  Rule recap:
+# tail = externally green in the immediately preceding round,
+# implementation untouched this round; overflow (the window is
+# smaller than half the registry, cadence ~2.3 rounds) defers the
+# LOWEST-RISK stale rows, preferring the most recently checked.
 #
-# Contents: the 46 CORRECTNESS_r07-green queries whose implementation
-# round 8 did not touch (validity_fill, cdc_chunks and dedup_cdc WERE
-# r7-green but their operators changed this round — observe_as DML
-# metrics in fill_validity_end, the cdc_fp_inverted rewrite — so they
-# take head slots for re-verification), plus 17 deferrals: the five
-# r6-checked rows (freshest stale: doc_chunks, semdedup_flat,
-# sequence_pack, shard_pack, stratified_sample) and twelve r5-checked
-# trivial-plan rows, all green at every external check and untouched
-# since.  The head therefore holds: the 3 changed-this-round queries
-# and all 11 r3-checked + 5 r4-checked + 31 of the r5-checked
-# queries — every query whose external record is staler than r5 is
-# back in the window this round.
+# Round 9 shipped no commit, so the r8 window ran twice and the r8
+# tail went two+ rounds unchecked.  This round the ENTIRE backlog
+# re-heads: all 18 r5/r6-stale deferrals (ann_topk_kmeans,
+# doc_chunks, semdedup_flat, sequence_pack, shard_pack,
+# stratified_sample, distinct_ids, except_ids, intersect_ids,
+# existence_probe, notin_filter, contiguous_run, text_clean,
+# url_dedup, top_ngrams, gopher_quality, rollup_revenue,
+# cone_search_sorted), the 7 queries whose implementation changed
+# this round (dedup_embedding, dedup_embedding_banded,
+# embedding_recall, semdedup, semdedup_flat, ann_index_persisted,
+# ann_index_pq — footer-metadata corpus counts, the id_pred
+# restricted lane, raw-read inputs, the guarded index probes), and
+# 26 of the 42 untouched r7-green rows (all the multi-stage/heavier
+# plans: the LSH/prefix dedup family, the per-call ANN family, BPE
+# merges, crossmatch, sessionize, snapshot_asof, ...).
+#
+# Tail contents: the 48 rows green in CORRECTNESS_r09 whose
+# implementation this round did not touch, plus 16 r7-green
+# deferrals chosen for trivially-stable plans (single-table scans /
+# fixed aggregations, green at every external check since r5:
+# text_stats, lang_id, token_count_bpe, bpe_encode,
+# repetition_ratio, quality_quantiles, url_block_filter,
+# sample_exact_k, weighted_sample, revenue_by_nation, topk_per_key,
+# distinct_sketch, dedup_exact, embedding_covariance,
+# embedding_whiten, corpus_drift) — every one re-heads in round 11.
 _VERIFY_TAIL = (
-    # --- 18 deferrals (stale but lowest-risk; re-head next round).
-    # ann_topk_kmeans defers to make a head slot for the new
-    # curate_incr (new queries are never tailed); its Lloyd chain is
-    # externally covered by the other green ANN rows' shared oracle
-    # machinery and it is untouched this round. ---
-    "ann_topk_kmeans",
-    "doc_chunks",
-    "semdedup_flat",
-    "sequence_pack",
-    "shard_pack",
-    "stratified_sample",
-    "distinct_ids",
-    "except_ids",
-    "intersect_ids",
-    "existence_probe",
-    "notin_filter",
-    "contiguous_run",
-    "text_clean",
-    "url_dedup",
-    "top_ngrams",
-    "gopher_quality",
-    "rollup_revenue",
-    "cone_search_sorted",
-    # --- 46 round-7-green, implementation untouched this round ------
-    "retention_cohorts",
-    "sessionize",
-    "revenue_by_nation",
-    "crossmatch",
-    "topk_per_key",
-    "snapshot_asof",
-    "overlap_violations",
-    "distinct_sketch",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "quality_classifier",
-    "dedup_index_probe",
-    "dedup_incr_prefix",
-    "dedup_recall",
-    "dedup_simhash",
-    "embedding_recall",
-    "repetition_ratio",
+    "validity_fill",
+    "validity_fill_pruned",
+    "latest_only",
+    "rank_versions",
+    "replication_diff",
+    "semi_prune",
+    "consistency_lookup",
+    "merge_upsert",
+    "merge_composite",
+    "ledger_scan",
+    "inlist_filter",
+    "pricing_summary",
+    "pivot_patch",
+    "update_explode",
+    "union_concat",
+    "updates_pipeline",
+    "update_validate",
+    "spatial_box",
+    "cone_search",
+    "funnel",
+    "windowed_counts",
+    "asof_attribution",
+    "asof_tolerance",
+    "asof_forward",
+    "range_join",
+    "dedup_verified",
+    "dedup_clusters",
+    "pii_redact",
+    "lm_score",
+    "doc_fingerprint",
+    "multimodal_frame_sample",
+    "multimodal_decode",
+    "split_assign",
+    "dedup_cdc",
+    "cdc_chunks",
+    "multimodal_resize",
+    "corpus_curate",
+    "curate_incr",
+    "dedup_keep_best",
+    "embedding_quantize",
+    "dsir_weights",
+    "corpus_cube",
+    "ann_recall",
+    "tfidf_keywords",
+    "dedup_edit",
+    "hybrid_search",
+    "perplexity_buckets",
+    "leak_safe_split",
     "text_stats",
     "lang_id",
     "token_count_bpe",
-    "ann_topk_bruteforce",
-    "ann_topk_multiprobe",
-    "ann_topk_ivf",
     "bpe_encode",
-    "bpe_merges_batched",
-    "bpe_merges",
-    "ann_topk_pq",
-    "decontaminate",
+    "repetition_ratio",
     "quality_quantiles",
-    "dup_spans",
-    "embedding_covariance",
-    "embedding_whiten",
     "url_block_filter",
-    "semdedup",
     "sample_exact_k",
     "weighted_sample",
-    "source_overlap",
-    "dedup_span_removal",
-    "mixture_sample",
-    "dedup_paragraphs",
-    "ann_index_persisted",
-    "ann_index_pq",
-    "bigram_lm_score",
+    "revenue_by_nation",
+    "topk_per_key",
+    "distinct_sketch",
+    "dedup_exact",
+    "embedding_covariance",
+    "embedding_whiten",
     "corpus_drift",
 )
 
