@@ -187,6 +187,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "repeat": repeat,
+                "notes": (
+                    "min-of-N per query; at sf0.1 run-to-run environment "
+                    "noise is ~1.2-1.5x on sub-3s rows (sub-second rows "
+                    "are scheduling-overhead-bound) - adjudicate "
+                    "cross-round deltas with tools/bench_compare.py, "
+                    "not by eyeballing two snapshots"
+                ),
             },
             fh,
             indent=1,

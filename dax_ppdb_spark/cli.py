@@ -203,6 +203,22 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact_ledger(args: argparse.Namespace) -> int:
+    """Housekeeping: fold the ledger's status-event log down to its
+    winning row per chunk (``Ledger.compact_log``) — transitions
+    append O(batch) events, so the log grows a few rows per chunk
+    lifetime; run this on the same schedule as ``compact``."""
+    from .ledger import Ledger
+
+    spark = get_spark("ppdb-compact-ledger")
+    ledger = Ledger(spark, args.ledger)
+    before = ledger.read_log().count()
+    ledger.compact_log()
+    after = ledger.read_log().count()
+    print(f"compacted ledger events: {before} -> {after}")
+    return 0
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Run the corpus-curation funnel end-to-end and WRITE the result:
     quality filter -> exact dedup (min-id representative) -> optional
@@ -425,6 +441,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition-col", required=True)
     p.add_argument("--max-files", type=int, default=4,
                    help="rewrite partitions with more parquet files than this")
+
+    p = add("compact-ledger", "fold the ledger event log to its live rows", _cmd_compact_ledger)
+    p.add_argument("ledger", help="ledger table path")
 
     p = add("export-pgcopy", "dump a table as PGCOPY binary part files (S8)", _cmd_export_pgcopy)
     p.add_argument("table", help="parquet table path")

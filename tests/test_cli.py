@@ -389,3 +389,19 @@ def test_bucket_table_and_validate_cmds(spark, tmp_path, capsys):
     with _pytest.raises(ValueError, match="wrong bucket"):
         cli.main(["bucket-validate", out, "--key", "k", "--buckets", "8"])
     spark.sql("DROP TABLE IF EXISTS bucket_validate_probe")
+
+
+def test_compact_ledger_command(spark, tmp_path):
+    from dax_ppdb_spark.cli import main
+    from dax_ppdb_spark.ledger import Ledger
+    from dax_ppdb_spark.schema.registry import ChunkStatus
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led.insert_chunks([{"apdb_replica_chunk": i} for i in (1, 2)])
+    led.update_chunks([1, 2], status=ChunkStatus.STAGED)
+    led.update_chunks([1], status=ChunkStatus.PROMOTED)
+    assert led.read_log().count() == 5
+    assert main(["compact-ledger", led.table.path]) == 0
+    assert led.read_log().count() == 2
+    rows = {r.apdb_replica_chunk: r.status for r in led.read().collect()}
+    assert rows == {1: "PROMOTED", 2: "STAGED"}
