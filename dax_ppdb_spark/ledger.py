@@ -52,9 +52,20 @@ LEDGER_LOG_SCHEMA = StructType(
 
 
 class Ledger:
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, auto_compact_files: int = 64
+    ) -> None:
+        """``auto_compact_files``: when a commit finds more than this
+        many data files in the log, it folds a compaction into ITSELF
+        (one overwrite of live rows + the new batch) instead of
+        appending.  This bounds the per-commit hardlink fan-out of
+        ``append_commit`` — without it, commit k links O(k) files and
+        lifetime commit cost is O(N²) in transitions, the same disease
+        the event log cured for bytes.  Amortized: one O(live-rows)
+        rewrite every ``auto_compact_files`` appends."""
         self.spark = spark
         self.table = ParquetTable(path)
+        self.auto_compact_files = auto_compact_files
 
     # -- reads --------------------------------------------------------------
 
@@ -125,11 +136,39 @@ class Ledger:
         top = self.read_log().agg(F.max(EVENT_SEQ)).first()[0]
         return 0 if top is None else int(top) + 1
 
-    def _append_events(self, rows: list[dict], seq: int) -> None:
-        events = [dict(r, **{EVENT_SEQ: seq}) for r in rows]
-        self.table.append_commit(
-            self.spark.createDataFrame(events, LEDGER_LOG_SCHEMA)
+    def _data_file_count(self) -> int:
+        import os
+
+        d = self.table.data_dir()
+        if d is None:
+            return 0
+        return sum(
+            1
+            for n in os.listdir(d)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
         )
+
+    def _append_events(self, rows: list[dict], seq: int) -> None:
+        self._commit_events(
+            self.spark.createDataFrame(
+                [dict(r, **{EVENT_SEQ: seq}) for r in rows], LEDGER_LOG_SCHEMA
+            )
+        )
+
+    def _commit_events(self, events: DataFrame) -> None:
+        """One atomic commit of a batch of event rows: an
+        ``append_commit`` normally, or — when the log's file count
+        crosses ``auto_compact_files`` — a compaction folded into this
+        same commit (one overwrite of the winning rows + the new
+        batch; dropped events were already losers of the per-chunk
+        last-writer-wins, and the new batch's seq is the maximum)."""
+        if self._data_file_count() > self.auto_compact_files:
+            compacted = latest_only(
+                self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
+            ).select(*[f.name for f in LEDGER_LOG_SCHEMA.fields])
+            self.table.overwrite(compacted.unionByName(events))
+        else:
+            self.table.append_commit(events)
 
     def insert_chunks(self, rows: Iterable[dict]) -> None:
         """D6: batch insert; duplicate chunk ids raise (IntegrityError
@@ -197,7 +236,7 @@ class Ledger:
         events = events.withColumn(EVENT_SEQ, F.lit(seq).cast("long")).select(
             *[f.name for f in LEDGER_LOG_SCHEMA.fields]
         )
-        self.table.append_commit(events)
+        self._commit_events(events)
 
     def compact_log(self) -> None:
         """Housekeeping: rewrite the event log down to the winning row

@@ -144,6 +144,30 @@ def test_compact_log_preserves_logical_table(ledger):
     } == {"PROMOTED"}
 
 
+def test_auto_compact_bounds_log_file_count(spark, tmp_path):
+    """Per-commit hardlink fan-out must stay bounded: once the log
+    crosses auto_compact_files, the next commit folds a compaction
+    into itself, so file count — and with it commit cost — never grows
+    with lifetime transitions."""
+    led = Ledger(spark, str(tmp_path / "ledger"), auto_compact_files=6)
+    led.insert_chunks([{"apdb_replica_chunk": i} for i in range(1, 4)])
+    max_files = 0
+    for round_ in range(10):
+        led.update_chunks(
+            [1, 2, 3],
+            status=ChunkStatus.STAGED if round_ % 2 else ChunkStatus.UPLOADED,
+        )
+        max_files = max(max_files, led._data_file_count())
+    # bounded: threshold + one batch's files, not 10 rounds' worth
+    assert max_files <= 6 + 32
+    assert led._data_file_count() < 10 * 3
+    rows = {r.apdb_replica_chunk: r.status for r in led.read().collect()}
+    assert rows == {1: "STAGED", 2: "STAGED", 3: "STAGED"}
+    # and the logical table survives a compaction-folded upsert too
+    led.upsert_chunk({"apdb_replica_chunk": 9, "unique_id": "u9"})
+    assert led.exists(9)
+
+
 def test_watermark_gate():
     now = datetime.datetime(2024, 1, 1, 12, 0, 0)
     t = lambda s: now - datetime.timedelta(seconds=s)
