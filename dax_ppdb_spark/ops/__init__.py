@@ -1,4 +1,14 @@
 from .asof import asof_join  # noqa: F401
+from .constraints import (  # noqa: F401
+    AcceptedValues,
+    Check,
+    ForeignKey,
+    InRange,
+    NotNull,
+    Unique,
+    constraint_audit,
+    constraint_violations,
+)
 from .graph import connected_components  # noqa: F401
 from .latest import latest_only, latest_only_agg, topk_per_key  # noqa: F401
 from .merge import merge_patch, merge_upsert  # noqa: F401

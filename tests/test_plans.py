@@ -571,3 +571,29 @@ def test_dedup_index_probe_corpus_never_shuffles(spark, sf_dir, registry):
     assert plan.count("Arguments: hashpartitioning") <= 8, plan.count(
         "Arguments: hashpartitioning"
     )
+
+
+def test_constraint_audit_scale_shape(spark, sf_dir, registry):
+    """The audit's three table passes must each be column-pruned to
+    exactly what the rule reads, and the FK probe must broadcast the
+    DIMENSION side (never shuffle-join the pre-aggregated fact keys
+    against it)."""
+    plan = plan_of(registry["constraint_audit"](spark, sf_dir))
+    # unique(o_orderkey) branch reads only the key column
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+    # fused row-rule branch reads exactly the three rule columns
+    assert (
+        "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double>" in plan
+    )
+    # FK parent (customer distinct keys) broadcasts
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+
+
+def test_constraint_violations_single_pass(spark, sf_dir, registry):
+    """All row-level rules fuse into ONE scan + Generate — k rules is
+    one pass over the table, not k scan branches unioned."""
+    df = registry["constraint_violations"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.lower().count("union") == 0
+    assert opt.count("Relation") == 1

@@ -122,6 +122,8 @@ QUERIES = [
     "quality_quantiles",
     "ann_topk_ivf",
     "multimodal_decode",
+    "constraint_audit",
+    "constraint_violations",
 ]
 
 # id columns to shift per replica so keys stay unique.  FOREIGN keys
