@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 import time
 
 from .config import PpdbConfig, SparkPipelineConfig, pipeline_from_config
@@ -187,6 +188,42 @@ def _cmd_export_pgcopy(args: argparse.Namespace) -> int:
     n = write_pg_copy(df, args.out)
     print(f"wrote {n} PGCOPY part files to {args.out}")
     return 0
+
+
+def _cmd_audit(args: argparse.Namespace) -> int:
+    """Data-quality gate: audit a parquet table against a JSON rule
+    spec (``ops.constraints``).  Prints one line per rule; exit 1 if
+    any rule fails.  ``--violations OUT`` additionally writes the
+    row-level quarantine feed (requires ``--id-cols``)."""
+    import json as _json
+
+    from .ops.constraints import (
+        constraint_audit,
+        constraint_violations,
+        constraints_from_spec,
+    )
+
+    spark = get_spark("ppdb-audit")
+    with open(args.rules) as fh:
+        spec = _json.load(fh)
+    rules = constraints_from_spec(spark, spec)
+    df = spark.read.parquet(args.table)
+    rows = constraint_audit(df, rules).collect()
+    ok = True
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        ok = ok and r["passed"]
+        print(f"{mark}  {r['rule']}: {r['n_violations']}/{r['n_checked']} violations")
+    if args.violations:
+        if not args.id_cols:
+            print("--violations requires --id-cols", file=sys.stderr)
+            return 2
+        ids = [c.strip() for c in args.id_cols.split(",")]
+        constraint_violations(df, rules, ids).write.mode("overwrite").parquet(
+            args.violations
+        )
+        print(f"wrote row-level violations to {args.violations}")
+    return 0 if ok else 1
 
 
 def _cmd_compact(args: argparse.Namespace) -> int:
@@ -435,6 +472,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = add("promote", "promote contiguous STAGED chunks", _cmd_promote)
     p.add_argument("--root", help="PPDB warehouse root")
+
+    p = add("audit", "data-quality gate: audit a table against a JSON rule spec",
+            _cmd_audit)
+    p.add_argument("table", help="parquet table path")
+    p.add_argument("--rules", required=True,
+                   help="JSON rule spec (see ops.constraints.constraints_from_spec)")
+    p.add_argument("--violations", help="write row-level violations parquet here")
+    p.add_argument("--id-cols", help="comma-separated id columns for --violations")
 
     p = add("compact", "rewrite fragmented partitions of a managed table", _cmd_compact)
     p.add_argument("table", help="ParquetTable directory")

@@ -2,12 +2,15 @@ from .asof import asof_join  # noqa: F401
 from .constraints import (  # noqa: F401
     AcceptedValues,
     Check,
+    ConstraintViolationError,
     ForeignKey,
     InRange,
     NotNull,
     Unique,
     constraint_audit,
     constraint_violations,
+    constraints_from_spec,
+    enforce_constraints,
 )
 from .graph import connected_components  # noqa: F401
 from .latest import latest_only, latest_only_agg, topk_per_key  # noqa: F401

@@ -311,3 +311,76 @@ def constraint_violations(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+class ConstraintViolationError(RuntimeError):
+    """A constraint set failed; carries the per-rule audit rows for
+    the failing rules (tiny: one row per rule)."""
+
+    def __init__(self, label: str, failed: list) -> None:
+        self.label = label
+        self.failed = failed
+        detail = "; ".join(
+            f"{r['rule']}: {r['n_violations']}/{r['n_checked']}" for r in failed
+        )
+        super().__init__(f"constraint violations in {label}: {detail}")
+
+
+def enforce_constraints(
+    df: DataFrame, constraints: Sequence[Constraint], label: str
+) -> list:
+    """Audit ``df`` and raise :class:`ConstraintViolationError` if any
+    rule fails; returns the (tiny, one-row-per-rule) audit rows when
+    everything passes.  The collect is O(rules), never O(rows) — the
+    violating rows themselves stay distributed (use
+    :func:`constraint_violations` to quarantine them)."""
+    rows = constraint_audit(df, constraints).collect()
+    failed = [r for r in rows if not r["passed"]]
+    if failed:
+        raise ConstraintViolationError(label, failed)
+    return rows
+
+
+def constraints_from_spec(spark, spec: Sequence[dict]) -> list:
+    """Build a constraint list from a JSON-able spec — the CLI/config
+    surface.  Each entry is a dict with ``kind`` plus the rule's
+    fields; ``foreign_key.ref`` is a parquet path read via ``spark``.
+
+    Example::
+
+        [{"kind": "not_null", "col": "o_custkey"},
+         {"kind": "accepted_values", "col": "o_orderstatus",
+          "values": ["O", "F"]},
+         {"kind": "in_range", "col": "o_totalprice", "lo": 0},
+         {"kind": "check", "name": "pos", "predicate": "o_totalprice > 0"},
+         {"kind": "unique", "cols": ["o_orderkey"]},
+         {"kind": "foreign_key", "cols": ["o_custkey"],
+          "ref": "/data/customer", "ref_cols": ["c_custkey"],
+          "name": "orders_custkey"}]
+    """
+    out: list = []
+    for entry in spec:
+        kind = entry.get("kind")
+        if kind == "not_null":
+            out.append(NotNull(entry["col"]))
+        elif kind == "accepted_values":
+            out.append(AcceptedValues(entry["col"], tuple(entry["values"])))
+        elif kind == "in_range":
+            out.append(InRange(entry["col"], entry.get("lo"), entry.get("hi")))
+        elif kind == "check":
+            out.append(Check(entry["name"], entry["predicate"]))
+        elif kind == "unique":
+            out.append(Unique(tuple(entry["cols"])))
+        elif kind == "foreign_key":
+            ref = spark.read.parquet(entry["ref"])
+            out.append(
+                ForeignKey(
+                    tuple(entry["cols"]),
+                    ref,
+                    tuple(entry["ref_cols"]),
+                    entry.get("name", ",".join(entry["cols"])),
+                )
+            )
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+    return out

@@ -95,9 +95,18 @@ class Promoter:
         root: str,
         bucket_width: int = 1_000_000,
         delta_export: bool = False,
+        constraints: dict | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
+        # Optional per-table data-quality gate (ops/constraints): rules
+        # audited against the STAGED batch (only the chunks being
+        # promoted — O(batch), never O(table)) BEFORE any promotion
+        # write.  A failing rule aborts with ConstraintViolationError,
+        # leaving staging and the ledger untouched — the table-wide
+        # generalization of the reference's per-write integrity guards
+        # (rowcount==1 point updates, bigquery/ppdb_bigquery.py:620-657).
+        self.constraints = constraints or {}
         # DML stats of the most recent promote() (reset per call).
         self.last_dml: list[dict] = []
         # Ids per bucket: size so one bucket's rows are a comfortable
@@ -176,6 +185,27 @@ class Promoter:
             return None
         return df.filter(F.col(CHUNK_COLUMN).isin(chunk_ids))
 
+    def _validate_constraints(self, chunk_ids: list[int]) -> None:
+        """Audit each configured table's STAGED slice of this batch;
+        raise ``ConstraintViolationError`` on the first failing table.
+        The audit collect is O(rules); the scanned data is O(batch)
+        (chunk-partition-pruned via ``_staged``)."""
+        from ..ops.constraints import enforce_constraints
+
+        for table, rules in self.constraints.items():
+            if table == "updates":
+                t = self.staging_updates
+                df = (
+                    t.read(self.spark).filter(F.col(CHUNK_COLUMN).isin(chunk_ids))
+                    if t.exists()
+                    else None
+                )
+            else:
+                df = self._staged(table, chunk_ids)
+            if df is None:
+                continue
+            enforce_constraints(df, rules, f"staged {table} chunks={chunk_ids}")
+
     # -- promotion ----------------------------------------------------------
 
     def promote(self, chunk_ids: list[int] | None = None) -> list[int]:
@@ -191,6 +221,12 @@ class Promoter:
         # one-line summary lands in the promote log at the end.
         self.last_dml: list[dict] = []
         try:
+            if self.constraints:
+                # Validate BEFORE the first write: a failing batch
+                # aborts with staging + ledger untouched (nothing for
+                # _cleanup to roll back).
+                with timer("validate_constraints", chunks=chunk_ids):
+                    self._validate_constraints(chunk_ids)
             steps = (
                 ("copy_staging_to_promotion", self._copy_staging_to_promotion),
                 ("fill_validity_end", self._fill_validity_end),

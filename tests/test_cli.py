@@ -405,3 +405,43 @@ def test_compact_ledger_command(spark, tmp_path):
     assert led.read_log().count() == 2
     rows = {r.apdb_replica_chunk: r.status for r in led.read().collect()}
     assert rows == {1: "PROMOTED", 2: "STAGED"}
+
+
+def test_audit_command(spark, tmp_path, capsys):
+    """`audit` exits 0 on a clean table, 1 on violations, writes the
+    row-level quarantine parquet, and parses FK rules from the spec."""
+    table = str(tmp_path / "t")
+    parent = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, 99, 2.0)], "id long, fk long, score double"
+    ).write.parquet(table)
+    spark.createDataFrame([(10,), (11,)], "pk long").write.parquet(parent)
+
+    rules = [
+        {"kind": "not_null", "col": "id"},
+        {"kind": "in_range", "col": "score", "lo": 0.0},
+        {"kind": "unique", "cols": ["id"]},
+        {"kind": "foreign_key", "cols": ["fk"], "ref": parent,
+         "ref_cols": ["pk"], "name": "t_fk"},
+    ]
+    spec = tmp_path / "rules.json"
+    spec.write_text(json.dumps(rules))
+
+    out = str(tmp_path / "quarantine")
+    rc = cli.main([
+        "audit", table, "--rules", str(spec),
+        "--violations", out, "--id-cols", "id",
+    ])
+    assert rc == 1  # in_range + fk fail
+    printed = capsys.readouterr().out
+    assert "FAIL  in_range(score): 1/3" in printed
+    assert "FAIL  foreign_key(t_fk): 1/3" in printed
+    assert "PASS  not_null(id): 0/3" in printed
+    quarantined = sorted(
+        (r["id"], r["rule"]) for r in spark.read.parquet(out).collect()
+    )
+    assert quarantined == [(2, "in_range(score)"), (3, "foreign_key(t_fk)")]
+
+    clean_spec = tmp_path / "clean.json"
+    clean_spec.write_text(json.dumps([{"kind": "not_null", "col": "id"}]))
+    assert cli.main(["audit", table, "--rules", str(clean_spec)]) == 0

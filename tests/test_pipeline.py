@@ -470,3 +470,61 @@ def test_store_chunk_plumbs_compression(spark, tmp_path):
     files = glob.glob(os.path.join(d, "DiaObject", "*.parquet"))
     assert files
     assert pq.ParquetFile(files[0]).metadata.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_promotion_constraint_gate_blocks_bad_batch(spark, tmp_path):
+    """A configured data-quality gate aborts promotion BEFORE any
+    write: staging and the ledger stay untouched, and the same staged
+    batch promotes cleanly once the gate passes."""
+    from dax_ppdb_spark.ops.constraints import (
+        ConstraintViolationError,
+        InRange,
+        NotNull,
+    )
+
+    root = str(tmp_path)
+    gated = Promoter(
+        spark,
+        root,
+        constraints={
+            "DiaObject": [NotNull("diaObjectId"), InRange("ra", -360.0, 360.0)]
+        },
+    )
+    ledger = gated.ledger
+    c_dir = store_chunk(
+        spark,
+        root + "/export",
+        1,
+        {
+            "DiaObject": _obj(
+                spark,
+                [
+                    (10, 100.0, None, 45.0, -30.0, 1),
+                    (20, 100.0, None, 9999.0, -31.0, 1),  # ra out of range
+                ],
+            ),
+        },
+        ledger=ledger,
+    )
+    gated.stage_chunk_dir(c_dir, 1)
+
+    with pytest.raises(ConstraintViolationError) as ei:
+        gated.promote()
+    assert "in_range(ra)" in str(ei.value)
+    assert "1/2" in str(ei.value)  # one violating row of two checked
+
+    # Nothing moved: chunk still promotable, no internal/public tables.
+    assert ledger.promotable_chunks() == [1]
+    assert not gated.internal["DiaObject"].exists()
+    assert not gated.public_diaobject.exists()
+    # Staged rows intact.
+    staged = gated._staged("DiaObject", [1])
+    assert staged is not None and staged.count() == 2
+
+    # Same warehouse, gate relaxed to rules the batch satisfies ->
+    # promotion proceeds normally.
+    ok = Promoter(
+        spark, root, constraints={"DiaObject": [NotNull("diaObjectId")]}
+    )
+    assert ok.promote() == [1]
+    assert ok.internal["DiaObject"].read(spark).count() == 2
