@@ -125,6 +125,7 @@ HEADLINE = [
     "sequence_pack",
     "constraint_audit",
     "constraint_violations",
+    "knn_label_noise",
 ]
 
 

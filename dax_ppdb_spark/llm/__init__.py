@@ -31,6 +31,7 @@ from .sampling import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_similarity,
     kmeans_centroids,
+    knn_label_agreement,
     topk_bruteforce,
     topk_bucketed,
     topk_kmeans,

@@ -3534,3 +3534,68 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+def _knn_label_noise_sql() -> str:
+    """Lazily-resolved oracle for the kNN label-agreement audit: the
+    sign-bucket assignment (plane count corpus-derived, the same
+    auto_bands rule the Spark side applies), the max_bucket cell cap,
+    in-cell pairwise cosine at round-6, row_number top-k with the
+    (cosine DESC, neighbor id ASC) tie-break, and the agreement
+    average — every vector keeps its output row via the LEFT JOIN
+    (singleton or capped cells report 0 neighbors, NULL agreement)."""
+    from .driver_queries import oracle_table_rows
+    from .llm.dedup import auto_bands
+
+    dims = auto_bands(64, oracle_table_rows("embeddings"), 1)[0]
+    key = " || ".join(
+        f"(CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+    return f"""
+WITH c AS (
+    SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v,
+           {key} AS bucket
+    FROM embeddings
+),
+bs AS (SELECT bucket, COUNT(*) AS cnt FROM c GROUP BY bucket),
+p AS (
+    SELECT a.id AS ia, a.label AS la, b.label AS lb, b.id AS ib,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.id <> b.id
+    JOIN bs ON bs.bucket = a.bucket AND bs.cnt <= 1000
+),
+r AS (
+    SELECT ia, la, lb, ib,
+           row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rk
+    FROM p
+),
+agg AS (
+    SELECT ia, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           round(CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS agreement
+    FROM r WHERE rk <= 5 GROUP BY ia
+)
+SELECT c.id AS vec_id, c.label,
+       COALESCE(agg.n_neighbors, CAST(0 AS BIGINT)) AS n_neighbors,
+       agg.agreement
+FROM c LEFT JOIN agg ON c.id = agg.ia
+"""
+
+
+@register("knn_label_noise", _knn_label_noise_sql)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit over the embeddings table: per-vector kNN
+    label agreement (``llm.similarity.knn_label_agreement``) — the
+    fraction of each vector's 5 nearest in-cell neighbors sharing its
+    label, the deep-kNN / Confident-Learning-shaped screen a pipeline
+    runs before trusting a labeled corpus (low-agreement rows are the
+    mislabel / out-of-distribution quarantine feed).  Raw read: the
+    single bucket-key groupBy distributes everything downstream, and
+    the corpus count that sizes the quantizer comes from parquet
+    footer metadata (zero extra jobs)."""
+    from .llm.similarity import knn_label_agreement
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_label_agreement(
+        emb, k=5, corpus_count=table_rows_meta(sf_dir, "embeddings")
+    )

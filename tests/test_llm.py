@@ -2006,3 +2006,91 @@ def test_embedding_neardup_target_recall_wiring(spark):
     # the near-twin pairs are exactly the high-cosine truth; the
     # derived banding must catch the overwhelming majority
     assert len(got_pairs) >= int(0.9 * len(want)) and want
+
+
+def _knn_emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+
+
+def test_knn_label_agreement_flags_flipped_label(spark):
+    """Hand-checked golden: a tight 4-vector cluster with one flipped
+    label.  The flipped row's 2 nearest neighbors carry the majority
+    label (agreement 0 — the noise flag); every clean row scores 1.0;
+    the vector alone in the opposite sign cell reports 0 neighbors and
+    NULL agreement."""
+    from dax_ppdb_spark.llm.similarity import knn_label_agreement
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.1, 0.0, 0.0], 0),
+            (3, [1.0, 0.2, 0.0, 0.0], 0),
+            (4, [1.0, 0.9, 0.0, 0.0], 1),  # geometrically inside, label flipped
+            (5, [-1.0, 0.0, 0.0, 0.0], 0),  # singleton cell
+        ],
+    )
+    out = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(emb, k=2, dims=(1,)).collect()
+    }
+    assert out == {
+        1: (2, 1.0),
+        2: (2, 1.0),
+        3: (2, 1.0),
+        4: (2, 0.0),
+        5: (0, None),
+    }
+
+
+def test_knn_label_agreement_max_bucket_empties_hot_cell(spark):
+    """max_bucket mirrors embedding_neardup_pairs' degenerate-cell cap:
+    an over-occupied cell contributes NO neighbor scans, but its
+    members keep their output rows (0 neighbors, NULL agreement) — the
+    relation stays total over the corpus."""
+    from dax_ppdb_spark.llm.similarity import knn_label_agreement
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.1, 0.0, 0.0], 0),
+            (3, [1.0, 0.2, 0.0, 0.0], 0),
+            (4, [1.0, 0.9, 0.0, 0.0], 1),
+            (5, [-1.0, 0.0, 0.0, 0.0], 0),
+            (6, [-1.0, 0.1, 0.0, 0.0], 1),
+        ],
+    )
+    out = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(emb, k=2, dims=(1,), max_bucket=3).collect()
+    }
+    # positive cell (4 members) capped; negative cell (2 members) scores
+    assert out[1] == (0, None)
+    assert out[2] == (0, None)
+    assert out[3] == (0, None)
+    assert out[4] == (0, None)
+    assert out[5] == (1, 0.0)
+    assert out[6] == (1, 0.0)
+
+
+def test_knn_label_agreement_caps_at_k_and_counts_short_cells(spark):
+    """n_neighbors = min(k, cell occupancy - 1): a 2-member cell under
+    k=5 reports 1 neighbor, and agreement averages over the available
+    neighbors only."""
+    from dax_ppdb_spark.llm.similarity import knn_label_agreement
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 7),
+            (2, [1.0, 0.1, 0.0, 0.0], 7),
+        ],
+    )
+    out = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(emb, k=5, dims=(1,)).collect()
+    }
+    assert out == {1: (1, 1.0), 2: (1, 1.0)}

@@ -597,3 +597,15 @@ def test_constraint_violations_single_pass(spark, sf_dir, registry):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.lower().count("union") == 0
     assert opt.count("Relation") == 1
+
+
+def test_knn_label_noise_single_shuffle_no_join(spark, sf_dir, registry):
+    """The kNN label-agreement audit finishes inside the cell groupBy:
+    the corpus rides ONE exchange (the bucket key) and every vector's
+    top-k + agreement is a higher-order expression over its collected
+    cell — a Join node (bucket self-join + per-id window, the naive
+    shape) would shuffle the vectors twice more and re-partition by
+    vector id."""
+    plan = plan_of(registry["knn_label_noise"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
