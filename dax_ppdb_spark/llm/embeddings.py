@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import assign_cells, cosine_similarity, kmeans_centroids
+from .similarity import assign_cells, cosine_similarity, dot, kmeans_centroids
 
 
 def _half_up(x: Column) -> Column:
@@ -221,9 +221,26 @@ def semdedup_pairs_two_level(
             .select("cid")
         )
         assigned = assigned.join(F.broadcast(ok), "cid")
-    a = assigned.select("cid", F.col("id").alias("vec_a"), F.col("v").alias("va"))
-    b = assigned.select("cid", F.col("id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # Squared norm per VECTOR, not per pair: interpreted HOF folds
+    # mean in-place self-dots cost 3x the lambda evaluations of a
+    # dot-only pair scan; dot/sqrt(n2a*n2b) is the same expression
+    # tree cosine_similarity expands to (bit-identical round-6).
+    scored = assigned.withColumn("n2", dot(F.col("v"), F.col("v")))
+    a = scored.select(
+        "cid",
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("n2a"),
+    )
+    b = scored.select(
+        "cid",
+        F.col("id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("n2a") * F.col("n2b")), 6
+    )
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -285,9 +302,26 @@ def semdedup_pairs(
             .select("cid")
         )
         assigned = assigned.join(F.broadcast(ok), "cid")
-    a = assigned.select("cid", F.col("id").alias("vec_a"), F.col("v").alias("va"))
-    b = assigned.select("cid", F.col("id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # Squared norm per VECTOR, not per pair: interpreted HOF folds
+    # mean in-place self-dots cost 3x the lambda evaluations of a
+    # dot-only pair scan; dot/sqrt(n2a*n2b) is the same expression
+    # tree cosine_similarity expands to (bit-identical round-6).
+    scored = assigned.withColumn("n2", dot(F.col("v"), F.col("v")))
+    a = scored.select(
+        "cid",
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("n2a"),
+    )
+    b = scored.select(
+        "cid",
+        F.col("id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("n2a") * F.col("n2b")), 6
+    )
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -34,12 +34,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def _pair_cosine(qv: str, cv: str, n2q: str = "n2q", n2c: str = "n2c") -> Column:
+    """Round-6 cosine over a joined pair whose squared norms were
+    computed per VECTOR before the join (columns ``n2q``/``n2c``).
+    Same expression tree :func:`cosine_similarity` expands to —
+    bit-identical doubles — at a third of the interpreted-fold work
+    (HOFs never enter whole-stage codegen; the self-dots dominated
+    every pair-scoring stage that used the in-place form)."""
+    return F.round(
+        dot(F.col(qv), F.col(cv)) / F.sqrt(F.col(n2q) * F.col(n2c)), 6
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    precompute_n2: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
@@ -47,6 +60,15 @@ def topk_bruteforce(
     are small by construction), so the corpus side never shuffles —
     the window's partition key is the query id, whose cardinality is
     tiny, and AQE coalesces.
+
+    ``precompute_n2`` moves the squared norms out of the per-pair
+    cosine (see :func:`_pair_cosine` — a third of the interpreted-fold
+    work, bit-identical result).  Callers whose ``vec_col`` is a
+    DERIVED expression (:func:`topk_pq`'s reconstruction) pass False:
+    CollapseProject inlines the defining expression into both ``dot``
+    references, so the norm column would re-reconstruct every corpus
+    row twice — costlier than the per-pair folds it saves whenever the
+    query set is small (measured +0.8 s on ann_topk_pq at sf0.1).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -55,8 +77,13 @@ def topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
+    if precompute_n2:
+        c = c.withColumn("n2c", dot(F.col("cv"), F.col("cv")))
+        q = q.withColumn("n2q", dot(F.col("qv"), F.col("qv")))
+        sim = _pair_cosine("qv", "cv")
+    else:
+        sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -181,8 +208,10 @@ def topk_pq(
         F.col(id_col), F.col("rv").alias(vec_col)
     )
     # scoring tail IS the brute-force scan over the reconstruction —
-    # one convention (round-6 cosine, (desc, id) tie-break), one place
-    return topk_bruteforce(rec, queries, k, vec_col, id_col)
+    # one convention (round-6 cosine, (desc, id) tie-break), one place.
+    # precompute_n2=False: rv is a derived expression; a norm column
+    # would inline the whole PQ reconstruction twice more per row.
+    return topk_bruteforce(rec, queries, k, vec_col, id_col, precompute_n2=False)
 
 
 def topk_ivfpq(
@@ -248,6 +277,10 @@ def topk_ivfpq(
         sample_mod=sample_mod,
     )
     rec = pq_reconstruct(t, books, vec_col="r", id_col="nid", out_col="rres")
+    # cv is DERIVED (coarse + residual reconstruction): no norm
+    # precompute — CollapseProject would inline the reconstruction
+    # into both self-dot references, re-running it twice per row for
+    # a per-pair saving the small query side cannot repay.
     corpus_side = rec.select(
         F.col("nid").alias("neighbor_id"),
         "cid",
@@ -693,7 +726,7 @@ def topk_kmeans(
         ),
         cents,
         vec_col="cv",
-    )
+    ).withColumn("n2c", dot(F.col("cv"), F.col("cv")))
     q = assign_cells(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -701,11 +734,11 @@ def topk_kmeans(
         ),
         cents,
         vec_col="qv",
-    )
+    ).withColumn("n2q", dot(F.col("qv"), F.col("qv")))
     joined = c.join(F.broadcast(q), "cid").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = _pair_cosine("qv", "cv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -779,6 +812,8 @@ def topk_ivf_sq8(
     ).select(
         "cid", "neighbor_id", sq8_reconstructed(F.col("cv")).alias("rv")
     )
+    # rv is DERIVED: no norm precompute (see topk_bruteforce's
+    # precompute_n2 note — inlining would re-quantize twice per row).
     q = assign_cells(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -835,21 +870,26 @@ def topk_multiprobe(
     one probe: no post-dedup needed.  The probe fan-out lives on the
     broadcast (query) side; the corpus still never shuffles.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("cv"), dims))
+        .withColumn("n2c", dot(F.col("cv"), F.col("cv")))
+    )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
+        .withColumn("n2q", dot(F.col("qv"), F.col("qv")))
         .withColumn("bucket", F.explode(probe_buckets(F.col("qv"), dims)))
     )
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = _pair_cosine("qv", "cv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -875,18 +915,26 @@ def topk_bucketed(
     the quantizer gives (single-probe).  At scale, write the corpus
     bucketed/partitioned by this key so a probe is a partition-pruned
     read instead of a shuffle."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("cv"), dims))
+        .withColumn("n2c", dot(F.col("cv"), F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("qv"), dims))
+        .withColumn("n2q", dot(F.col("qv"), F.col("qv")))
+    )
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = _pair_cosine("qv", "cv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1346,6 +1394,8 @@ def topk_ivf_sq8_index(
         .read(spark)
         .filter(F.col("cid").isin(probed_cells))
     )
+    # rv is DERIVED (dequantized in the scan): no norm precompute —
+    # see topk_bruteforce's precompute_n2 note.
     rv = F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale"))
     joined = (
         idx.select("cid", "neighbor_id", rv.alias("rv"))
@@ -1647,6 +1697,8 @@ def topk_ivf_pq_index(
             ),
         )
     )
+    # cv is DERIVED (codebook lookups + add-back in the scan): no
+    # norm precompute — see topk_bruteforce's precompute_n2 note.
     cv = F.zip_with(cc, rres, lambda a, b: a + b)
     joined = (
         idx.crossJoin(F.broadcast(mdf))

@@ -744,7 +744,7 @@ def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from .llm.dedup import auto_bands, embedding_neardup_pairs
-    from .llm.similarity import cosine_similarity
+    from .llm.similarity import dot
 
     # Raw read (no spread): same reasoning as dedup_embedding_banded —
     # the banding groupBy distributes everything downstream.
@@ -757,10 +757,19 @@ def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, nb = len(bands[0]), len(bands)
     model = round(1.0 - (1.0 - q**p) ** nb, 6)
 
+    # Squared norm per VECTOR in the collected sample (interpreted
+    # HOF folds: in-place self-dots cost 3x the dot-only pair scan;
+    # dot/sqrt(n2a*n2b) is the identical round-6 expression tree).
     s = emb.filter(F.col("vec_id") < 256)
     one = s.agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("vec_id").alias("id"), F.col("v")))
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("id"),
+                    F.col("v"),
+                    dot(F.col("v"), F.col("v")).alias("n2"),
+                )
+            )
         ).alias("ms")
     )
     ms = F.col("ms")
@@ -772,7 +781,9 @@ def q_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda y: F.struct(
                     x["id"].alias("id_a"),
                     y["id"].alias("id_b"),
-                    F.round(cosine_similarity(x["v"], y["v"]), 6).alias("c"),
+                    F.round(
+                        dot(x["v"], y["v"]) / F.sqrt(x["n2"] * y["n2"]), 6
+                    ).alias("c"),
                 ),
             ),
         )
