@@ -126,6 +126,7 @@ HEADLINE = [
     "constraint_audit",
     "constraint_violations",
     "knn_label_noise",
+    "embedding_outliers",
 ]
 
 

@@ -1077,13 +1077,15 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query may therefore enter the TAIL in its birth round ONLY with a
 # same-commit oracle selfcheck at sf0.001 AND sf0.01 AND sf0.1 (run:
 # both green at all three scales) and MUST re-head in the next
-# round.  Both re-head in round 11.  knn_label_noise (registered
-# later the same round) enters under the same exception — 3-scale
-# same-commit selfcheck, re-heads round 11.
+# round.  Both re-head in round 11.  knn_label_noise and
+# embedding_outliers (registered later the same round) enter under
+# the same exception — 3-scale same-commit selfcheck, re-head
+# round 11.
 _VERIFY_TAIL = (
     "constraint_audit",
     "constraint_violations",
     "knn_label_noise",
+    "embedding_outliers",
     "validity_fill",
     "validity_fill_pruned",
     "latest_only",

@@ -477,3 +477,72 @@ def pca_whiten(
         emb.crossJoin(F.broadcast(pdf))
         .select(F.col(id_col), out.alias("whitened"))
     )
+
+
+def embedding_outlier_ranks(
+    emb: DataFrame,
+    n_clusters: int | None = None,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Intra-cluster outlier scoring — the pruning complement of
+    SemDeDup: where :func:`semdedup_pairs` drops the redundant CENTER
+    of each learned cell (near-duplicate mass), this ranks each cell's
+    members by distance from their centroid so a curation pipeline can
+    quarantine the far TAIL (junk, OOD rows, encoder failures — the
+    centroid-distance screen used alongside dedup in embedding-based
+    data curation).
+
+    Output: one row per vector — ``(vec_id, cid, dist, cell_rank)``
+    with ``dist`` = round-6 Euclidean distance to the vector's own
+    (deterministic k-means) centroid and ``cell_rank`` = 1 for the
+    farthest member of its cell (ties broken by id).  Total over the
+    corpus; consumers cut at a rank or distance threshold.
+
+    Scale shape: training scans a hash sample (``sample_mod`` — the
+    100-TB shape), the assignment + distance is ONE map pass over the
+    corpus against a broadcast model-sized centroid table (same
+    :func:`~.similarity.assign_cells` discipline: centroids ride as
+    data, O(1) plan nodes), and the only exchange is the per-cell
+    ranking window keyed by ``cid`` (~sqrt(N) cells via
+    :func:`auto_semdedup_clusters`, so cells stay balanced as N
+    grows).  Fully deterministic: sampled Lloyd init/tie-breaks are
+    the replayable :func:`~.similarity.kmeans_centroids` rules, so
+    the DuckDB oracle chains the identical training.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import assign_cells, kmeans_centroids
+
+    if n_clusters is None:
+        n_clusters = auto_semdedup_clusters(emb.count())
+    cents = kmeans_centroids(emb, n_clusters, iters, vec_col, id_col, sample_mod)
+    assigned = assign_cells(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        cents,
+    )
+    cdf = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid INT, __c array<double>",
+    )
+    # Sequential fold, same element order as the oracle's
+    # list_sum(list_transform(...)): (v_i - c_i)^2 accumulated left to
+    # right; round-6 output bridges the engines' last-ulp differences
+    # exactly like every cosine output in this package.
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(cdf), "cid")
+        .withColumn("dist", F.round(F.sqrt(d2), 6))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .select("vec_id", "cid", "dist", "cell_rank")
+    )

@@ -3610,3 +3610,48 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_agreement(
         emb, k=5, corpus_count=table_rows_meta(sf_dir, "embeddings")
     )
+
+
+def _embedding_outliers_sql() -> str:
+    """Lazily-resolved oracle for the intra-cluster outlier ranking:
+    the shared sampled-Lloyd replay (``_kmeans_cte`` — identical
+    init/tie-break/round-6 rules at the corpus-scaled k), then each
+    vector's round-6 Euclidean distance to its final centroid and the
+    per-cell farthest-first rank."""
+    from .driver_queries import oracle_table_rows
+    from .llm.embeddings import auto_semdedup_clusters
+
+    k = auto_semdedup_clusters(oracle_table_rows("embeddings"))
+    cents_final = "c3"
+    return f"""{_kmeans_cte(k, 3, sample_mod=2)}
+SELECT vec_id, cid, dist, cell_rank FROM (
+    SELECT a.vec_id, a.cid,
+           round(sqrt({_lloyd_dist2('a.v', 'f.c')}), 6) AS dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.cid
+               ORDER BY round(sqrt({_lloyd_dist2('a.v', 'f.c')}), 6) DESC,
+                        a.vec_id
+           ) AS cell_rank
+    FROM asg a JOIN {cents_final} f USING (cid)
+)
+"""
+
+
+@register("embedding_outliers", _embedding_outliers_sql)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier audit over the embeddings table
+    (``llm.embeddings.embedding_outlier_ranks``) — the pruning
+    complement of SemDeDup: per-cell farthest-first ranking of every
+    vector's distance to its learned centroid, the screen that
+    quarantines junk / OOD / encoder-failure rows in embedding-based
+    curation.  Corpus-scaled k (~sqrt N), training on a 1/2 md5-hash
+    sample (the 100-TB shape), corpus count from parquet footers
+    (zero extra jobs)."""
+    from .llm.embeddings import auto_semdedup_clusters, embedding_outlier_ranks
+
+    n = table_rows_meta(sf_dir, "embeddings")
+    return embedding_outlier_ranks(
+        _read_spread(spark, sf_dir, "embeddings"),
+        n_clusters=auto_semdedup_clusters(n),
+        sample_mod=2,
+    )

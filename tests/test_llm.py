@@ -2094,3 +2094,52 @@ def test_knn_label_agreement_caps_at_k_and_counts_short_cells(spark):
         for r in knn_label_agreement(emb, k=5, dims=(1,)).collect()
     }
     assert out == {1: (1, 1.0), 2: (1, 1.0)}
+
+
+def test_embedding_outlier_ranks_farthest_first(spark):
+    """Two well-separated groups, k=2, deterministic init (lowest-id
+    vectors): Lloyd converges to the group means, every vector gets a
+    row, and within each cell the farthest member ranks 1 with ties
+    broken by id."""
+    from dax_ppdb_spark.llm.embeddings import embedding_outlier_ranks
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [10.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.0, 10.0, 0.0, 0.0], 0),
+            (3, [10.2, 0.0, 0.0, 0.0], 0),   # near group A mean
+            (4, [14.0, 0.0, 0.0, 0.0], 0),   # far from group A mean -> rank 1
+            (5, [0.0, 10.1, 0.0, 0.0], 0),
+        ],
+    )
+    out = {
+        r.vec_id: (r.cid, r.dist, r.cell_rank)
+        for r in embedding_outlier_ranks(emb, n_clusters=2, iters=3).collect()
+    }
+    assert len(out) == 5  # total over the corpus
+    # group A = {1,3,4} (cluster seeded by vec 1), group B = {2,5}
+    cid_a = out[1][0]
+    cid_b = out[2][0]
+    assert cid_a != cid_b
+    assert {out[3][0], out[4][0]} == {cid_a}
+    assert out[5][0] == cid_b
+    # farthest-first within each cell
+    a_ranks = {vid: out[vid][2] for vid in (1, 3, 4)}
+    assert a_ranks[4] == 1  # 14.0 is farthest from the ~11.4 mean
+    assert sorted(a_ranks.values()) == [1, 2, 3]
+    assert sorted(out[vid][2] for vid in (2, 5)) == [1, 2]
+    # distances are round-6 non-negative
+    assert all(v[1] >= 0 for v in out.values())
+
+
+def test_embedding_outlier_ranks_deterministic(spark):
+    from dax_ppdb_spark.llm.embeddings import embedding_outlier_ranks
+
+    emb = _knn_emb(
+        spark,
+        [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0, 0.0], 0) for i in range(12)],
+    )
+    a = sorted(map(tuple, embedding_outlier_ranks(emb, n_clusters=3).collect()))
+    b = sorted(map(tuple, embedding_outlier_ranks(emb, n_clusters=3).collect()))
+    assert a == b

@@ -609,3 +609,17 @@ def test_knn_label_noise_single_shuffle_no_join(spark, sf_dir, registry):
     plan = plan_of(registry["knn_label_noise"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_embedding_outliers_broadcast_model_single_cid_exchange(spark, sf_dir, registry):
+    """The outlier audit is a map pass over the corpus against the
+    broadcast centroid table plus ONE exchange for the per-cell
+    ranking window: a hashpartitioning exchange on anything but cid
+    (or a second one) would mean the corpus is shuffling for the
+    model-sized join."""
+    plan = plan_of(registry["embedding_outliers"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # formatted mode prints exchange keys on Arguments: lines
+    hashes = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hashes) == 1, hashes
+    assert "hashpartitioning(cid" in hashes[0]

@@ -101,6 +101,10 @@ QUERIES = [
     "dedup_index_probe",
     "quality_classifier",
     "embedding_recall",
+    "knn_label_noise",
+    "embedding_outliers",
+    "constraint_audit",
+    "constraint_violations",
     # round 7: the remaining bench headliners join the table so every
     # non-trivial benched plan has a measured growth row
     "topk_per_key",

@@ -45,6 +45,10 @@ GATED: dict[str, tuple[str, ...]] = {
     "asof_attribution": ("events",),
     "range_join": ("part", "lineitem"),
     "dedup_embedding_banded": ("embeddings",),
+    # in-cell quadratic kNN bounded by the corpus-scaled plane rule
+    "knn_label_noise": ("embeddings",),
+    # corpus-scaled k (~sqrt N) Lloyd + per-cell ranking window
+    "embedding_outliers": ("embeddings",),
     # corpus-derived two-level quantizer sizes (k1=k2~N^(1/4))
     "semdedup": ("embeddings",),
     # md5-fingerprinted gram shuffles + df-threshold join
