@@ -221,6 +221,22 @@ ANNOTATED = {
         " residual+gradient-aggregation jobs whose only driver traffic"
         " is the 65-double model."
     ),
+    "knn_label_noise": (
+        "kNN label-noise audit: the corpus shuffles ONCE on its"
+        " corpus-scaled sign-LSH cell key; each cell's kNN + label"
+        " agreement finishes inside one higher-order expression over"
+        " the collected cell (squared norms precomputed per vector —"
+        " interpreted folds never re-fold self-dots per pair). No"
+        " Join node anywhere; singleton and capped cells keep their"
+        " output rows, so the relation is total over the corpus."
+    ),
+    "embedding_outliers": (
+        "Intra-cluster outlier audit: sampled deterministic Lloyd"
+        " trains driver-side on model-sized aggregates; the corpus"
+        " then takes ONE map pass against the broadcast centroid"
+        " table (assignment + round-6 distance) and ONE cid-keyed"
+        " exchange for the per-cell farthest-first ranking window."
+    ),
 }
 
 
