@@ -127,6 +127,7 @@ HEADLINE = [
     "constraint_violations",
     "knn_label_noise",
     "embedding_outliers",
+    "table_stats",
 ]
 
 

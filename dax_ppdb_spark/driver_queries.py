@@ -1080,12 +1080,13 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round.  Both re-head in round 11.  knn_label_noise and
 # embedding_outliers (registered later the same round) enter under
 # the same exception — 3-scale same-commit selfcheck, re-head
-# round 11.
+# round 11.  table_stats likewise.
 _VERIFY_TAIL = (
     "constraint_audit",
     "constraint_violations",
     "knn_label_noise",
     "embedding_outliers",
+    "table_stats",
     "validity_fill",
     "validity_fill_pruned",
     "latest_only",
@@ -1959,3 +1960,75 @@ def q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         NotNull("text"),
     ]
     return constraint_violations(docs, rules, ["doc_id"])
+
+
+_TABLE_STATS_SQL = """
+WITH s AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS __n,
+        CAST(COUNT(l_orderkey) AS BIGINT) AS c0,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d0,
+        CAST(MIN(l_orderkey) AS VARCHAR) AS mn0,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS mx0,
+        CAST(COUNT(l_partkey) AS BIGINT) AS c1,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d1,
+        CAST(MIN(l_partkey) AS VARCHAR) AS mn1,
+        CAST(MAX(l_partkey) AS VARCHAR) AS mx1,
+        CAST(COUNT(l_suppkey) AS BIGINT) AS c2,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d2,
+        CAST(MIN(l_suppkey) AS VARCHAR) AS mn2,
+        CAST(MAX(l_suppkey) AS VARCHAR) AS mx2,
+        CAST(COUNT(l_linenumber) AS BIGINT) AS c3,
+        CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS d3,
+        CAST(MIN(l_linenumber) AS VARCHAR) AS mn3,
+        CAST(MAX(l_linenumber) AS VARCHAR) AS mx3,
+        CAST(COUNT(l_returnflag) AS BIGINT) AS c4,
+        CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d4,
+        CAST(MIN(l_returnflag) AS VARCHAR) AS mn4,
+        CAST(MAX(l_returnflag) AS VARCHAR) AS mx4,
+        CAST(COUNT(l_linestatus) AS BIGINT) AS c5,
+        CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS d5,
+        CAST(MIN(l_linestatus) AS VARCHAR) AS mn5,
+        CAST(MAX(l_linestatus) AS VARCHAR) AS mx5
+    FROM lineitem
+)
+SELECT 'l_orderkey' AS "column", __n AS n_rows, __n - c0 AS n_nulls,
+       d0 AS n_distinct, mn0 AS min_value, mx0 AS max_value FROM s
+UNION ALL
+SELECT 'l_partkey', __n, __n - c1, d1, mn1, mx1 FROM s
+UNION ALL
+SELECT 'l_suppkey', __n, __n - c2, d2, mn2, mx2 FROM s
+UNION ALL
+SELECT 'l_linenumber', __n, __n - c3, d3, mn3, mx3 FROM s
+UNION ALL
+SELECT 'l_returnflag', __n, __n - c4, d4, mn4, mx4 FROM s
+UNION ALL
+SELECT 'l_linestatus', __n, __n - c5, d5, mn5, mx5 FROM s
+"""
+
+
+@register("table_stats", _TABLE_STATS_SQL)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-shaped per-column statistics (``ops.stats.table_stats``)
+    over lineitem's key/flag columns — row count, null count, exact
+    NDV, min/max — in ONE scan with map-side partial combine.  The
+    planning feed for bucket counts (NDV), shuffle sizing, and
+    constraint-rule authoring.  Columns are restricted to
+    integer/varchar so the string-cast min/max formats identically in
+    both engines (floats/timestamps render engine-specifically; the
+    operator itself takes any type).  The exact multi-distinct is the
+    oracle-comparable lane; ``approx=True`` (HLL++) is the 100-TB
+    default, pytest-pinned."""
+    from .ops.stats import table_stats
+
+    return table_stats(
+        _read(spark, sf_dir, "lineitem"),
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+    )

@@ -1,0 +1,76 @@
+"""Table statistics in one scan — the ANALYZE-shaped planning feed.
+
+The reference relies on its warehouses' built-in statistics
+(BigQuery's table metadata; Postgres ANALYZE) for plan quality and
+monitoring; a lakehouse engine has to collect its own.  This module
+produces the per-column statistics relation (row count, null count,
+distinct count, min/max) that feeds partition-sizing decisions
+(``ops.skew``), constraint-rule authoring (``ops.constraints`` —
+accepted-values and range rules start from observed min/max/ndv), and
+storage-layout choices (bucket counts from NDV).
+
+Scale shape: ONE pass over the table — every column's counters ride a
+single global aggregation with map-side partial combine.  Exact
+distinct counts expand the input k-ways (Spark's multi-count-distinct
+Expand, the standard ANALYZE cost); ``approx=True`` switches to
+HyperLogLog++ sketches (one row per input, no expansion) — the 100-TB
+default, at the documented ~2% relative error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["table_stats"]
+
+
+def table_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-column statistics of ``df`` in ONE scan.
+
+    Output: one row per column —
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    with min/max cast to string so the relation has a uniform schema
+    across column types (NULL when the column is all-NULL or the
+    table is empty).  ``n_distinct`` excludes NULLs (SQL
+    ``COUNT(DISTINCT ...)`` semantics).
+
+    ``approx=True`` uses ``approx_count_distinct`` (HLL++, relative
+    standard deviation ``rsd``) instead of the exact multi-distinct
+    aggregation: exact NDV over k columns expands every input row k
+    ways before the shuffle, which is the right trade below ~1 TB and
+    the wrong one above it.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        ndv = (
+            F.approx_count_distinct(col, rsd) if approx else F.count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"__c{i}"),
+            ndv.alias(f"__d{i}"),
+            F.min(col).cast("string").alias(f"__mn{i}"),
+            F.max(col).cast("string").alias(f"__mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__c{i}")).alias("n_nulls"),
+                F.col(f"__d{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_value"),
+                F.col(f"__mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(structs).alias("s")).select("s.*")

@@ -623,3 +623,14 @@ def test_embedding_outliers_broadcast_model_single_cid_exchange(spark, sf_dir, r
     hashes = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert len(hashes) == 1, hashes
     assert "hashpartitioning(cid" in hashes[0]
+
+
+def test_table_stats_single_scan_no_join(spark, sf_dir, registry):
+    """ANALYZE in one pass: every column's counters ride a single
+    global aggregation over ONE parquet scan (the exact multi-distinct
+    Expand is the accepted cost of the oracle-comparable lane); a Join
+    or a second scan would mean per-column passes."""
+    plan = plan_of(registry["table_stats"](spark, sf_dir))
+    assert "Join" not in plan
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("Scan parquet") == 2

@@ -127,3 +127,47 @@ def test_multi_key_histogram(spark, sf_dir):
     assert rep.n_rows == docs.count()
     assert rep.n_keys == docs.select("source").distinct().count()
     assert len(rep.top_keys[0]) == 2  # (source, n_rows)
+
+
+def test_table_stats_counts_nulls_ndv_minmax(spark):
+    from dax_ppdb_spark.ops.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, None)], "k LONG, s STRING"
+    )
+    out = {r["column"]: r.asDict() for r in table_stats(df).collect()}
+    assert out["k"] == {
+        "column": "k", "n_rows": 4, "n_nulls": 0, "n_distinct": 3,
+        "min_value": "1", "max_value": "3",
+    }
+    assert out["s"] == {
+        "column": "s", "n_rows": 4, "n_nulls": 2, "n_distinct": 2,
+        "min_value": "a", "max_value": "b",
+    }
+
+
+def test_table_stats_empty_and_allnull(spark):
+    from dax_ppdb_spark.ops.stats import table_stats
+
+    empty = spark.createDataFrame([], "k LONG")
+    row = table_stats(empty).collect()[0]
+    assert (row.n_rows, row.n_nulls, row.n_distinct) == (0, 0, 0)
+    assert row.min_value is None and row.max_value is None
+
+    allnull = spark.createDataFrame([(None,), (None,)], "k STRING")
+    row = table_stats(allnull).collect()[0]
+    assert (row.n_rows, row.n_nulls, row.n_distinct) == (2, 2, 0)
+    assert row.min_value is None
+
+
+def test_table_stats_approx_lane_matches_exact_at_small_n(spark):
+    """HLL++ is exact below its sparse-mode threshold, so the approx
+    lane (the 100-TB default: no k-way Expand) returns the same NDV on
+    a small distinct set."""
+    from dax_ppdb_spark.ops.stats import table_stats
+
+    df = spark.createDataFrame([(i % 7, str(i % 3)) for i in range(50)], "k LONG, s STRING")
+    exact = {r["column"]: r.n_distinct for r in table_stats(df).collect()}
+    approx = {r["column"]: r.n_distinct for r in table_stats(df, approx=True).collect()}
+    assert exact == {"k": 7, "s": 3}
+    assert approx == exact

@@ -103,6 +103,7 @@ QUERIES = [
     "embedding_recall",
     "knn_label_noise",
     "embedding_outliers",
+    "table_stats",
     "constraint_audit",
     "constraint_violations",
     # round 7: the remaining bench headliners join the table so every
