@@ -625,12 +625,26 @@ def test_embedding_outliers_broadcast_model_single_cid_exchange(spark, sf_dir, r
     assert "hashpartitioning(cid" in hashes[0]
 
 
-def test_table_stats_single_scan_no_join(spark, sf_dir, registry):
-    """ANALYZE in one pass: every column's counters ride a single
-    global aggregation over ONE parquet scan (the exact multi-distinct
-    Expand is the accepted cost of the oracle-comparable lane); a Join
-    or a second scan would mean per-column passes."""
+def test_table_stats_two_pruned_scans_hash_aggregate(spark, sf_dir, registry):
+    """ANALYZE cost shape: every fixed-buffer counter rides ONE global
+    aggregation (the exact multi-distinct Expand is the accepted cost
+    of the oracle-comparable lane), string min/max rides a SEPARATE
+    column-pruned scan, and the two one-row results meet in a trivial
+    single-row cross join.  Fusing them is the plan trap this pins
+    against: a var-length buffer turns the whole aggregate into
+    SortAggregate, which then sorts the k-way-EXPANDED rows (measured
+    8.0s vs 1.6s at sf0.1) — so the Expand side must stay
+    HashAggregate."""
     plan = plan_of(registry["table_stats"](spark, sf_dir))
-    assert "Join" not in plan
     # formatted explain prints each node twice (tree + detail)
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") == 4  # two column-pruned scans
+    # tree section: the Expand node's immediate parent must be a
+    # HashAggregate (the fused form degrades the whole expanded branch
+    # to SortAggregate), and the SortAggregate branch must sit on its
+    # own scan with no Expand below it.
+    tree = plan.split("\n\n")[0].splitlines()
+    expand_at = next(i for i, l in enumerate(tree) if "Expand" in l)
+    assert "HashAggregate" in tree[expand_at - 1], tree[expand_at - 1]
+    # the SortAggregate branch (string min/max) has no Expand below it
+    sort_at = next(i for i, l in enumerate(tree) if "SortAggregate" in l)
+    assert "Expand" not in "\n".join(tree[sort_at:])
