@@ -2011,14 +2011,16 @@ SELECT 'l_linestatus', __n, __n - c5, d5, mn5, mx5 FROM s
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-shaped per-column statistics (``ops.stats.table_stats``)
     over lineitem's key/flag columns — row count, null count, exact
-    NDV, min/max — in ONE scan with map-side partial combine.  The
-    planning feed for bucket counts (NDV), shuffle sizing, and
+    NDV, min/max — as a union of column-pruned single-distinct
+    branches (no Expand; Catalyst's native two-level distinct
+    rewrite; 2.5s -> 0.8s at sf0.1 vs the fused multi-distinct).
+    The planning feed for bucket counts (NDV), shuffle sizing, and
     constraint-rule authoring.  Columns are restricted to
     integer/varchar so the string-cast min/max formats identically in
     both engines (floats/timestamps render engine-specifically; the
-    operator itself takes any type).  The exact multi-distinct is the
-    oracle-comparable lane; ``approx=True`` (HLL++) is the 100-TB
-    default, pytest-pinned."""
+    operator itself takes any type).  Exact NDV is the
+    oracle-comparable lane; ``approx=True`` (HLL++, one fixed-buffer
+    scan) is the 100-TB default, pytest-pinned."""
     from .ops.stats import table_stats
 
     return table_stats(

@@ -221,10 +221,10 @@ def semdedup_pairs_two_level(
             .select("cid")
         )
         assigned = assigned.join(F.broadcast(ok), "cid")
-    # Squared norm per VECTOR, not per pair: interpreted HOF folds
-    # mean in-place self-dots cost 3x the lambda evaluations of a
-    # dot-only pair scan; dot/sqrt(n2a*n2b) is the same expression
-    # tree cosine_similarity expands to (bit-identical round-6).
+    # Squared norm per VECTOR, not per pair (round-6 convention —
+    # see similarity._pair_cosine for the measured rationale).
+    from .similarity import _pair_cosine
+
     scored = assigned.withColumn("n2", dot(F.col("v"), F.col("v")))
     a = scored.select(
         "cid",
@@ -238,13 +238,10 @@ def semdedup_pairs_two_level(
         F.col("v").alias("vb"),
         F.col("n2").alias("n2b"),
     )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("n2a") * F.col("n2b")), 6
-    )
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
+        .withColumn("cosine", _pair_cosine("va", "vb", "n2a", "n2b"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .distinct()
@@ -302,10 +299,10 @@ def semdedup_pairs(
             .select("cid")
         )
         assigned = assigned.join(F.broadcast(ok), "cid")
-    # Squared norm per VECTOR, not per pair: interpreted HOF folds
-    # mean in-place self-dots cost 3x the lambda evaluations of a
-    # dot-only pair scan; dot/sqrt(n2a*n2b) is the same expression
-    # tree cosine_similarity expands to (bit-identical round-6).
+    # Squared norm per VECTOR, not per pair (round-6 convention —
+    # see similarity._pair_cosine for the measured rationale).
+    from .similarity import _pair_cosine
+
     scored = assigned.withColumn("n2", dot(F.col("v"), F.col("v")))
     a = scored.select(
         "cid",
@@ -319,13 +316,10 @@ def semdedup_pairs(
         F.col("v").alias("vb"),
         F.col("n2").alias("n2b"),
     )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("n2a") * F.col("n2b")), 6
-    )
     return (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
+        .withColumn("cosine", _pair_cosine("va", "vb", "n2a", "n2b"))
         .filter(F.col("cosine") >= threshold)
         .select("cid", "vec_a", "vec_b", "cosine")
     )

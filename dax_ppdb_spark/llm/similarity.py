@@ -957,41 +957,68 @@ def knn_label_agreement(
     corpus_count: int | None = None,
     target_bucket_size: int = 32,
     max_bucket: int | None = 1000,
+    probes: int = 1,
 ) -> DataFrame:
     """Label-noise detection via in-bucket kNN label agreement: for
     every vector, the fraction of its k nearest same-bucket neighbors
-    (cosine, single-probe sign-LSH cell — :func:`topk_bucketed`'s
-    quantizer) that carry the SAME label.  Rows with low agreement are
-    the mislabeled / out-of-distribution candidates a training-data
-    pipeline quarantines before fitting a quality or domain
-    classifier on the corpus (the kNN-agreement shape behind deep-kNN
-    label-noise filtering and Confident-Learning-style audits).
+    (cosine, sign-LSH cells — :func:`topk_bucketed`'s quantizer) that
+    carry the SAME label.  Rows with low agreement are the mislabeled
+    / out-of-distribution candidates a training-data pipeline
+    quarantines before fitting a quality or domain classifier on the
+    corpus (the kNN-agreement shape behind deep-kNN label-noise
+    filtering and Confident-Learning-style audits).
+
+    ``probes`` > 1 enables multi-probe LSH (the SemDeDup fine-probe
+    idea applied to the sign quantizer): probe ``i`` additionally
+    searches the adjacent cell that flips the vector's
+    ``i``-th-smallest-|margin| plane bit — exactly the neighbors a
+    plane-straddling vector loses to quantization, which are the
+    borderline rows this audit exists to score.  Candidates stay
+    exact-scored (cosine), so extra probes only ADD true neighbors;
+    each vector's k-best merge across its probed cells is
+    deterministic (probe cells are distinct by construction and every
+    neighbor is a member of exactly one home cell, so no candidate
+    dedup is needed).
 
     Output: one row per vector — ``(vec_id, label, n_neighbors,
     agreement)``; ``agreement`` is NULL when the vector has no
-    neighbors (singleton bucket, or its bucket was dropped by
+    neighbors (singleton bucket, or its buckets were dropped by
     ``max_bucket`` — the degenerate-bucket cap shared with
     :func:`~.dedup.embedding_neardup_pairs`: an over-occupied cell
     is boilerplate whose quadratic neighbor scan would dominate the
-    job for rows the audit should flag by other means).
+    job for rows the audit should flag by other means; occupancy is
+    counted over a cell's HOME members, never probe visitors).
 
-    Scale shape: the corpus shuffles ONCE (the bucket groupBy —
-    vectors ride a single exchange); each cell's kNN runs inside one
-    higher-order expression over the collected cell (occupancy is
-    held ~``target_bucket_size`` by the corpus-scaled plane count,
-    the :func:`~.dedup.auto_bands` rule, so per-cell work is constant
-    as N grows), and every vector's agreement is finished in the same
-    pass — no candidate-pair relation, no per-row window, ZERO joins
-    (plan-pinned).  With ``dims`` given the quantizer is fixed (the
-    unit-test lane); default derives the plane count from
-    ``corpus_count`` (pass it from footer metadata for a zero-job
-    plan, else one ``count()`` runs).
+    Preconditions (oracle parity): embedding elements must be
+    non-NULL (a NULL element would silently shorten the Spark-side
+    ``concat_ws`` sign key where a SQL CASE emits a bit) and vectors
+    must have non-zero norm (zero-norm cosine is NaN, whose sort
+    placement is engine-specific).  Both hold for any L2-normalized
+    embedding column; filter degenerate vectors first otherwise.
+
+    Scale shape: the corpus shuffles ONCE on the cell key (vectors
+    ride a single exchange; ``probes`` replicates each vector
+    ``probes``-fold into that exchange — a constant factor, not a
+    growth term); each cell's kNN runs inside one higher-order
+    expression over the collected cell (occupancy is held
+    ~``target_bucket_size`` by the corpus-scaled plane count, the
+    :func:`~.dedup.auto_bands` rule, so per-cell work is constant as
+    N grows).  Single-probe finishes agreement in the same pass — no
+    candidate-pair relation, no per-row window, ZERO joins
+    (plan-pinned); multi-probe adds ONE more exchange (k-capped
+    per-cell candidate lists regrouped by vector id — k structs per
+    probe per vector, model-sized) and still zero joins.  With
+    ``dims`` given the quantizer is fixed (the unit-test lane);
+    default derives the plane count from ``corpus_count`` (pass it
+    from footer metadata for a zero-job plan, else one ``count()``
+    runs).
     """
     from .dedup import auto_bands
 
     if dims is None:
         n = corpus_count if corpus_count is not None else emb.count()
         dims = auto_bands(dim, n, 1, target_bucket_size)[0]
+    probes = max(1, min(probes, len(dims) + 1))
     # Sign key on the RAW stored array — one expr string, scalar-only
     # promotion (the embedding_neardup_pairs key shape: a per-plane
     # array cast re-materializes the vector 2x per plane per row).
@@ -1007,31 +1034,15 @@ def knn_label_agreement(
     # fold, same value — dividing by sqrt(n2a * n2b) is bit-identical
     # to computing the self-dots in place.
     vd = F.col(vec_col).cast("array<double>")
-    cells = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col).alias("label"),
-            vd.alias("v"),
-            dot(vd, vd).alias("n2"),
-            key.alias("bucket"),
-        )
-        .groupBy("bucket")
-        .agg(F.collect_list(F.struct("id", "label", "v", "n2")).alias("ms"))
-    )
-    ms = F.col("ms")
-    cap = F.size(ms) <= F.lit(max_bucket) if max_bucket is not None else F.lit(True)
 
-    def _one(x):
-        # neighbors of x: every other cell member, scored once; the
-        # cap predicate empties the list for over-occupied cells
-        # without dropping x's output row.
-        neigh = F.transform(
-            F.filter(ms, lambda y: (y["id"] != x["id"]) & cap),
+    def _neigh_structs(x, members):
+        # candidate structs for x, sorted best-first by (1 - cosine,
+        # neighbor id): 1 - cosine never produces -0.0 (cosine 0 ->
+        # 1.0, cosine 1 -> +0.0), so the struct sort orders
+        # identically in both engines.
+        return F.transform(
+            members,
             lambda y: F.struct(
-                # sort key 1 - cosine (ascending = best first): never
-                # produces -0.0 (cosine 0 -> 1.0, cosine 1 -> +0.0),
-                # so the struct sort orders identically in both
-                # engines; ties broken by the unique neighbor id.
                 (
                     F.lit(1.0)
                     - F.round(
@@ -1042,7 +1053,9 @@ def knn_label_agreement(
                 (y["label"] == x["label"]).cast("int").alias("same"),
             ),
         )
-        top = F.slice(F.sort_array(neigh), 1, k)
+
+    def _finish(top):
+        # (n_neighbors, agreement) from a sorted k-capped struct list
         n_nb = F.size(top)
         agree = F.when(
             n_nb > 0,
@@ -1054,14 +1067,119 @@ def knn_label_agreement(
                 6,
             ),
         )
+        return n_nb.cast("long").alias("n_neighbors"), agree.alias("agreement")
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        vd.alias("v"),
+        dot(vd, vd).alias("n2"),
+        key.alias("bucket"),
+    )
+
+    if probes == 1:
+        cells = base.groupBy("bucket").agg(
+            F.collect_list(F.struct("id", "label", "v", "n2")).alias("ms")
+        )
+        ms = F.col("ms")
+        cap = (
+            F.size(ms) <= F.lit(max_bucket)
+            if max_bucket is not None
+            else F.lit(True)
+        )
+
+        def _one(x):
+            # neighbors of x: every other cell member, scored once;
+            # the cap predicate empties the list for over-occupied
+            # cells without dropping x's output row.
+            neigh = _neigh_structs(
+                x, F.filter(ms, lambda y: (y["id"] != x["id"]) & cap)
+            )
+            top = F.slice(F.sort_array(neigh), 1, k)
+            n_nb, agree = _finish(top)
+            return F.struct(
+                x["id"].alias("vec_id"),
+                x["label"].alias("label"),
+                n_nb,
+                agree,
+            )
+
+        return cells.select(
+            F.explode(F.transform(ms, _one)).alias("r")
+        ).select("r.*")
+
+    # Multi-probe: replicate each vector into its home cell (member +
+    # query) and the probes-1 adjacent bit-flip cells (query only),
+    # rank plane margins once per vector (|element| ascending, plane
+    # position tie-break — the same first-position argmin rule the
+    # oracle's CASE chain replays).
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(F.col("v"), d)).alias("m"),
+                    F.lit(j + 1).alias("p"),
+                )
+                for j, d in enumerate(dims)
+            ]
+        )
+    )
+    home = base.withColumn("is_home", F.lit(True))
+    reps = [home]
+    withrk = base.withColumn("rk", ranked)
+    for i in range(1, probes):
+        flipped = F.expr(
+            f"concat(substr(bucket, 1, rk[{i - 1}].p - 1),"
+            f" case when substr(bucket, rk[{i - 1}].p, 1) = '1'"
+            f" then '0' else '1' end,"
+            f" substr(bucket, rk[{i - 1}].p + 1))"
+        )
+        reps.append(
+            withrk.withColumn("bucket", flipped)
+            .drop("rk")
+            .withColumn("is_home", F.lit(False))
+        )
+    rows = reps[0]
+    for r in reps[1:]:
+        rows = rows.unionByName(r)
+
+    cells = rows.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "label", "v", "n2", "is_home")).alias(
+            "ms"
+        )
+    )
+    ms = F.col("ms")
+    members = F.filter(ms, lambda y: y["is_home"])
+    cap = (
+        F.size(members) <= F.lit(max_bucket)
+        if max_bucket is not None
+        else F.lit(True)
+    )
+
+    def _partial(x):
+        # per-(vector, probed-cell) k-best candidates vs the cell's
+        # HOME members; k-capping before the regroup bounds the
+        # second exchange at k structs per probe per vector.
+        neigh = _neigh_structs(
+            x, F.filter(members, lambda y: (y["id"] != x["id"]) & cap)
+        )
         return F.struct(
             x["id"].alias("vec_id"),
             x["label"].alias("label"),
-            n_nb.cast("long").alias("n_neighbors"),
-            agree.alias("agreement"),
+            F.slice(F.sort_array(neigh), 1, k).alias("cand"),
         )
 
-    return cells.select(F.explode(F.transform(ms, _one)).alias("r")).select("r.*")
+    partials = cells.select(
+        F.explode(F.transform(ms, _partial)).alias("r")
+    ).select("r.*")
+    merged = partials.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("cand"))), 1, k
+        ).alias("top"),
+    )
+    n_nb, agree = _finish(F.col("top"))
+    return merged.select("vec_id", "label", n_nb, agree)
 
 
 # Session cache of persisted-index centroids keyed by index root.

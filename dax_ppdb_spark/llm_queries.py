@@ -3550,11 +3550,15 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_label_noise_sql() -> str:
     """Lazily-resolved oracle for the kNN label-agreement audit: the
     sign-bucket assignment (plane count corpus-derived, the same
-    auto_bands rule the Spark side applies), the max_bucket cell cap,
-    in-cell pairwise cosine at round-6, row_number top-k with the
-    (cosine DESC, neighbor id ASC) tie-break, and the agreement
-    average — every vector keeps its output row via the LEFT JOIN
-    (singleton or capped cells report 0 neighbors, NULL agreement)."""
+    auto_bands rule the Spark side applies), the 2-probe rule (each
+    vector ALSO queries the cell flipping its smallest-|margin| plane
+    bit — argmin with first-position tie-break, replayed here as a
+    least()+CASE chain and string surgery on the home key), the
+    max_bucket cell cap counted over HOME members, in/cross-cell
+    pairwise cosine at round-6, row_number top-k with the (cosine
+    DESC, neighbor id ASC) tie-break, and the agreement average —
+    every vector keeps its output row via the LEFT JOIN (singleton or
+    capped cells report 0 neighbors, NULL agreement)."""
     from .driver_queries import oracle_table_rows
     from .llm.dedup import auto_bands
 
@@ -3562,18 +3566,37 @@ def _knn_label_noise_sql() -> str:
     key = " || ".join(
         f"(CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
     )
+    least = "least(" + ", ".join(f"abs(v[{d}])" for d in dims) + ")"
+    argmin = (
+        "CASE "
+        + " ".join(
+            f"WHEN abs(v[{d}]) = mm THEN {j + 1}" for j, d in enumerate(dims)
+        )
+        + " END"
+    )
     return f"""
-WITH c AS (
+WITH c0 AS (
     SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v,
            {key} AS bucket
     FROM embeddings
+),
+c1 AS (SELECT *, {least} AS mm FROM c0),
+c AS (SELECT id, label, v, bucket, {argmin} AS fp FROM c1),
+pr AS (
+    SELECT id, label, v, bucket FROM c
+    UNION ALL
+    SELECT id, label, v,
+           substr(bucket, 1, fp - 1)
+           || (CASE WHEN substr(bucket, fp, 1) = '1' THEN '0' ELSE '1' END)
+           || substr(bucket, fp + 1) AS bucket
+    FROM c
 ),
 bs AS (SELECT bucket, COUNT(*) AS cnt FROM c GROUP BY bucket),
 p AS (
     SELECT a.id AS ia, a.label AS la, b.label AS lb, b.id AS ib,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos
-    FROM c a JOIN c b ON a.bucket = b.bucket AND a.id <> b.id
-    JOIN bs ON bs.bucket = a.bucket AND bs.cnt <= 1000
+    FROM pr a JOIN c b ON a.bucket = b.bucket AND a.id <> b.id
+    JOIN bs ON bs.bucket = b.bucket AND bs.cnt <= 1000
 ),
 r AS (
     SELECT ia, la, lb, ib,
@@ -3597,18 +3620,22 @@ FROM c LEFT JOIN agg ON c.id = agg.ia
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit over the embeddings table: per-vector kNN
     label agreement (``llm.similarity.knn_label_agreement``) — the
-    fraction of each vector's 5 nearest in-cell neighbors sharing its
-    label, the deep-kNN / Confident-Learning-shaped screen a pipeline
-    runs before trusting a labeled corpus (low-agreement rows are the
-    mislabel / out-of-distribution quarantine feed).  Raw read: the
-    single bucket-key groupBy distributes everything downstream, and
-    the corpus count that sizes the quantizer comes from parquet
+    fraction of each vector's 5 nearest neighbors sharing its label,
+    the deep-kNN / Confident-Learning-shaped screen a pipeline runs
+    before trusting a labeled corpus (low-agreement rows are the
+    mislabel / out-of-distribution quarantine feed).  2-probe: each
+    vector also searches the adjacent sign-cell flipping its
+    smallest-margin plane bit, so plane-straddling vectors — exactly
+    the borderline rows the audit targets — see their true neighbors
+    (single-probe's known bias; the oracle replays the probe rule).
+    Raw read: the cell-key groupBy distributes everything downstream,
+    and the corpus count that sizes the quantizer comes from parquet
     footer metadata (zero extra jobs)."""
     from .llm.similarity import knn_label_agreement
 
     emb = _read(spark, sf_dir, "embeddings")
     return knn_label_agreement(
-        emb, k=5, corpus_count=table_rows_meta(sf_dir, "embeddings")
+        emb, k=5, corpus_count=table_rows_meta(sf_dir, "embeddings"), probes=2
     )
 
 

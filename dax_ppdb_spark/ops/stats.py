@@ -9,27 +9,68 @@ distinct count, min/max) that feeds partition-sizing decisions
 accepted-values and range rules start from observed min/max/ndv), and
 storage-layout choices (bucket counts from NDV).
 
-Scale shape: all fixed-buffer counters (counts, NDV, numeric min/max)
-ride ONE global aggregation with map-side partial combine; exact
-distinct counts expand the input k-ways (Spark's multi-count-distinct
-Expand, the standard ANALYZE cost), and ``approx=True`` switches to
-HyperLogLog++ sketches (no expansion) — the 100-TB default at the
-documented ~2% relative error.  Var-length min/max (string/binary
-columns) is aggregated SEPARATELY on a column-pruned second scan:
-a var-length aggregation buffer disqualifies the whole aggregate
-from HashAggregate, and a SortAggregate over the k-way-expanded
-distinct rows sorts k*N rows — measured 8.0s vs 1.6s at sf0.1 for
-the fused form.  The isolated pass has no Expand and no grouping
-keys, so its SortAggregate never sorts anything.
+Scale shape, two lanes:
+
+* ``approx=True`` (the 100-TB default): every statistic — counts,
+  HLL++ NDV sketches, fixed-width min/max — rides ONE global
+  aggregation with map-side partial combine; var-length min/max
+  (string/binary) is aggregated separately on a column-pruned second
+  scan, because a var-length aggregation buffer disqualifies the
+  whole aggregate from HashAggregate (measured 8.0s vs 1.6s at sf0.1
+  for the fused form).
+* exact (the oracle-comparable lane): one column-pruned branch PER
+  COLUMN, unioned.  A single-distinct aggregate per branch lets
+  Catalyst use the native two-level rewrite (partial aggregate keyed
+  by the value, then merge) — no ``Expand``.  Spark's fused
+  multi-count-distinct over k columns expands every input row k ways
+  before the shuffle; the branch union scans the same bytes (each
+  branch prunes to its one column) and shuffles only per-partition
+  distinct values, measured 2.5s -> 0.8s at sf0.1 over 6 lineitem
+  columns.  Var-length min/max again splits to its own pruned scan
+  inside the branch: fusing string min/max with the distinct forces
+  a SortAggregate chain that sorts the FULL column at every level.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StringType
 
 __all__ = ["table_stats"]
+
+_OUT_COLS = (
+    "column",
+    "n_rows",
+    "n_nulls",
+    "n_distinct",
+    "min_value",
+    "max_value",
+)
+
+
+def _exact_branch(df: DataFrame, c: str, var_len: bool) -> DataFrame:
+    """One final-shape row for column ``c`` via a single-distinct
+    aggregate (native two-level rewrite, no Expand).  ``var_len``
+    moves min/max to a second column-pruned scan so the distinct
+    branch stays in HashAggregate (module docstring)."""
+    col = F.col(c)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+        F.count_distinct(col).alias("n_distinct"),
+    ]
+    mm = [
+        F.min(col).cast("string").alias("min_value"),
+        F.max(col).cast("string").alias("max_value"),
+    ]
+    if var_len:
+        out = df.agg(*aggs).crossJoin(df.agg(*mm))
+    else:
+        out = df.agg(*aggs, *mm)
+    return out.select(F.lit(c).alias("column"), *_OUT_COLS[1:])
 
 
 def table_stats(
@@ -48,15 +89,10 @@ def table_stats(
     ``COUNT(DISTINCT ...)`` semantics).
 
     ``approx=True`` uses ``approx_count_distinct`` (HLL++, relative
-    standard deviation ``rsd``) instead of the exact multi-distinct
-    aggregation: exact NDV over k columns expands every input row k
-    ways before the shuffle, which is the right trade below ~1 TB and
-    the wrong one above it.
-
-    Cost shape: one scan + global aggregation for every fixed-buffer
-    statistic, plus one column-pruned scan for string/binary min/max
-    (see the module docstring for why fusing them is a plan trap);
-    the two one-row results meet in a trivial single-row cross join.
+    standard deviation ``rsd``) in one fixed-buffer scan — the
+    100-TB default.  The exact lane unions one single-distinct
+    branch per column to keep ``Expand`` out of the plan (module
+    docstring has the measured cost shapes).
     """
     cols = list(columns) if columns is not None else list(df.columns)
     var_len = {
@@ -64,14 +100,18 @@ def table_stats(
         for c in cols
         if isinstance(df.schema[c].dataType, (StringType, BinaryType))
     }
+    if not approx:
+        branches = [_exact_branch(df, c, c in var_len) for c in cols]
+        return reduce(DataFrame.unionByName, branches)
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     str_aggs: list[Column] = []
     for i, c in enumerate(cols):
         col = F.col(c)
-        ndv = (
-            F.approx_count_distinct(col, rsd) if approx else F.count_distinct(col)
-        )
-        aggs += [F.count(col).alias(f"__c{i}"), ndv.alias(f"__d{i}")]
+        aggs += [
+            F.count(col).alias(f"__c{i}"),
+            F.approx_count_distinct(col, rsd).alias(f"__d{i}"),
+        ]
         mm = [
             F.min(col).cast("string").alias(f"__mn{i}"),
             F.max(col).cast("string").alias(f"__mx{i}"),

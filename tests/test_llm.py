@@ -2096,6 +2096,80 @@ def test_knn_label_agreement_caps_at_k_and_counts_short_cells(spark):
     assert out == {1: (1, 1.0), 2: (1, 1.0)}
 
 
+def test_knn_label_agreement_multiprobe_recovers_straddlers(spark):
+    """Recall-vs-truth for the probes knob: vector 1 straddles plane 1
+    (|margin| 0.05), so its TRUE nearest neighbors (2, 3 — cosine
+    ~0.99, same label) land in the adjacent sign cell and single-probe
+    scores it against only the dissimilar opposite-label cellmate 4 —
+    agreement 0.0, a false noise flag.  probes=2 flips the
+    smallest-margin bit, finds the true neighbors, and agreement
+    matches the exact brute-force kNN truth (1.0).  Non-straddling
+    rows keep total coverage, and extra probes never REMOVE true
+    neighbors (candidates stay exact-scored; the merge keeps the
+    global k-best)."""
+    from dax_ppdb_spark.llm.similarity import knn_label_agreement
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [0.05, 1.0, 0.0, 0.0], 0),  # straddler: cell "11"
+            (2, [-0.05, 1.0, 0.0, 0.0], 0),  # true NN, cell "01"
+            (3, [-0.1, 0.9, 0.0, 0.0], 0),  # true NN, cell "01"
+            (4, [1.0, 0.2, 0.0, 0.0], 1),  # cellmate of 1, cos ~0.25
+        ],
+    )
+    one = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(emb, k=2, dims=(1, 2)).collect()
+    }
+    two = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(emb, k=2, dims=(1, 2), probes=2).collect()
+    }
+    # single-probe: only cellmate 4 visible -> disagreement (false flag)
+    assert one[1] == (1, 0.0)
+    # 2-probe agreement == exact brute-force truth (2-NN = {2, 3})
+    assert two[1] == (2, 1.0)
+    # relation stays total over the corpus in both modes
+    assert set(one) == set(two) == {1, 2, 3, 4}
+    # straddler 2 likewise recovers vector 1 through its own probe
+    assert two[2][0] >= one[2][0]
+
+
+def test_knn_label_agreement_multiprobe_capped_cell_still_total(spark):
+    """max_bucket composes with probes: a probe into an over-occupied
+    cell contributes nothing (occupancy counted over HOME members),
+    every vector keeps its output row, and a capped cell's members
+    can still recover neighbors through their OWN probes into
+    uncapped cells."""
+    from dax_ppdb_spark.llm.similarity import knn_label_agreement
+
+    emb = _knn_emb(
+        spark,
+        [
+            (1, [0.05, 1.0, 0.0, 0.0], 0),  # home "11" (1 member)
+            (2, [-0.05, 1.0, 0.0, 0.0], 0),  # home "01" (3 members)
+            (3, [-0.1, 0.9, 0.0, 0.0], 0),
+            (4, [-0.2, 0.8, 0.0, 0.0], 1),
+        ],
+    )
+    out = {
+        r.vec_id: (r.n_neighbors, r.agreement)
+        for r in knn_label_agreement(
+            emb, k=2, dims=(1, 2), probes=2, max_bucket=2
+        ).collect()
+    }
+    # cell "01" (3 home members > max_bucket) contributes no
+    # candidates: vector 1's probe into it comes back empty
+    assert out[1] == (0, None)
+    # but capped-cell members still probe OUT into "11" and score
+    # against its single home member (vector 1, label 0)
+    assert out[2] == (1, 1.0)
+    assert out[3] == (1, 1.0)
+    assert out[4] == (1, 0.0)
+    assert set(out) == {1, 2, 3, 4}
+
+
 def test_embedding_outlier_ranks_farthest_first(spark):
     """Two well-separated groups, k=2, deterministic init (lowest-id
     vectors): Lloyd converges to the group means, every vector gets a

@@ -599,16 +599,22 @@ def test_constraint_violations_single_pass(spark, sf_dir, registry):
     assert opt.count("Relation") == 1
 
 
-def test_knn_label_noise_single_shuffle_no_join(spark, sf_dir, registry):
-    """The kNN label-agreement audit finishes inside the cell groupBy:
-    the corpus rides ONE exchange (the bucket key) and every vector's
-    top-k + agreement is a higher-order expression over its collected
-    cell — a Join node (bucket self-join + per-id window, the naive
-    shape) would shuffle the vectors twice more and re-partition by
-    vector id."""
+def test_knn_label_noise_two_shuffles_no_join(spark, sf_dir, registry):
+    """The 2-probe kNN label-agreement audit stays join-free: the
+    corpus (home + probe replicas, a constant 2x) rides ONE cell-key
+    exchange where each cell's candidate scoring happens in a
+    higher-order expression, and the k-capped per-cell candidate
+    lists regroup on vec_id in ONE more exchange (k structs per probe
+    per vector — model-sized).  A Join node (bucket self-join +
+    per-id window, the naive shape) would shuffle full vectors twice
+    more."""
     plan = plan_of(registry["knn_label_noise"](spark, sf_dir))
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    # formatted mode prints exchange keys on Arguments: lines
+    hashes = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hashes) == 2, hashes
+    assert any("bucket" in h for h in hashes)
+    assert any("vec_id" in h for h in hashes)
 
 
 def test_embedding_outliers_broadcast_model_single_cid_exchange(spark, sf_dir, registry):
@@ -625,26 +631,31 @@ def test_embedding_outliers_broadcast_model_single_cid_exchange(spark, sf_dir, r
     assert "hashpartitioning(cid" in hashes[0]
 
 
-def test_table_stats_two_pruned_scans_hash_aggregate(spark, sf_dir, registry):
-    """ANALYZE cost shape: every fixed-buffer counter rides ONE global
-    aggregation (the exact multi-distinct Expand is the accepted cost
-    of the oracle-comparable lane), string min/max rides a SEPARATE
-    column-pruned scan, and the two one-row results meet in a trivial
-    single-row cross join.  Fusing them is the plan trap this pins
-    against: a var-length buffer turns the whole aggregate into
-    SortAggregate, which then sorts the k-way-EXPANDED rows (measured
-    8.0s vs 1.6s at sf0.1) — so the Expand side must stay
-    HashAggregate."""
+def test_table_stats_branch_union_no_expand(spark, sf_dir, registry):
+    """Exact-NDV cost shape (round 11): one column-pruned
+    single-distinct branch PER COLUMN, unioned — Catalyst's native
+    two-level distinct rewrite, so the plan has NO Expand node
+    anywhere (the fused multi-count-distinct expands every input row
+    k ways before the shuffle; measured 2.5s -> 0.8s at sf0.1).
+    The 6-column registry query (4 fixed-width + 2 string) plans 8
+    scans: one per fixed branch, two per var-len branch (string
+    min/max splits to its own pruned scan — fusing it with the
+    distinct forces a SortAggregate chain that sorts the FULL column
+    at every level).  The distinct branches must stay HashAggregate;
+    SortAggregate may appear only in the keyless string-min/max
+    branches, which join their distinct branch in a trivial one-row
+    cross join."""
     plan = plan_of(registry["table_stats"](spark, sf_dir))
-    # formatted explain prints each node twice (tree + detail)
-    assert plan.count("Scan parquet") == 4  # two column-pruned scans
-    # tree section: the Expand node's immediate parent must be a
-    # HashAggregate (the fused form degrades the whole expanded branch
-    # to SortAggregate), and the SortAggregate branch must sit on its
-    # own scan with no Expand below it.
-    tree = plan.split("\n\n")[0].splitlines()
-    expand_at = next(i for i, l in enumerate(tree) if "Expand" in l)
-    assert "HashAggregate" in tree[expand_at - 1], tree[expand_at - 1]
-    # the SortAggregate branch (string min/max) has no Expand below it
-    sort_at = next(i for i, l in enumerate(tree) if "SortAggregate" in l)
-    assert "Expand" not in "\n".join(tree[sort_at:])
+    # assert on the tree section only — node detail formatting is
+    # Spark-version-sensitive (each node prints again below the tree)
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree
+    assert tree.count("Scan parquet") == 8
+    assert "HashAggregate" in tree
+    assert "BroadcastNestedLoopJoin Cross" in tree  # one-row min/max join
+    # every SortAggregate (string min/max branch) sits directly on a
+    # scan — no shuffle-weight operator feeds it
+    lines = tree.splitlines()
+    for i, l in enumerate(lines):
+        if "SortAggregate" in l and "Scan parquet" not in lines[i + 1]:
+            assert "SortAggregate" in lines[i + 1] or "Exchange" in lines[i + 1]

@@ -108,6 +108,10 @@ QUERIES = [
     "constraint_violations",
     # round 7: the remaining bench headliners join the table so every
     # non-trivial benched plan has a measured growth row
+    # round 11: the HLL++ NDV lane (the 100-TB default for
+    # table_stats; no oracle row — DuckDB's HLL estimates differ by
+    # engine, so it is pytest- and scale-gated instead)
+    "table_stats_approx",
     "topk_per_key",
     "rank_versions",
     "semi_prune",
@@ -238,6 +242,17 @@ def main() -> None:
     # query fns standardize on integer µs regardless).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     registry = driver_queries.all_queries()
+    # scale-study-only rows (no external registration; see QUERIES)
+    from dax_ppdb_spark.ops.stats import table_stats as _tstats
+
+    registry["table_stats_approx"] = lambda sp, d: _tstats(
+        sp.read.parquet(f"{d}/lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_returnflag", "l_linestatus",
+        ],
+        approx=True,
+    )
 
     tmp = tempfile.mkdtemp(prefix="scale_check_")
     try:
