@@ -132,8 +132,9 @@ def _cmd_run(args: argparse.Namespace) -> int:
         rep.replicate_once(
             lambda chunk: copied_chunks.append((chunk, _export(chunk)))
         )
-        for chunk, chunk_dir in copied_chunks:
-            promoter.stage_chunk_dir(chunk_dir, chunk.chunk_id)
+        promoter.stage_chunk_dirs(
+            [(chunk_dir, chunk.chunk_id) for chunk, chunk_dir in copied_chunks]
+        )
         print(f"replicated: {[c.chunk_id for c, _ in copied_chunks]}")
         if not args.loop:
             return 0

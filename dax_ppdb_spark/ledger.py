@@ -50,22 +50,48 @@ LEDGER_LOG_SCHEMA = StructType(
     list(PPDB_REPLICA_CHUNK.fields) + [StructField(EVENT_SEQ, LongType(), False)]
 )
 
+# States that never transition again under the reference's state
+# machine (bigquery/ppdb_replica_chunk_extended.py:42-56): their
+# winning rows are frozen into archive runs at compaction and carried
+# forward by hardlink instead of being rewritten every compaction.
+# (A later event for an archived chunk — e.g. a re-replication upsert
+# — still wins at read time: archive is a storage layout, not logic;
+# the stale archived row lingers harmlessly until a run merge.)
+TERMINAL_STATUSES = (ChunkStatus.PROMOTED.value, ChunkStatus.SKIPPED.value)
+
+# Archive run file prefix inside the version dir (plain parquet —
+# read_log's directory scan picks runs up like any data file).
+_ARCHIVE_PREFIX = "archive-"
+
 
 class Ledger:
     def __init__(
-        self, spark: SparkSession, path: str, auto_compact_files: int = 64
+        self,
+        spark: SparkSession,
+        path: str,
+        auto_compact_files: int = 64,
+        archive_merge_runs: int = 12,
     ) -> None:
         """``auto_compact_files``: when a commit finds more than this
         many data files in the log, it folds a compaction into ITSELF
-        (one overwrite of live rows + the new batch) instead of
-        appending.  This bounds the per-commit hardlink fan-out of
-        ``append_commit`` — without it, commit k links O(k) files and
-        lifetime commit cost is O(N²) in transitions, the same disease
-        the event log cured for bytes.  Amortized: one O(live-rows)
-        rewrite every ``auto_compact_files`` appends."""
+        (one rewrite of ACTIVE winning rows + the new batch, terminal
+        winners frozen into archive runs) instead of appending.  This
+        bounds the per-commit hardlink fan-out of ``append_commit`` —
+        without it, commit k links O(k) files and lifetime commit cost
+        is O(N²) in transitions, the same disease the event log cured
+        for bytes.  Amortized: one O(active-rows) rewrite every
+        ``auto_compact_files`` appends — O(active), not O(all chunks
+        ever), because rows in TERMINAL_STATUSES are written once to
+        an archive run and hardlinked forward by every later
+        compaction.  ``archive_merge_runs`` bounds the archive run
+        count: past it, a compaction folds the smaller half of the
+        runs into one (size-tiered — each archived row is rewritten
+        O(log runs) times over the table's lifetime, never once per
+        compaction)."""
         self.spark = spark
         self.table = ParquetTable(path)
         self.auto_compact_files = auto_compact_files
+        self.archive_merge_runs = archive_merge_runs
 
     # -- reads --------------------------------------------------------------
 
@@ -159,16 +185,97 @@ class Ledger:
         """One atomic commit of a batch of event rows: an
         ``append_commit`` normally, or — when the log's file count
         crosses ``auto_compact_files`` — a compaction folded into this
-        same commit (one overwrite of the winning rows + the new
-        batch; dropped events were already losers of the per-chunk
-        last-writer-wins, and the new batch's seq is the maximum)."""
+        same commit (dropped events were already losers of the
+        per-chunk last-writer-wins, and the new batch's seq is the
+        maximum)."""
         if self._data_file_count() > self.auto_compact_files:
-            compacted = latest_only(
-                self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
-            ).select(*[f.name for f in LEDGER_LOG_SCHEMA.fields])
-            self.table.overwrite(compacted.unionByName(events))
+            self._compact_commit(events)
         else:
             self.table.append_commit(events)
+
+    def _archive_files(self) -> list[str]:
+        import os
+
+        d = self.table.data_dir()
+        if d is None:
+            return []
+        return sorted(
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if n.startswith(_ARCHIVE_PREFIX) and n.endswith(".parquet")
+        )
+
+    @staticmethod
+    def _write_archive_run(df: DataFrame, dst: str) -> None:
+        """Materialize ``df`` as ONE parquet file named as an archive
+        run inside the assembled version dir ``dst`` (dropped again if
+        it turns out empty — no zero-row runs accumulate)."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        tmp = f"{dst}.archtmp-{uuid_mod.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            n
+            for n in os.listdir(tmp)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        run = os.path.join(dst, f"{_ARCHIVE_PREFIX}{uuid_mod.uuid4().hex}.parquet")
+        if pq.ParquetFile(os.path.join(tmp, part)).metadata.num_rows > 0:
+            os.rename(os.path.join(tmp, part), run)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _compact_commit(self, events: DataFrame) -> None:
+        """Compaction folded into a commit, terminal-aware: ACTIVE
+        winning rows + the new batch are rewritten as the log's data
+        files; winners in TERMINAL_STATUSES move (once) into a frozen
+        archive run; existing runs are HARDLINKED into the new version
+        untouched.  Past ``archive_merge_runs`` runs, the smaller half
+        folds into one (size-tiered).  Per-compaction write bytes are
+        therefore O(active rows + batch + newly-terminal rows), flat
+        over the deployment's lifetime — not O(every chunk ever seen),
+        which is what rewriting terminal history each compaction would
+        cost (measured: tools/ledger_lifetime.py)."""
+        import os
+
+        cols = [f.name for f in LEDGER_LOG_SCHEMA.fields]
+        tbl = self.table
+        old = tbl.current_version()
+        arch_files = self._archive_files()
+        winners = latest_only(
+            self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
+        ).select(*cols)
+        term = F.col("status").isin(*TERMINAL_STATUSES)
+        new_arch = winners.filter(term)
+        if arch_files:
+            # already-archived winners stay where they are; only the
+            # newly-terminal delta is written
+            new_arch = new_arch.join(
+                self.spark.read.parquet(*arch_files).select(
+                    "apdb_replica_chunk", EVENT_SEQ
+                ),
+                ["apdb_replica_chunk", EVENT_SEQ],
+                "left_anti",
+            )
+        payload = winners.filter(~term).unionByName(events.select(*cols))
+        version = f"_v{uuid_mod.uuid4().hex}"
+        dst = os.path.join(tbl.path, version)
+        payload.write.mode("overwrite").parquet(dst)
+        link = arch_files
+        if len(arch_files) >= self.archive_merge_runs:
+            by_size = sorted(arch_files, key=os.path.getsize)
+            merge = by_size[: len(by_size) // 2 + 1]
+            link = [f for f in arch_files if f not in merge]
+            self._write_archive_run(
+                self.spark.read.parquet(*merge).select(*cols), dst
+            )
+        for f in link:
+            os.link(f, os.path.join(dst, os.path.basename(f)))
+        self._write_archive_run(new_arch, dst)
+        tbl._commit(version, expected=old)
+        tbl._retire(old)
 
     def insert_chunks(self, rows: Iterable[dict]) -> None:
         """D6: batch insert; duplicate chunk ids raise (IntegrityError
@@ -239,15 +346,14 @@ class Ledger:
         self._commit_events(events)
 
     def compact_log(self) -> None:
-        """Housekeeping: rewrite the event log down to the winning row
-        per chunk (O(live rows)); the logical table is unchanged.  Run
-        on a schedule, not per transition."""
+        """Housekeeping: fold the event log down to the winning row per
+        chunk (terminal winners into frozen archive runs, active ones
+        rewritten — O(active rows), see ``_compact_commit``); the
+        logical table is unchanged.  Run on a schedule, not per
+        transition."""
         if not self.table.exists():
             return
-        compacted = latest_only(
-            self.read_log(), ["apdb_replica_chunk"], [EVENT_SEQ]
-        ).select(*[f.name for f in LEDGER_LOG_SCHEMA.fields])
-        self.table.overwrite(compacted)
+        self._compact_commit(self.spark.createDataFrame([], LEDGER_LOG_SCHEMA))
 
     @staticmethod
     def _complete_row(r: dict) -> dict:

@@ -3682,3 +3682,170 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=auto_semdedup_clusters(n),
         sample_mod=2,
     )
+
+
+def _audit_quarantine_curate_sql() -> str:
+    """Lazily-resolved oracle for the audit->quarantine->curate
+    capstone: the three audit oracles (constraint violations, 2-probe
+    kNN label noise, intra-cluster outliers) embedded verbatim as
+    derived tables, their flagged ids folded to one quarantine
+    relation (sorted-csv reasons), and the flagship curation chain
+    (quality filter -> exact keep-min dedup -> hash split) replayed
+    over the NON-quarantined documents only."""
+    from .driver_queries import _CONSTRAINT_VIOLATIONS_SQL
+
+    return f"""
+WITH viol AS (
+    SELECT DISTINCT doc_id, 'constraint' AS reason
+    FROM ({_CONSTRAINT_VIOLATIONS_SQL}) v
+),
+noise AS (
+    SELECT vec_id AS doc_id, 'label_noise' AS reason
+    FROM ({_knn_label_noise_sql()}) n
+    WHERE n_neighbors >= 3 AND agreement <= 0.2
+),
+outl AS (
+    SELECT vec_id AS doc_id, 'outlier' AS reason
+    FROM ({_embedding_outliers_sql()}) o
+    WHERE cell_rank = 1
+),
+quar AS (
+    SELECT doc_id,
+           string_agg(DISTINCT reason, ',' ORDER BY reason) AS reason
+    FROM (SELECT * FROM viol UNION ALL SELECT * FROM noise
+          UNION ALL SELECT * FROM outl) u
+    GROUP BY doc_id
+),
+clean AS (
+    SELECT d.* FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM quar)
+),
+scored AS (
+    SELECT doc_id, text,
+           least(len({_TOKS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOP_LIST}))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1)) * 0.3
+           + 1.0 / (1.0 + (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1)) * 10.0) * 0.3
+               AS quality_score
+    FROM clean
+),
+quality AS (SELECT * FROM scored WHERE quality_score >= 0.4),
+deduped AS (
+    SELECT * FROM quality
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+)
+SELECT doc_id, 'quarantined' AS disposition, reason,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CAST(NULL AS VARCHAR) AS split
+FROM quar
+UNION ALL
+SELECT doc_id, 'kept', CAST(NULL AS VARCHAR),
+       round(quality_score, 6),
+       CASE WHEN {md5_long_sql("'split' || CAST(doc_id AS VARCHAR)")} % 1000000 < 900000
+            THEN 'train'
+            WHEN {md5_long_sql("'split' || CAST(doc_id AS VARCHAR)")} % 1000000 < 950000
+            THEN 'val'
+            ELSE 'test' END
+FROM deduped
+"""
+
+
+@register("audit_quarantine_curate", _audit_quarantine_curate_sql)
+def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the audit family wired into the curation chain as a
+    quarantine stage — the audit -> quarantine -> curate shape a real
+    training-data pipeline runs before a corpus snapshot is blessed.
+
+    Stage 1 (audit): declarative row-level constraint violations on
+    ``documents`` (``ops.constraints``), 2-probe kNN label-noise
+    screening (confident disagreement: >=3 neighbors, agreement
+    <=0.2) and intra-cluster centroid-distance outliers (per-cell
+    farthest member) on ``embeddings`` (1:1 with documents by id).
+    Stage 2 (quarantine): flagged ids fold to one relation carrying a
+    sorted-csv reason set; the corpus anti-joins it (broadcast — the
+    quarantine is audit-sized, never corpus-sized).  Stage 3
+    (curate): the flagship chain (quality filter -> exact keep-min
+    dedup -> deterministic hash split) runs over the clean remainder
+    only.
+
+    Output is total over dispositions: one 'quarantined' row per
+    flagged id (reason, NULL score/split) plus one 'kept' row per
+    curated survivor (score + split); quality/dup drops vanish as in
+    ``corpus_curate``.  Scale shape: each audit keeps its own plan
+    (single-exchange kNN cells, broadcast centroid map pass, one-scan
+    constraint fuse); the only new wiring is the model-sized
+    reason-fold groupBy and the broadcast anti-join."""
+    from pyspark.sql import Window
+
+    from .llm.embeddings import auto_semdedup_clusters, embedding_outlier_ranks
+    from .llm.sampling import hash_split
+    from .llm.similarity import knn_label_agreement
+    from .ops.constraints import (
+        AcceptedValues,
+        Check,
+        NotNull,
+        InRange,
+        constraint_violations,
+    )
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    n_emb = table_rows_meta(sf_dir, "embeddings")
+
+    rules = [
+        AcceptedValues("lang", ("en", "zh", "es")),
+        InRange("n_chars", 1, 500),
+        Check("n_chars_consistent", "length(text) = n_chars"),
+        NotNull("text"),
+    ]
+    viol = (
+        constraint_violations(docs, rules, ["doc_id"])
+        .select("doc_id", F.lit("constraint").alias("reason"))
+        .distinct()
+    )
+    noise = (
+        knn_label_agreement(emb, k=5, corpus_count=n_emb, probes=2)
+        .filter((F.col("n_neighbors") >= 3) & (F.col("agreement") <= 0.2))
+        .select(F.col("vec_id").alias("doc_id"), F.lit("label_noise").alias("reason"))
+    )
+    outl = (
+        embedding_outlier_ranks(
+            emb, n_clusters=auto_semdedup_clusters(n_emb), sample_mod=2
+        )
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vec_id").alias("doc_id"), F.lit("outlier").alias("reason"))
+    )
+    quar = (
+        viol.unionByName(noise)
+        .unionByName(outl)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("reason"))).alias("reason")
+        )
+    )
+    clean = docs.join(F.broadcast(quar.select("doc_id")), "doc_id", "left_anti")
+    quality = clean.withColumn(
+        "quality_score", quality_metrics(F.col("text"))["quality_score"]
+    ).filter(F.col("quality_score") >= 0.4)
+    w = Window.partitionBy(F.md5("text"))
+    deduped = (
+        quality.withColumn("__keep", F.min("doc_id").over(w) == F.col("doc_id"))
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    kept = hash_split(deduped).select(
+        "doc_id",
+        F.lit("kept").alias("disposition"),
+        F.lit(None).cast("string").alias("reason"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "split",
+    )
+    quarantined = quar.select(
+        "doc_id",
+        F.lit("quarantined").alias("disposition"),
+        "reason",
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    return quarantined.unionByName(kept)

@@ -155,24 +155,38 @@ class Promoter:
     # -- staging (the external-Dataflow-job analog) -------------------------
 
     def stage_chunk_dir(self, chunk_dir: str, chunk_id: int) -> None:
-        """Land an exported chunk into the staging tables (status STAGED).
+        """Land one exported chunk into the staging tables (status
+        STAGED).  Stands in for the reference's external Dataflow
+        staging job whose contract is the staging schemas
+        (``dataset_builder.py:202-232``).  A poll cycle that landed
+        several chunks should call :meth:`stage_chunk_dirs` — one
+        ledger commit for the whole batch."""
+        self.stage_chunk_dirs([(chunk_dir, chunk_id)])
 
-        Stands in for the reference's external Dataflow staging job
-        whose contract is the staging schemas
-        (``dataset_builder.py:202-232``).
-        """
-        for t in DIA_TABLES:
-            path = os.path.join(chunk_dir, t)
-            if os.path.exists(path):
-                self.staging[t].append(
-                    self.spark.read.parquet(path), partition_by=(CHUNK_COLUMN,)
+    def stage_chunk_dirs(self, chunks: list[tuple[str, int]]) -> None:
+        """Land k exported chunks into the staging tables and flip all
+        their ledger rows to STAGED in ONE event-log commit
+        (``ledger.update_chunks``) — the same batching rule promotion
+        applies at its PROMOTED transition; per-chunk commits in a
+        loop were the one remaining O(k)-commit stager path."""
+        if not chunks:
+            return
+        for chunk_dir, _ in chunks:
+            for t in DIA_TABLES:
+                path = os.path.join(chunk_dir, t)
+                if os.path.exists(path):
+                    self.staging[t].append(
+                        self.spark.read.parquet(path),
+                        partition_by=(CHUNK_COLUMN,),
+                    )
+            upd = os.path.join(chunk_dir, "updates")
+            if os.path.exists(upd):
+                self.staging_updates.append(
+                    self.spark.read.parquet(upd), partition_by=(CHUNK_COLUMN,)
                 )
-        upd = os.path.join(chunk_dir, "updates")
-        if os.path.exists(upd):
-            self.staging_updates.append(
-                self.spark.read.parquet(upd), partition_by=(CHUNK_COLUMN,)
-            )
-        self.ledger.update_chunk(chunk_id, status=ChunkStatus.STAGED)
+        self.ledger.update_chunks(
+            [cid for _, cid in chunks], status=ChunkStatus.STAGED
+        )
 
     def _staged(self, table: str, chunk_ids: list[int]) -> DataFrame | None:
         t = self.staging[table]

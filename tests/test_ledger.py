@@ -168,6 +168,72 @@ def test_auto_compact_bounds_log_file_count(spark, tmp_path):
     assert led.exists(9)
 
 
+def test_compact_archives_terminal_rows_once(spark, tmp_path):
+    """Terminal winners (PROMOTED/SKIPPED) freeze into an archive run
+    at compaction and later compactions carry the run forward by
+    HARDLINK — same inode, zero bytes rewritten — while active rows
+    keep being folded.  The logical table is unchanged throughout."""
+    import os
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led.insert_chunks([{"apdb_replica_chunk": i} for i in range(1, 6)])
+    led.update_chunks([1, 2, 3], status=ChunkStatus.PROMOTED)
+    led.update_chunks([4], status=ChunkStatus.SKIPPED)
+    led.compact_log()
+    runs = led._archive_files()
+    assert len(runs) == 1
+    inode = os.stat(runs[0]).st_ino
+    rows = {r.apdb_replica_chunk: r.status for r in led.read().collect()}
+    assert rows == {
+        1: "PROMOTED", 2: "PROMOTED", 3: "PROMOTED",
+        4: "SKIPPED", 5: "EXPORTED",
+    }
+    # another transition + compaction: run is hardlinked, not rewritten
+    led.update_chunks([5], status=ChunkStatus.UPLOADED)
+    led.compact_log()
+    runs2 = led._archive_files()
+    assert [os.stat(f).st_ino for f in runs2].count(inode) == 1
+    assert {r.apdb_replica_chunk: r.status for r in led.read().collect()}[
+        5
+    ] == "UPLOADED"
+
+
+def test_archived_chunk_reopen_wins_at_read(spark, tmp_path):
+    """Archive is storage layout, not logic: a re-replication upsert of
+    an already-archived PROMOTED chunk appends a newer event that wins
+    the per-chunk last-writer-wins at read; the stale archived row
+    lingers harmlessly and a later compaction does not resurrect it."""
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led.insert_chunks([{"apdb_replica_chunk": 1}])
+    led.update_chunks([1], status=ChunkStatus.PROMOTED)
+    led.compact_log()
+    assert len(led._archive_files()) == 1
+    led.upsert_chunk({"apdb_replica_chunk": 1, "unique_id": "re-replicated"})
+    row = led.read().collect()[0]
+    assert (row.status, row.unique_id) == ("EXPORTED", "re-replicated")
+    led.compact_log()
+    row = led.read().collect()[0]
+    assert (row.status, row.unique_id) == ("EXPORTED", "re-replicated")
+
+
+def test_archive_runs_merge_size_tiered(spark, tmp_path):
+    """Archive run count stays bounded: past archive_merge_runs, a
+    compaction folds the smaller half of the runs into one, so each
+    archived row is rewritten O(log runs) times over the table's
+    lifetime, never once per compaction."""
+    led = Ledger(spark, str(tmp_path / "ledger"), archive_merge_runs=3)
+    nxt = 1
+    for _ in range(5):
+        ids = list(range(nxt, nxt + 2))
+        nxt += 2
+        led.insert_chunks([{"apdb_replica_chunk": i} for i in ids])
+        led.update_chunks(ids, status=ChunkStatus.PROMOTED)
+        led.compact_log()
+        assert len(led._archive_files()) <= 3
+    rows = {r.apdb_replica_chunk: r.status for r in led.read().collect()}
+    assert rows == {i: "PROMOTED" for i in range(1, 11)}
+
+
 def test_watermark_gate():
     now = datetime.datetime(2024, 1, 1, 12, 0, 0)
     t = lambda s: now - datetime.timedelta(seconds=s)

@@ -372,6 +372,42 @@ def test_promote_with_delta_export_publishes_log(spark, tmp_path):
     assert got.count() == promoter.public_diaobject.read(spark).count() == 2
 
 
+def test_stage_chunk_dirs_one_ledger_commit(spark, tmp_path):
+    """Batched staging: k chunks landed in one poll cycle flip to
+    STAGED in ONE event-log commit — both STAGED events share one
+    __event_seq (the same batching rule promotion applies at its
+    PROMOTED transition; a per-chunk loop would burn k commits)."""
+    from dax_ppdb_spark.ledger import EVENT_SEQ, ChunkStatus
+
+    root = str(tmp_path)
+    promoter = Promoter(spark, root)
+    dirs = []
+    for cid in (1, 2):
+        dirs.append(
+            (
+                store_chunk(
+                    spark,
+                    root + "/export",
+                    cid,
+                    {
+                        "DiaObject": _obj(
+                            spark, [(10 * cid, 100.0, None, 45.0, -30.0, 1)]
+                        )
+                    },
+                    ledger=promoter.ledger,
+                ),
+                cid,
+            )
+        )
+    promoter.stage_chunk_dirs(dirs)
+    log = promoter.ledger.read_log()
+    staged = log.filter(F.col("status") == ChunkStatus.STAGED)
+    seqs = [r[0] for r in staged.select(EVENT_SEQ).collect()]
+    assert len(seqs) == 2
+    assert len(set(seqs)) == 1  # one commit for the whole batch
+    assert promoter.ledger.promotable_chunks() == [1, 2]
+
+
 def test_promote_legacy_validity_schema_end_to_end(spark, tmp_path):
     """A pre-rename APDB chunk (TIMESTAMP validityStart/validityEnd)
     must replicate end to end: the validity fill closes the open

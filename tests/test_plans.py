@@ -206,6 +206,24 @@ def test_corpus_curate_single_shuffle_no_join(spark, sf_dir, registry):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_audit_quarantine_curate_broadcast_quarantine(spark, sf_dir, registry):
+    """The capstone's quarantine must anti-join the corpus as a
+    BROADCAST (the quarantine is audit-sized, never corpus-sized) —
+    a shuffled anti-join would re-exchange the whole documents table
+    for a model-sized id list.  No cartesian anywhere, and the kNN
+    audit's zero-join property survives the composition (the only
+    Join nodes are the broadcast anti-join and the audits' own
+    broadcast model joins)."""
+    plan = plan_of(registry["audit_quarantine_curate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # every join in the composition is a broadcast build — no
+    # shuffle-weight join shape anywhere, so the anti-join (the only
+    # LeftAnti) is necessarily the broadcast one
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
     """The text verify-stage joins must broadcast the (small,
     LSH-sparse) candidate side, never the corpus text table: without

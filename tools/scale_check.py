@@ -110,8 +110,10 @@ QUERIES = [
     # non-trivial benched plan has a measured growth row
     # round 11: the HLL++ NDV lane (the 100-TB default for
     # table_stats; no oracle row — DuckDB's HLL estimates differ by
-    # engine, so it is pytest- and scale-gated instead)
+    # engine, so it is pytest- and scale-gated instead) and the
+    # audit->quarantine->curate capstone
     "table_stats_approx",
+    "audit_quarantine_curate",
     "topk_per_key",
     "rank_versions",
     "semi_prune",
