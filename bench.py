@@ -128,6 +128,9 @@ HEADLINE = [
     "knn_label_noise",
     "embedding_outliers",
     "table_stats",
+    "audit_quarantine_curate",
+    "column_histograms",
+    "count_anomalies",
 ]
 
 

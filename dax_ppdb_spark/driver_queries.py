@@ -1035,58 +1035,99 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-10 tail (66 = visible registry 116 - head 50).  Rule recap:
+# Round-11 tail (72 = visible registry 122 - head 50).  Rule recap:
 # tail = externally green in the immediately preceding round,
 # implementation untouched this round; overflow (the window is
-# smaller than half the registry, cadence ~2.3 rounds) defers the
+# smaller than half the registry, cadence ~2.4 rounds) defers the
 # LOWEST-RISK stale rows, preferring the most recently checked.
 #
-# Round 9 shipped no commit, so the r8 window ran twice and the r8
-# tail went two+ rounds unchecked.  This round the ENTIRE backlog
-# re-heads: all 18 r5/r6-stale deferrals (ann_topk_kmeans,
-# doc_chunks, semdedup_flat, sequence_pack, shard_pack,
-# stratified_sample, distinct_ids, except_ids, intersect_ids,
-# existence_probe, notin_filter, contiguous_run, text_clean,
-# url_dedup, top_ngrams, gopher_quality, rollup_revenue,
-# cone_search_sorted), the 7 queries whose implementation changed
-# this round (dedup_embedding, dedup_embedding_banded,
-# embedding_recall, semdedup, semdedup_flat, ann_index_persisted,
-# ann_index_pq — footer-metadata corpus counts, the id_pred
-# restricted lane, raw-read inputs, the guarded index probes), and
-# 26 of the 42 untouched r7-green rows (all the multi-stage/heavier
-# plans: the LSH/prefix dedup family, the per-call ANN family, BPE
-# merges, crossmatch, sessionize, snapshot_asof, ...).
-#
-# Tail contents: the 48 rows green in CORRECTNESS_r09 whose
-# implementation this round did not touch, plus 16 r7-green
-# deferrals chosen for trivially-stable plans (single-table scans /
-# fixed aggregations, green at every external check since r5:
-# text_stats, lang_id, token_count_bpe, bpe_encode,
+# This round the ENTIRE round-10 promise re-heads, closing out the
+# birth-round-tail exception: the 5 r10 new entrants
+# (constraint_audit, constraint_violations, knn_label_noise,
+# embedding_outliers, table_stats) and all 16 r7-green deferrals
+# (text_stats, lang_id, token_count_bpe, bpe_encode,
 # repetition_ratio, quality_quantiles, url_block_filter,
 # sample_exact_k, weighted_sample, revenue_by_nation, topk_per_key,
 # distinct_sketch, dedup_exact, embedding_covariance,
-# embedding_whiten, corpus_drift) — every one re-heads in round 11.
+# embedding_whiten, corpus_drift).  Also heading: the queries whose
+# implementation changed this round (table_stats — Expand-free
+# branch-union exact NDV — and knn_label_noise — 2-probe rewrite —
+# are both already in the promised 21; semdedup and semdedup_flat
+# head because the _pair_cosine refactor touched
+# semdedup_pairs/_two_level), the NEW registration
+# audit_quarantine_curate (head in its birth round — no
+# birth-tailing this time), and 26 of the 48 r9-green rows, chosen
+# risk-first (multi-stage/heavier plans: the verified-dedup and CDC
+# families, curation compositions, multimodal lanes, the as-of
+# family, ANN recall/quantize, classifier-adjacent scores).  The two
+# OTHER round-11 registrations (column_histograms, count_anomalies)
+# also head in their birth round; their two slots come from deferring
+# the two lowest-risk remaining r9-green rows (pii_redact,
+# doc_fingerprint — single-scan map passes) into the tail.
 #
-# NEW-ENTRANT EXCEPTION (documented rule amendment, this round):
-# constraint_audit and constraint_violations are NEW registrations.
-# The round-10 head is fully consumed by the backlog re-head above,
-# and the only tail-eligible head members (dedup_embedding,
-# dedup_embedding_banded) were changed this round, which the rule
-# forbids tailing — so a new query cannot displace a head row this
-# round without violating the rule either way.  A newly-registered
-# query may therefore enter the TAIL in its birth round ONLY with a
-# same-commit oracle selfcheck at sf0.001 AND sf0.01 AND sf0.1 (run:
-# both green at all three scales) and MUST re-head in the next
-# round.  Both re-head in round 11.  knn_label_noise and
-# embedding_outliers (registered later the same round) enter under
-# the same exception — 3-scale same-commit selfcheck, re-head
-# round 11.  table_stats likewise.
+# Tail contents: the 48 rows green in CORRECTNESS_r10 whose
+# implementation this round did not touch, plus 22 r9-green
+# deferrals chosen for trivially-stable plans (the SCD-2/scan/window
+# core plus two single-scan map passes, most re-verified by the
+# round-10 judge selfcheck:
+# validity_fill, validity_fill_pruned, latest_only, rank_versions,
+# replication_diff, semi_prune, consistency_lookup, merge_upsert,
+# merge_composite, ledger_scan, inlist_filter, pricing_summary,
+# pivot_patch, update_explode, union_concat, updates_pipeline,
+# update_validate, spatial_box, cone_search, funnel, windowed_counts,
+# split_assign, pii_redact, doc_fingerprint) — every one re-heads in
+# round 12.
 _VERIFY_TAIL = (
-    "constraint_audit",
-    "constraint_violations",
-    "knn_label_noise",
-    "embedding_outliers",
-    "table_stats",
+    # 48 r10-green, implementation untouched this round
+    "existence_probe",
+    "notin_filter",
+    "contiguous_run",
+    "distinct_ids",
+    "cone_search_sorted",
+    "retention_cohorts",
+    "sessionize",
+    "crossmatch",
+    "snapshot_asof",
+    "overlap_violations",
+    "rollup_revenue",
+    "except_ids",
+    "intersect_ids",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "quality_classifier",
+    "dedup_index_probe",
+    "dedup_incr_prefix",
+    "dedup_recall",
+    "dedup_simhash",
+    "dedup_embedding",
+    "embedding_recall",
+    "dedup_embedding_banded",
+    "ann_topk_bruteforce",
+    "ann_topk_multiprobe",
+    "ann_topk_ivf",
+    "stratified_sample",
+    "bpe_merges_batched",
+    "bpe_merges",
+    "doc_chunks",
+    "shard_pack",
+    "ann_topk_pq",
+    "ann_topk_kmeans",
+    "decontaminate",
+    "gopher_quality",
+    "top_ngrams",
+    "dup_spans",
+    "sequence_pack",
+    "url_dedup",
+    "text_clean",
+    "source_overlap",
+    "dedup_span_removal",
+    "mixture_sample",
+    "dedup_paragraphs",
+    "ann_index_persisted",
+    "ann_index_pq",
+    "bigram_lm_score",
+    # 24 r9-green lowest-risk deferrals (re-head round 12)
     "validity_fill",
     "validity_fill_pruned",
     "latest_only",
@@ -1108,49 +1149,9 @@ _VERIFY_TAIL = (
     "cone_search",
     "funnel",
     "windowed_counts",
-    "asof_attribution",
-    "asof_tolerance",
-    "asof_forward",
-    "range_join",
-    "dedup_verified",
-    "dedup_clusters",
-    "pii_redact",
-    "lm_score",
-    "doc_fingerprint",
-    "multimodal_frame_sample",
-    "multimodal_decode",
     "split_assign",
-    "dedup_cdc",
-    "cdc_chunks",
-    "multimodal_resize",
-    "corpus_curate",
-    "curate_incr",
-    "dedup_keep_best",
-    "embedding_quantize",
-    "dsir_weights",
-    "corpus_cube",
-    "ann_recall",
-    "tfidf_keywords",
-    "dedup_edit",
-    "hybrid_search",
-    "perplexity_buckets",
-    "leak_safe_split",
-    "text_stats",
-    "lang_id",
-    "token_count_bpe",
-    "bpe_encode",
-    "repetition_ratio",
-    "quality_quantiles",
-    "url_block_filter",
-    "sample_exact_k",
-    "weighted_sample",
-    "revenue_by_nation",
-    "topk_per_key",
-    "distinct_sketch",
-    "dedup_exact",
-    "embedding_covariance",
-    "embedding_whiten",
-    "corpus_drift",
+    "pii_redact",
+    "doc_fingerprint",
 )
 
 
@@ -2033,4 +2034,165 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
         ],
+    )
+
+
+_HIST_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_HIST_BUCKETS = 8
+
+
+def _hist_branch_sql(c: str) -> str:
+    ps = ", ".join(repr(i / _HIST_BUCKETS) for i in range(1, _HIST_BUCKETS))
+    return f"""
+SELECT '{c}' AS "column", bucket, MIN(v) AS lo, MAX(v) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (
+    SELECT v, CAST(len(list_filter(cuts, x -> v > x)) AS INT) AS bucket
+    FROM (SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+          WHERE {c} IS NOT NULL) t
+    CROSS JOIN (SELECT quantile_disc(CAST({c} AS DOUBLE), [{ps}]) AS cuts
+                FROM lineitem WHERE {c} IS NOT NULL) q
+)
+GROUP BY bucket
+"""
+
+
+_COLUMN_HISTOGRAMS_SQL = "\nUNION ALL\n".join(
+    _hist_branch_sql(c) for c in _HIST_COLS
+)
+
+
+def table_column_ranges_meta(
+    sf_dir: str, table: str, columns: list[str]
+) -> dict[str, tuple[float, float]]:
+    """Exact per-column (min, max) from parquet FOOTER statistics —
+    driver-local, ZERO Spark jobs (the ``table_rows_meta`` discipline
+    applied to column ranges).  Only columns whose statistics are
+    present in every row group are returned; callers treat a missing
+    column as needs-a-scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+    else:
+        files = [path]
+    out: dict[str, tuple[float, float]] = {}
+    complete: set[str] = set(columns)
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in list(complete):
+            if c not in idx:
+                complete.discard(c)
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    complete.discard(c)
+                    break
+                mn, mx = float(st.min), float(st.max)
+                cur = out.get(c)
+                out[c] = (
+                    (mn, mx)
+                    if cur is None
+                    else (min(cur[0], mn), max(cur[1], mx))
+                )
+    return {c: out[c] for c in complete if c in out}
+
+
+@register("column_histograms", _COLUMN_HISTOGRAMS_SQL)
+def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histograms (``ops.stats.column_histograms``) over
+    lineitem's numeric measure columns — the value-distribution half
+    of the ANALYZE feed (selectivity, skew, range-partition
+    boundaries).  Cut points are ANSI ``PERCENTILE_DISC`` (DuckDB's
+    ``quantile_disc`` is the same lowest-value-with-CDF>=p rule, so
+    the cuts — and therefore every bucket boundary — agree exactly);
+    ties go to the LOW bucket in both engines.  Coarse-cell ranges
+    come from parquet footer statistics (zero extra jobs — they only
+    ROUTE values to cells, so footer min/max exactness is a bonus,
+    not a requirement).  Exact cuts are the oracle-comparable lane;
+    ``approx=True`` (Greenwald-Khanna ``approx_percentile``) is the
+    bounded-memory 100-TB default, pytest-pinned."""
+    from .ops.stats import column_histograms
+
+    return column_histograms(
+        _read(spark, sf_dir, "lineitem"),
+        columns=list(_HIST_COLS),
+        buckets=_HIST_BUCKETS,
+        ranges=table_column_ranges_meta(
+            sf_dir, "lineitem", list(_HIST_COLS)
+        ) or None,
+    )
+
+
+_COUNT_ANOMALIES_SQL = """
+WITH counts AS (
+    SELECT epoch_us(ts) // 600000000 AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY bucket_id
+),
+win AS (
+    SELECT bucket_id, n_rows,
+           COUNT(n_rows) OVER w AS k,
+           SUM(n_rows) OVER w AS s,
+           SUM(n_rows * n_rows) OVER w AS ss
+    FROM counts
+    WINDOW w AS (ORDER BY bucket_id ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket_id, n_rows,
+       CASE WHEN k >= 4
+                 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+                     / (k - 1) > 0
+            THEN round((n_rows - CAST(s AS DOUBLE) / k)
+                       / sqrt((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+                              / (k - 1)), 6)
+       END AS z,
+       COALESCE(CASE WHEN k >= 4
+                 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+                     / (k - 1) > 0
+            THEN abs(round((n_rows - CAST(s AS DOUBLE) / k)
+                           / sqrt((CAST(ss AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+                                  / (k - 1)), 6)) > 3.0
+       END, FALSE) AS is_anomaly
+FROM win
+"""
+
+
+@register("count_anomalies", _COUNT_ANOMALIES_SQL)
+def q_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor (``ops.stats.rowcount_anomalies``) over
+    the events stream bucketed to 10 minutes — the longitudinal
+    generalization of the reference's per-chunk manifest row-count
+    validation: a bucket whose count sits 3 trailing standard
+    deviations from its recent history flags for
+    quarantine-before-promotion.  Variance comes from exact integer
+    (sum, sum-of-squares) window aggregates — no streaming-variance
+    merge-order drift, bit-identical across engines.  One groupBy
+    with map-side combine reduces the corpus to the model-sized
+    series; the single ordered window runs over that series only."""
+    from .ops.stats import rowcount_anomalies
+
+    counts = (
+        _read_events(spark, sf_dir)
+        .groupBy(
+            # integer DIV, not double /: double division loses µs
+            # precision on big longs (the round-2 failure class)
+            F.expr("ts_us DIV 600000000").alias("bucket_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return rowcount_anomalies(
+        counts, "bucket_id", window=16, min_history=4, z_thresh=3.0
     )

@@ -224,6 +224,40 @@ def test_audit_quarantine_curate_broadcast_quarantine(spark, sf_dir, registry):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_column_histograms_codegen_unpivot_no_hof(spark, sf_dir, registry):
+    """Histogram cost shape: the unpivot is explode-of-structs
+    (GenerateExec codegens explode; stack is interpreted), cut
+    derivation and bucket assignment both ride the checkpointed
+    per-value count relation (InMemory/checkpoint scan — never a
+    second corpus scan), the per-cell cumsum windows are
+    cell-partitioned (no per-column single partition), and bucket
+    assignment is an explicit comparison sum (no interpreted
+    ArrayFilter lambda in the hot path)."""
+    plan = plan_of(registry["column_histograms"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # the explode+groupBy ran once, eagerly, in the checkpoint job;
+    # the returned plan must read ONLY the checkpointed count
+    # relation — a parquet scan here would mean a pass re-reads the
+    # corpus
+    assert tree.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in tree
+    assert "array_filter" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_count_anomalies_two_exchanges(spark, sf_dir, registry):
+    """The volume monitor reduces the corpus with ONE map-side-combined
+    groupBy and runs its trailing-window statistics over the
+    model-sized count series only: one hashpartitioning exchange (the
+    bucket groupBy) + the single-partition window exchange — nothing
+    else touches the events table."""
+    plan = plan_of(registry["count_anomalies"](spark, sf_dir))
+    hashes = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hashes) == 1, hashes
+    assert "SinglePartition" in plan  # the series window
+    assert "BatchEvalPython" not in plan
+
+
 def test_neardup_verify_joins_broadcast_pair_side(spark, sf_dir, registry):
     """The text verify-stage joins must broadcast the (small,
     LSH-sparse) candidate side, never the corpus text table: without

@@ -171,3 +171,134 @@ def test_table_stats_approx_lane_matches_exact_at_small_n(spark):
     approx = {r["column"]: r.n_distinct for r in table_stats(df, approx=True).collect()}
     assert exact == {"k": 7, "s": 3}
     assert approx == exact
+
+
+def test_column_histograms_disc_semantics_and_ties(spark):
+    """Hand-checked ANSI PERCENTILE_DISC golden, 4 buckets over
+    1..8: cuts are the actual data values at CDF >= {.25,.5,.75}
+    (2, 4, 6), ties go LOW (a value equal to a cut closes that cut's
+    bucket), every bucket reports its true (lo, hi, count), and the
+    counts sum back to n."""
+    from dax_ppdb_spark.ops.stats import column_histograms
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "x DOUBLE")
+    rows = {
+        r.bucket: (r.lo, r.hi, r.n_rows)
+        for r in column_histograms(df, ["x"], buckets=4).collect()
+    }
+    assert rows == {
+        0: (1.0, 2.0, 2),   # <= cut 2
+        1: (3.0, 4.0, 2),   # (2, 4]
+        2: (5.0, 6.0, 2),   # (4, 6]
+        3: (7.0, 8.0, 2),   # (6, 8]
+    }
+
+
+def test_column_histograms_constant_nulls_and_skew(spark):
+    """Degenerate shapes: a constant column lands entirely in bucket
+    0; NULLs are excluded from counts; an all-NULL column emits no
+    rows; a heavily-duplicated value keeps PERCENTILE_DISC semantics
+    (cuts repeat the dominant value, so its whole mass stays in one
+    bucket)."""
+    from dax_ppdb_spark.ops.stats import column_histograms
+
+    df = spark.createDataFrame(
+        [(5.0, None if i % 2 else float(i), None) for i in range(6)],
+        "c DOUBLE, s DOUBLE, z DOUBLE",
+    )
+    out = column_histograms(df, ["c", "s", "z"], buckets=4).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column"], []).append(r)
+    assert [(r.bucket, r.n_rows) for r in by_col["c"]] == [(0, 6)]
+    assert sum(r.n_rows for r in by_col["s"]) == 3  # NULLs excluded
+    assert "z" not in by_col  # all-NULL: no rows
+
+    skew = spark.createDataFrame(
+        [(1.0,)] * 97 + [(2.0,), (3.0,), (4.0,)], "x DOUBLE"
+    )
+    rows = {
+        r.bucket: r.n_rows
+        for r in column_histograms(skew, ["x"], buckets=4).collect()
+    }
+    # every cut is 1.0 (CDF(1.0) = .97 >= all ps): mass in bucket 0,
+    # the three outliers all sit above the last cut
+    assert rows == {0: 97, 3: 3}
+
+
+def test_column_histograms_approx_lane_close_at_small_n(spark):
+    """The Greenwald-Khanna lane (100-TB default) agrees with the
+    exact lane on a small corpus at full accuracy: same buckets, same
+    counts."""
+    from dax_ppdb_spark.ops.stats import column_histograms
+
+    df = spark.createDataFrame([(float(i % 37),) for i in range(200)], "x DOUBLE")
+    exact = sorted(
+        (r.bucket, r.lo, r.hi, r.n_rows)
+        for r in column_histograms(df, ["x"], buckets=8).collect()
+    )
+    approx = sorted(
+        (r.bucket, r.lo, r.hi, r.n_rows)
+        for r in column_histograms(df, ["x"], buckets=8, approx=True).collect()
+    )
+    assert exact == approx
+
+
+def test_column_histograms_ranges_param_matches_scan(spark):
+    """Caller-provided ranges (the parquet-footer lane) only ROUTE
+    values to coarse cells — the output is identical to the
+    scan-derived-ranges run even when the provided range is wider
+    than the data."""
+    from dax_ppdb_spark.ops.stats import column_histograms
+
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "x DOUBLE")
+    a = sorted(map(tuple, column_histograms(df, ["x"], buckets=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            column_histograms(
+                df, ["x"], buckets=4, ranges={"x": (-1000.0, 1000.0)}
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_rowcount_anomalies_golden_and_history_gate(spark):
+    """Hand-checked z: a flat series of 10s with one 100 spike — the
+    spike's trailing window is all 10s (sd 0 -> z NULL, not flagged);
+    the NEXT point's window contains the spike and computes the exact
+    textbook z from integer sums; early rows below min_history are
+    unscored; is_anomaly is never NULL."""
+    from dax_ppdb_spark.ops.stats import rowcount_anomalies
+
+    rows = [(i, 10) for i in range(8)] + [(8, 100), (9, 10)]
+    counts = spark.createDataFrame(rows, "bucket_id LONG, n_rows LONG")
+    out = {
+        r.bucket_id: (r.z, r.is_anomaly)
+        for r in rowcount_anomalies(
+            counts, "bucket_id", window=4, min_history=4, z_thresh=3.0
+        ).collect()
+    }
+    for i in range(4):  # < min_history
+        assert out[i] == (None, False)
+    for i in range(4, 8):  # flat history: sd = 0 -> unscored
+        assert out[i] == (None, False)
+    assert out[8] == (None, False)  # spike itself: trailing sd = 0
+    # bucket 9: window = [10, 10, 10, 100]; mean 32.5, var 2025, sd 45
+    assert out[9] == (-0.5, False)
+    # none NULL
+    assert all(a is not None for _, (_, a) in out.items())
+
+
+def test_rowcount_anomalies_flags_spike(spark):
+    """A spike against a NOISY history (nonzero sd) gets a large
+    positive z and the flag."""
+    from dax_ppdb_spark.ops.stats import rowcount_anomalies
+
+    rows = [(i, 10 + (i % 2)) for i in range(8)] + [(8, 1000)]
+    counts = spark.createDataFrame(rows, "bucket_id LONG, n_rows LONG")
+    out = {r.bucket_id: r for r in rowcount_anomalies(
+        counts, "bucket_id", window=8, min_history=4
+    ).collect()}
+    assert out[8].is_anomaly is True and out[8].z > 100

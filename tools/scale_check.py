@@ -114,6 +114,8 @@ QUERIES = [
     # audit->quarantine->curate capstone
     "table_stats_approx",
     "audit_quarantine_curate",
+    "column_histograms",
+    "count_anomalies",
     "topk_per_key",
     "rank_versions",
     "semi_prune",
