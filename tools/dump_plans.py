@@ -222,13 +222,17 @@ ANNOTATED = {
         " is the 65-double model."
     ),
     "knn_label_noise": (
-        "kNN label-noise audit: the corpus shuffles ONCE on its"
-        " corpus-scaled sign-LSH cell key; each cell's kNN + label"
-        " agreement finishes inside one higher-order expression over"
-        " the collected cell (squared norms precomputed per vector —"
-        " interpreted folds never re-fold self-dots per pair). No"
-        " Join node anywhere; singleton and capped cells keep their"
-        " output rows, so the relation is total over the corpus."
+        "2-probe kNN label-noise audit: each vector enters its home"
+        " sign-LSH cell as member+query and the adjacent cell flipping"
+        " its smallest-|margin| plane bit as query only (multi-probe —"
+        " plane-straddling vectors recover their true neighbors)."
+        " Exchange 1 is the cell key (home + probe replicas, a"
+        " constant 2x); per-cell candidate scoring runs in one"
+        " higher-order expression (squared norms precomputed per"
+        " vector); exchange 2 regroups the k-capped per-cell candidate"
+        " lists by vector id — k structs per probe per vector,"
+        " model-sized. No Join node anywhere; the relation stays total"
+        " over the corpus."
     ),
     "embedding_outliers": (
         "Intra-cluster outlier audit: sampled deterministic Lloyd"
@@ -236,6 +240,44 @@ ANNOTATED = {
         " then takes ONE map pass against the broadcast centroid"
         " table (assignment + round-6 distance) and ONE cid-keyed"
         " exchange for the per-cell farthest-first ranking window."
+    ),
+    "table_stats": (
+        "Expand-free exact ANALYZE: one column-pruned single-distinct"
+        " branch per column, unioned — Catalyst's native two-level"
+        " distinct rewrite per branch (HashAggregate), no Expand node"
+        " anywhere; string min/max splits to its own pruned scan so"
+        " the distinct branches never fall to a full-column"
+        " SortAggregate. The HLL++ approx lane (one fixed-buffer"
+        " scan) is the 100-TB default."
+    ),
+    "column_histograms": (
+        "Equi-height histograms: one explode-unpivot scan (codegen;"
+        " stack is interpreted) groups to a checkpointed per-(column,"
+        " coarse-cell, value) count relation; cut derivation is a"
+        " two-phase cumsum (cell-partitioned windows + a model-sized"
+        " offset window — never a per-column single partition, never"
+        " Spark's per-instance-buffering percentile_disc), and bucket"
+        " assignment rides the SAME relation via a codegen comparison"
+        " sum. The returned plan reads only the checkpoint — zero"
+        " parquet re-scans (plan-pinned)."
+    ),
+    "count_anomalies": (
+        "Volume-anomaly monitor: one map-side-combined groupBy"
+        " reduces the events table to the 10-minute count series;"
+        " the trailing-window z (exact integer sum/sum-of-squares —"
+        " no streaming-variance merge-order drift) runs over that"
+        " model-sized series in a single-partition window."
+    ),
+    "audit_quarantine_curate": (
+        "Audit -> quarantine -> curate capstone: the three audits"
+        " keep their own plans (single-exchange 2-probe kNN cells,"
+        " broadcast-centroid map pass, one-scan constraint fuse);"
+        " flagged ids fold to a reason-carrying quarantine relation"
+        " that the corpus anti-joins as a BROADCAST (audit-sized,"
+        " never corpus-sized); the curation chain (quality -> exact"
+        " keep-min dedup -> hash split) runs over the clean remainder"
+        " on its one md5(text) exchange. No cartesian, no"
+        " shuffle-weight join anywhere (plan-pinned)."
     ),
 }
 
