@@ -3050,7 +3050,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_spread(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("weight")
     )
-    return weighted_sample_k(docs, k=40, weight_col="weight")
+    # bucket count from footer metadata (zero jobs) — the corpus count
+    # only SIZES the coarse buckets, so the unfiltered footer total is
+    # a harmless upper bound and the operator's eager count() is
+    # skipped
+    nb = max(32, table_rows_meta(sf_dir, "documents") // 50_000)
+    return weighted_sample_k(docs, k=40, weight_col="weight", coarse_buckets=nb)
 
 
 def _edit_verified_sql() -> str:

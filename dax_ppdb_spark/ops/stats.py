@@ -202,25 +202,34 @@ def column_histograms(
     from pyspark.sql import Window
 
     ps = [i / buckets for i in range(1, buckets)]
-    stacked = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col"),
-                            F.col(c).cast("double").alias("__v"),
-                        )
-                        for c in columns
-                    ]
-                )
-            ).alias("s")
+
+    def _unpivot(with_cb: bool) -> DataFrame:
+        # explode-of-structs unpivot; the coarse cell is computed
+        # INSIDE each column's struct from that column's own literal
+        # range — no per-exploded-row when-chain dispatch
+        entries = []
+        for c in columns:
+            v = F.col(c).cast("double")
+            fields = [F.lit(c).alias("col"), v.alias("__v")]
+            if with_cb:
+                mn, mx = ranges.get(c, (None, None))
+                if mn is None or mx is None or not mx > mn:
+                    cell = F.lit(0)
+                else:
+                    cell = F.least(
+                        F.floor((v - F.lit(mn)) / F.lit(mx - mn) * coarse),
+                        F.lit(coarse - 1),
+                    ).cast("int")
+                fields.append(cell.alias("__cb"))
+            entries.append(F.struct(*fields))
+        return (
+            df.select(F.explode(F.array(*entries)).alias("s"))
+            .select("s.*")
+            .filter(F.col("__v").isNotNull())
         )
-        .select("s.*")
-        .filter(F.col("__v").isNotNull())
-    )
 
     if approx:
+        stacked = _unpivot(with_cb=False)
         cuts = stacked.groupBy("col").agg(
             F.percentile_approx("__v", ps, accuracy).alias("cuts")
         )
@@ -232,33 +241,16 @@ def column_histograms(
         if missing:
             scanned = {
                 r["col"]: (r["mn"], r["mx"])
-                for r in stacked.filter(F.col("col").isin(missing))
+                for r in _unpivot(with_cb=False)
+                .filter(F.col("col").isin(missing))
                 .groupBy("col")
                 .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
                 .collect()
             }
             ranges = {**(ranges or {}), **scanned}
 
-        cb = F.lit(0)
-        for c in columns:
-            if c not in ranges:
-                continue
-            mn, mx = ranges[c]
-            if mn is None or mx is None or not mx > mn:
-                cell = F.lit(0)
-            else:
-                cell = F.least(
-                    F.floor(
-                        (F.col("__v") - F.lit(mn))
-                        / F.lit(mx - mn)
-                        * coarse
-                    ),
-                    F.lit(coarse - 1),
-                ).cast("int")
-            cb = F.when(F.col("col") == c, cell).otherwise(cb)
-
         vc = (
-            stacked.withColumn("__cb", cb)
+            _unpivot(with_cb=True)
             .groupBy("col", "__cb", "__v")
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .localCheckpoint()
