@@ -780,3 +780,81 @@ def test_auto_bands_target_recall_model_bound(count, threshold, target):
     for band in bands:
         assert len(set(band)) == p
         assert all(1 <= a <= dim for a in band)
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    buckets=st.sampled_from([2, 4, 8]),
+)
+def test_column_histograms_matches_ansi_disc_replay(spark, data, buckets):
+    """Plain-Python ANSI PERCENTILE_DISC replay: cuts are the smallest
+    values whose CDF reaches i/buckets; bucket(v) counts cuts < v;
+    per-bucket (lo, hi, n) from the raw data must match the engine
+    exactly — including duplicate-heavy and constant inputs."""
+    from dax_ppdb_spark.ops.stats import column_histograms
+
+    vals = sorted(float(x) for x in data)
+    n = len(vals)
+    cuts = []
+    for i in range(1, buckets):
+        p = i / buckets
+        # smallest value with cum >= p*n (1-based ranks)
+        import math as _m
+
+        rank = _m.ceil(p * n) if p * n != int(p * n) else int(p * n)
+        cuts.append(vals[max(rank, 1) - 1])
+    expect: dict[int, list[float]] = {}
+    for v in vals:
+        b = sum(1 for c in cuts if v > c)
+        expect.setdefault(b, []).append(v)
+    df = spark.createDataFrame([(float(x),) for x in data], "x DOUBLE")
+    got = {
+        r.bucket: (r.lo, r.hi, r.n_rows)
+        for r in column_histograms(df, ["x"], buckets=buckets).collect()
+    }
+    assert got == {
+        b: (min(vs), max(vs), len(vs)) for b, vs in expect.items()
+    }
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    ),
+    window=st.sampled_from([3, 5, 8]),
+)
+def test_rowcount_anomalies_matches_python_z(spark, counts, window):
+    """Plain-Python replay of the trailing-z: for every point, the
+    window is the previous `window` counts (excluding itself); z is
+    defined iff >= min_history points exist and their sample variance
+    is positive; is_anomaly is never None and matches |z| > 3."""
+    from dax_ppdb_spark.ops.stats import rowcount_anomalies
+
+    min_history = 2
+    df = spark.createDataFrame(
+        list(enumerate(counts)), "bucket_id LONG, n_rows LONG"
+    )
+    out = {
+        r.bucket_id: (r.z, r.is_anomaly)
+        for r in rowcount_anomalies(
+            df, "bucket_id", window=window, min_history=min_history
+        ).collect()
+    }
+    for i, v in enumerate(counts):
+        hist = counts[max(0, i - window) : i]
+        k = len(hist)
+        z = None
+        if k >= min_history:
+            s = sum(hist)
+            ss = sum(x * x for x in hist)
+            var = (float(ss) - float(s) * float(s) / k) / (k - 1)
+            if var > 0:
+                sd = var ** 0.5
+                z = round((v - float(s) / k) / sd, 6)
+        assert out[i][0] == z, (i, v, hist)
+        assert out[i][1] == (z is not None and abs(z) > 3.0)
+        assert out[i][1] is not None

@@ -370,3 +370,58 @@ def test_streaming_paragraph_dedup_first_arrival_wins(spark, tmp_path):
     survivors.clear()
     run_once()
     assert sorted(survivors) == [(300, 9, 1)]
+
+
+def test_streaming_counts_feed_anomaly_monitor(spark, tmp_path):
+    """Composition: the streaming windowed-count sink IS the count
+    series ops.stats.rowcount_anomalies monitors — stream a day of
+    steady 10-minute buckets with one planted spike through the
+    watermarked aggregation (availableNow drain), then score the sunk
+    series; exactly the spike bucket flags."""
+    import datetime as dt
+
+    from dax_ppdb_spark.ops.stats import rowcount_anomalies
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for b in range(24):
+        per = 200 if b == 20 else (3 + b % 3)  # noisy baseline + spike
+        for j in range(per):
+            rows.append((t0 + dt.timedelta(minutes=10 * b, seconds=j), "a"))
+    spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING").write.parquet(
+        os.path.join(src, "p0")
+    )
+
+    stream = spark.readStream.schema("ts TIMESTAMP, event_type STRING").parquet(
+        src + "/*"
+    )
+    agg = windowed_event_counts(stream)
+    sunk: dict[int, int] = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            bucket = int(r.win.start.timestamp()) // 600
+            sunk[bucket] = sunk.get(bucket, 0) + r.n_events
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(sunk) == 24
+
+    series = spark.createDataFrame(
+        sorted(sunk.items()), "bucket_id LONG, n_rows LONG"
+    )
+    flagged = {
+        r.bucket_id
+        for r in rowcount_anomalies(series, "bucket_id", window=16).collect()
+        if r.is_anomaly
+    }
+    first = min(sunk)
+    assert flagged == {first + 20}
