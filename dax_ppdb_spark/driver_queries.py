@@ -1035,50 +1035,89 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-11 tail (72 = visible registry 122 - head 50).  Rule recap:
+# Round-12 tail (72 = visible registry 122 - head 50).  Rule recap:
 # tail = externally green in the immediately preceding round,
 # implementation untouched this round; overflow (the window is
 # smaller than half the registry, cadence ~2.4 rounds) defers the
 # LOWEST-RISK stale rows, preferring the most recently checked.
 #
-# This round the ENTIRE round-10 promise re-heads, closing out the
-# birth-round-tail exception: the 5 r10 new entrants
-# (constraint_audit, constraint_violations, knn_label_noise,
-# embedding_outliers, table_stats) and all 16 r7-green deferrals
-# (text_stats, lang_id, token_count_bpe, bpe_encode,
-# repetition_ratio, quality_quantiles, url_block_filter,
-# sample_exact_k, weighted_sample, revenue_by_nation, topk_per_key,
-# distinct_sketch, dedup_exact, embedding_covariance,
-# embedding_whiten, corpus_drift).  Also heading: the queries whose
-# implementation changed this round (table_stats — Expand-free
-# branch-union exact NDV — and knn_label_noise — 2-probe rewrite —
-# are both already in the promised 21; semdedup and semdedup_flat
-# head because the _pair_cosine refactor touched
-# semdedup_pairs/_two_level), the NEW registration
-# audit_quarantine_curate (head in its birth round — no
-# birth-tailing this time), and 26 of the 48 r9-green rows, chosen
-# risk-first (multi-stage/heavier plans: the verified-dedup and CDC
-# families, curation compositions, multimodal lanes, the as-of
-# family, ANN recall/quantize, classifier-adjacent scores).  The two
-# OTHER round-11 registrations (column_histograms, count_anomalies)
-# also head in their birth round; their two slots come from deferring
-# the two lowest-risk remaining r9-green rows (pii_redact,
-# doc_fingerprint — single-scan map passes) into the tail.
+# This round the ENTIRE round-11 promise re-heads: all 24 r9-green
+# deferrals (validity_fill, validity_fill_pruned, latest_only,
+# rank_versions, replication_diff, semi_prune, consistency_lookup,
+# merge_upsert, merge_composite, ledger_scan, inlist_filter,
+# pricing_summary, pivot_patch, update_explode, union_concat,
+# updates_pipeline, update_validate, spatial_box, cone_search,
+# funnel, windowed_counts, split_assign, pii_redact, doc_fingerprint)
+# get fresh external rows, closing the SCD-2/scan/window staleness
+# debt the round-11 verdict ranked #1.  Also heading: the queries
+# whose implementation round 12 touches (column_histograms —
+# exact-lane pass-count shave; audit_quarantine_curate — shared-scan
+# shave; dedup_clusters — ops/graph.py LOCAL_* threshold pinned by a
+# measured sweep), and 23 of the 48 r10-green rows chosen risk-first:
+# every row the round-11 bench-regression adjudication names
+# (dedup_jaccard_prefix, bpe_merges + its bpe_merges_batched
+# impl-twin, ann_topk_pq, dedup_embedding, dedup_embedding_banded,
+# quality_classifier, ann_index_persisted, ann_index_pq) plus the
+# heaviest multi-stage plans (the MinHash/prefix/simhash dedup
+# family, the ANN per-call lanes, decontaminate, source_overlap,
+# dedup_span_removal, embedding_recall, dedup_recall).
 #
-# Tail contents: the 48 rows green in CORRECTNESS_r10 whose
-# implementation this round did not touch, plus 22 r9-green
-# deferrals chosen for trivially-stable plans (the SCD-2/scan/window
-# core plus two single-scan map passes, most re-verified by the
-# round-10 judge selfcheck:
-# validity_fill, validity_fill_pruned, latest_only, rank_versions,
-# replication_diff, semi_prune, consistency_lookup, merge_upsert,
-# merge_composite, ledger_scan, inlist_filter, pricing_summary,
-# pivot_patch, update_explode, union_concat, updates_pipeline,
-# update_validate, spatial_box, cone_search, funnel, windowed_counts,
-# split_assign, pii_redact, doc_fingerprint) — every one re-heads in
-# round 12.
+# Tail contents: the 47 rows green in CORRECTNESS_r11 whose
+# implementation this round does not touch, plus 25 r10-green
+# deferrals chosen for trivially-stable plans (single-scan filters,
+# set ops, simple windows, sampling/packing map passes) — every one
+# of those 25 re-heads in round 13 (they will be two rounds stale,
+# hence ineligible to tail again under the green-last-round rule).
 _VERIFY_TAIL = (
-    # 48 r10-green, implementation untouched this round
+    # 47 r11-green, implementation untouched this round
+    "revenue_by_nation",
+    "asof_attribution",
+    "asof_tolerance",
+    "asof_forward",
+    "topk_per_key",
+    "range_join",
+    "distinct_sketch",
+    "constraint_audit",
+    "constraint_violations",
+    "table_stats",
+    "count_anomalies",
+    "dedup_exact",
+    "dedup_verified",
+    "repetition_ratio",
+    "lm_score",
+    "text_stats",
+    "lang_id",
+    "token_count_bpe",
+    "multimodal_frame_sample",
+    "multimodal_decode",
+    "bpe_encode",
+    "dedup_cdc",
+    "cdc_chunks",
+    "multimodal_resize",
+    "corpus_curate",
+    "curate_incr",
+    "dedup_keep_best",
+    "quality_quantiles",
+    "embedding_quantize",
+    "dsir_weights",
+    "corpus_cube",
+    "ann_recall",
+    "embedding_covariance",
+    "embedding_whiten",
+    "url_block_filter",
+    "semdedup_flat",
+    "semdedup",
+    "tfidf_keywords",
+    "sample_exact_k",
+    "weighted_sample",
+    "dedup_edit",
+    "hybrid_search",
+    "perplexity_buckets",
+    "leak_safe_split",
+    "corpus_drift",
+    "knn_label_noise",
+    "embedding_outliers",
+    # 25 r10-green lowest-risk deferrals (re-head round 13)
     "existence_probe",
     "notin_filter",
     "contiguous_run",
@@ -1092,66 +1131,18 @@ _VERIFY_TAIL = (
     "rollup_revenue",
     "except_ids",
     "intersect_ids",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "quality_classifier",
-    "dedup_index_probe",
-    "dedup_incr_prefix",
-    "dedup_recall",
-    "dedup_simhash",
-    "dedup_embedding",
-    "embedding_recall",
-    "dedup_embedding_banded",
-    "ann_topk_bruteforce",
-    "ann_topk_multiprobe",
-    "ann_topk_ivf",
     "stratified_sample",
-    "bpe_merges_batched",
-    "bpe_merges",
     "doc_chunks",
     "shard_pack",
-    "ann_topk_pq",
-    "ann_topk_kmeans",
-    "decontaminate",
     "gopher_quality",
     "top_ngrams",
     "dup_spans",
     "sequence_pack",
     "url_dedup",
     "text_clean",
-    "source_overlap",
-    "dedup_span_removal",
     "mixture_sample",
     "dedup_paragraphs",
-    "ann_index_persisted",
-    "ann_index_pq",
     "bigram_lm_score",
-    # 24 r9-green lowest-risk deferrals (re-head round 12)
-    "validity_fill",
-    "validity_fill_pruned",
-    "latest_only",
-    "rank_versions",
-    "replication_diff",
-    "semi_prune",
-    "consistency_lookup",
-    "merge_upsert",
-    "merge_composite",
-    "ledger_scan",
-    "inlist_filter",
-    "pricing_summary",
-    "pivot_patch",
-    "update_explode",
-    "union_concat",
-    "updates_pipeline",
-    "update_validate",
-    "spatial_box",
-    "cone_search",
-    "funnel",
-    "windowed_counts",
-    "split_assign",
-    "pii_redact",
-    "doc_fingerprint",
 )
 
 
