@@ -15,19 +15,25 @@ PYTEST ?= python -m pytest
 SHELL := /bin/bash
 .SHELLFLAGS := -o pipefail -c
 
-.PHONY: check selfcheck selfcheck-tail test bench-smoke bench scale-smoke
+.PHONY: check selfcheck selfcheck-bench selfcheck-tail test bench-smoke bench scale-smoke
 
-check: selfcheck selfcheck-tail test bench-smoke scale-smoke
+check: selfcheck selfcheck-bench test bench-smoke scale-smoke
 
 selfcheck:
 	python tools/selfcheck.py $(SF_SMALL)
 
-# The rotation tail at the DRIVER's scale: queries outside this
-# round's external window get their oracle compare at sf0.1 here — a
-# corpus-derived threshold (auto_bands & co) that only crosses at
-# sf0.1 would otherwise regress with no net under it until the
-# query's external round comes back around.  Head queries skip this
-# leg (the driver itself runs them at sf0.1 every round).
+# The FULL registry at the DRIVER's scale (promoted from tail-only in
+# round 12): a corpus-derived threshold (auto_bands & co) that only
+# crosses at sf0.1 would otherwise regress with no net under it until
+# the query's external round comes back around — and a HEAD query
+# with a scale-dependent bug previously had no sf0.1 net between the
+# commit and the driver's own run.  Wall-clock cost is dominated by
+# the DuckDB side replaying the quadratic-SQL oracles (timed in
+# BASELINE.md, "Gate cost"); the tail-only leg remains for quick
+# iteration.
+selfcheck-bench:
+	python tools/selfcheck.py $(SF_BENCH)
+
 selfcheck-tail:
 	python tools/selfcheck.py $(SF_BENCH) --tail
 

@@ -3795,7 +3795,15 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read_spread(spark, sf_dir, "documents")
-    emb = _read_spread(spark, sf_dir, "embeddings")
+    # Both embedding audits (kNN label noise, centroid outliers)
+    # consume the same (vec_id, label, v) relation; a lazy checkpoint
+    # materializes the scan once for the pair (the
+    # jaccard_prefix_pairs shared-scan pattern).  At 100 TB this is a
+    # judgment call — the checkpoint is corpus-sized — but both
+    # consumers run inside the ONE quarantine materialization, so the
+    # write is paid once and read twice immediately, never persisted
+    # across stages.
+    emb = _read_spread(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     n_emb = table_rows_meta(sf_dir, "embeddings")
 
     rules = [
@@ -3821,6 +3829,12 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell_rank") == 1)
         .select(F.col("vec_id").alias("doc_id"), F.lit("outlier").alias("reason"))
     )
+    # The quarantine relation feeds TWO consumers — the broadcast
+    # anti-join under the curation chain AND the 'quarantined' side of
+    # the final union.  Without a checkpoint the whole audit subtree
+    # (kNN cell exchange, Lloyd assignment, constraint scan) re-runs
+    # once per consumer; the checkpoint is audit-sized (flagged ids
+    # only), so it stays O(flagged) at any corpus scale.
     quar = (
         viol.unionByName(noise)
         .unionByName(outl)
@@ -3828,6 +3842,7 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("reason"))).alias("reason")
         )
+        .localCheckpoint(eager=False)
     )
     clean = docs.join(F.broadcast(quar.select("doc_id")), "doc_id", "left_anti")
     quality = clean.withColumn(

@@ -177,21 +177,27 @@ def column_histograms(
        ``floor((v-min)/(max-min)*coarse)`` — monotone affine, routing
        only; min/max from ``ranges`` (parquet footer statistics:
        zero jobs) or a scan for whatever ``ranges`` is missing.
-    2. TWO-PHASE CUMSUM, no global or per-column single partition:
-       per-cell ordered windows (parallel, cell-sized) + one tiny
-       window over the <= k*coarse per-cell totals for the offsets;
-       global ``cum = offset + cum_in``; cut i = ``min(v | cum >=
-       p_i * n)``.  p*n is exact in doubles (p dyadic, n < 2^49), so
-       the >= never flips.  Spark's own ``percentile_disc`` buffers
-       the full column once PER percentile instance (7 cuts = 7
-       column copies through the shuffle; measured 12-18s at sf0.1
-       over 4 columns); a naive per-value cumsum put an all-distinct
+    2. MERGED CUMSUM-ASSIGNMENT, one pass, no global or per-column
+       single partition, cut values never materialized (round 12):
+       one tiny window over the <= k*coarse per-cell totals derives
+       each cell's offset, then a single per-cell ordered cumsum
+       window over the count relation assigns buckets DIRECTLY via
+       ``bucket(v) = #cuts < v = #{i : cum_before(v) >= p_i * n}``
+       (``cut_i < v`` exactly when v's exclusive cumulative already
+       reached ``p_i * n`` — PERCENTILE_DISC picks the smallest value
+       whose inclusive cumulative reaches it).  p*n is exact in
+       doubles (p dyadic, n < 2^49), so the >= never flips; the
+       earlier shape (locate cut values, broadcast, compare) paid two
+       extra passes over the count relation for bitwise-identical
+       buckets.  Spark's own ``percentile_disc`` buffers the full
+       column once PER percentile instance (7 cuts = 7 column copies
+       through the shuffle; measured 12-18s at sf0.1 over 4
+       columns); a naive per-value cumsum put an all-distinct
        column's whole NDV in ONE window task.
-    3. bucket assignment ALSO rides the count relation (never a
-       second corpus scan): explicit comparison SUM against the
-       broadcast cut arrays (``(v > cuts[i])::int`` — codegen; an
-       ``array_filter`` lambda is interpreted and measured 3x
-       slower), then ``(lo, hi, sum cnt)`` per bucket.
+    3. per-bucket ``(lo, hi, sum cnt)`` folds the same relation —
+       never a second corpus scan.  The comparison SUM is codegen
+       (``(cum >= p*n)::int``; an ``array_filter`` lambda is
+       interpreted and measured 3x slower).
 
     ``approx=True`` (the 100-TB default) replaces it all with one
     grouped ``approx_percentile`` (Greenwald-Khanna summaries,
@@ -269,37 +275,40 @@ def column_histograms(
             F.coalesce(F.sum("__ct").over(w_off), F.lit(0)).alias("__off"),
             F.sum("__ct").over(Window.partitionBy("col")).alias("__n"),
         )
+        # Merged cut-location + bucket assignment, ONE pass over the
+        # count relation: cut values are never materialized, because
+        # ``bucket(v) = #cuts < v`` and ``cut_i < v  <=>
+        # cum_before(v) >= p_i * n`` (cut_i is the SMALLEST value
+        # whose inclusive cumulative reaches p_i*n, so a strictly
+        # smaller value exists below v exactly when v's EXCLUSIVE
+        # cumulative already reached it) — so the per-cell ordered
+        # cumsum feeds the bucket sum directly.  Values are distinct
+        # within a cell after the groupBy, so the exclusive cumsum is
+        # ``cum_incl - cnt`` with no tie hazard; global ``cum_before
+        # = off + cum_in - cnt`` via the broadcast cell offsets.
+        # p*n is exact in doubles (p dyadic, n < 2^49), so the >=
+        # never flips — identical bucket boundaries to materializing
+        # PERCENTILE_DISC cuts and comparing (the previous two extra
+        # passes: one to locate cuts, one to compare against them).
         w_in = (
             Window.partitionBy("col", "__cb")
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cum = (
-            vc.withColumn("__cum_in", F.sum("__cnt").over(w_in))
-            .join(F.broadcast(offs), ["col", "__cb"])
-            .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
+        cum_before = (
+            F.col("__off") + F.sum("__cnt").over(w_in) - F.col("__cnt")
         )
-        cuts = (
-            cum.groupBy("col")
-            .agg(
-                *[
-                    F.min(
-                        F.when(
-                            F.col("__cum") >= F.lit(p) * F.col("__n"),
-                            F.col("__v"),
-                        )
-                    ).alias(f"__p{i}")
-                    for i, p in enumerate(ps)
-                ]
-            )
-            .select(
-                "col",
-                F.array(*[F.col(f"__p{i}") for i in range(len(ps))]).alias(
-                    "cuts"
-                ),
-            )
+        exact_bucket = reduce(
+            Column.__add__,
+            [
+                (cum_before >= F.lit(p) * F.col("__n")).cast("int")
+                for p in ps
+            ],
         )
-        counted = vc.select("col", "__v", "__cnt")
+        assigned = vc.join(F.broadcast(offs), ["col", "__cb"]).select(
+            "col", "__v", "__cnt", exact_bucket.alias("bucket")
+        )
+        return _fold_buckets(assigned)
 
     v = F.col("__v")
     bucket = reduce(
@@ -312,6 +321,11 @@ def column_histograms(
     assigned = counted.join(F.broadcast(cuts), "col").select(
         "col", "__v", "__cnt", bucket.alias("bucket")
     )
+    return _fold_buckets(assigned)
+
+
+def _fold_buckets(assigned: DataFrame) -> DataFrame:
+    """(col, __v, __cnt, bucket) -> per-bucket (lo, hi, n_rows)."""
     return (
         assigned.groupBy("col", "bucket")
         .agg(

@@ -115,6 +115,10 @@ QUERIES = [
     "table_stats_approx",
     "audit_quarantine_curate",
     "column_histograms",
+    # round 12: the GK approx-percentile lane pinned as the benched
+    # 100-TB default for histograms (no oracle row — GK summaries
+    # differ by engine; pytest- and scale-gated instead)
+    "column_histograms_approx",
     "count_anomalies",
     "topk_per_key",
     "rank_versions",
@@ -255,6 +259,15 @@ def main() -> None:
             "l_orderkey", "l_partkey", "l_suppkey",
             "l_linenumber", "l_returnflag", "l_linestatus",
         ],
+        approx=True,
+    )
+    from dax_ppdb_spark.driver_queries import _HIST_BUCKETS, _HIST_COLS
+    from dax_ppdb_spark.ops.stats import column_histograms as _chist
+
+    registry["column_histograms_approx"] = lambda sp, d: _chist(
+        sp.read.parquet(f"{d}/lineitem.parquet"),
+        columns=list(_HIST_COLS),
+        buckets=_HIST_BUCKETS,
         approx=True,
     )
 
