@@ -1052,24 +1052,26 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # debt the round-11 verdict ranked #1.  Also heading: the queries
 # whose implementation round 12 touches (column_histograms —
 # exact-lane pass-count shave; audit_quarantine_curate — shared-scan
-# shave; dedup_clusters — ops/graph.py LOCAL_* threshold pinned by a
-# measured sweep), and 23 of the 48 r10-green rows chosen risk-first:
+# shave; dedup_clusters, dedup_keep_best, leak_safe_split — the
+# shared _clusters definition rides ops/graph.py's local_threshold,
+# re-pinned 100k -> 1M by a measured sweep), and 21 of the 48
+# r10-green rows chosen risk-first:
 # every row the round-11 bench-regression adjudication names
 # (dedup_jaccard_prefix, bpe_merges + its bpe_merges_batched
 # impl-twin, ann_topk_pq, dedup_embedding, dedup_embedding_banded,
 # quality_classifier, ann_index_persisted, ann_index_pq) plus the
 # heaviest multi-stage plans (the MinHash/prefix/simhash dedup
 # family, the ANN per-call lanes, decontaminate, source_overlap,
-# dedup_span_removal, embedding_recall, dedup_recall).
+# dedup_span_removal, embedding_recall).
 #
-# Tail contents: the 47 rows green in CORRECTNESS_r11 whose
-# implementation this round does not touch, plus 25 r10-green
+# Tail contents: the 45 rows green in CORRECTNESS_r11 whose
+# implementation this round does not touch, plus 27 r10-green
 # deferrals chosen for trivially-stable plans (single-scan filters,
 # set ops, simple windows, sampling/packing map passes) — every one
-# of those 25 re-heads in round 13 (they will be two rounds stale,
+# of those 27 re-heads in round 13 (they will be two rounds stale,
 # hence ineligible to tail again under the green-last-round rule).
 _VERIFY_TAIL = (
-    # 47 r11-green, implementation untouched this round
+    # 45 r11-green, implementation untouched this round
     "revenue_by_nation",
     "asof_attribution",
     "asof_tolerance",
@@ -1096,7 +1098,6 @@ _VERIFY_TAIL = (
     "multimodal_resize",
     "corpus_curate",
     "curate_incr",
-    "dedup_keep_best",
     "quality_quantiles",
     "embedding_quantize",
     "dsir_weights",
@@ -1113,11 +1114,12 @@ _VERIFY_TAIL = (
     "dedup_edit",
     "hybrid_search",
     "perplexity_buckets",
-    "leak_safe_split",
     "corpus_drift",
     "knn_label_noise",
     "embedding_outliers",
-    # 25 r10-green lowest-risk deferrals (re-head round 13)
+    # 27 r10-green lowest-risk deferrals (re-head round 13)
+    "dedup_recall",
+    "source_overlap",
     "existence_probe",
     "notin_filter",
     "contiguous_run",

@@ -168,7 +168,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
-    local_threshold: int = 100_000,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``edges``.
 
@@ -182,6 +182,13 @@ def connected_components(
     at or below ``local_threshold`` edges, a single-task union-find
     (:func:`_local_components`, one job); above it, the
     large-star/small-star rounds.  Both produce identical output.
+    The 1M default is pinned by a measured sweep
+    (tools/graph_bench.py, BASELINE.md "connected_components
+    local-vs-star sweep"): local wins 4-10x up to 1M edges and the
+    time crossover extrapolates to ~8-10M, but a 1M-edge task's
+    union-find dict is already ~200-400 MB of Python heap, so the
+    pin leaves memory headroom on ordinary executors rather than
+    chasing the last measured factor.
 
     Deterministic: output depends only on the edge *set*.  Raises if
     the star rounds have not converged after ``max_iterations`` (at
