@@ -96,3 +96,127 @@ def test_full_range_int64_with_nulls_exact(spark, tmp_path):
     (path,) = [os.path.join(out, f) for f in os.listdir(out)]
     rows = sorted(read_pg_copy(path, df.schema))
     assert rows == [(1, big), (2, None), (3, -(1 << 62) - 7)]
+
+
+# ---------------------------------------------------------------------------
+# Live-Postgres integration: the exported part files must ingest through a
+# REAL `COPY ... FROM STDIN WITH (FORMAT binary)` — the wire goldens above
+# pin the bytes, this pins the contract with the actual consumer.  Gated:
+# skipped wherever the postgres server binaries aren't installed.  The
+# server runs as `nobody` (initdb refuses root) on a private unix socket
+# under tmp_path_factory — no TCP, no shared state, torn down after.
+# ---------------------------------------------------------------------------
+
+import glob
+import shutil
+import subprocess
+
+import pytest
+
+
+def _have_live_pg() -> bool:
+    return all(
+        shutil.which(b) for b in ("initdb", "pg_ctl", "postgres", "psql")
+    ) and (os.geteuid() != 0 or shutil.which("setpriv"))
+
+
+def _as_pg_user(cmd: list[str]) -> list[str]:
+    if os.geteuid() == 0:
+        return [
+            "setpriv", "--reuid=nobody", "--regid=nogroup", "--clear-groups",
+        ] + cmd
+    return cmd
+
+
+@pytest.fixture(scope="module")
+def live_pg(tmp_path_factory):
+    if not _have_live_pg():
+        pytest.skip("postgres server binaries not available")
+    # NOT tmp_path_factory: its parents are 0700, unreachable for the
+    # `nobody` uid the server must run as.  A world-writable mkdtemp
+    # directly under /tmp keeps the whole path traversable; cwd="/"
+    # likewise (the server user cannot read the test runner's cwd).
+    import tempfile
+
+    base_s = tempfile.mkdtemp(prefix="dax_ppdb_livepg_")
+    os.chmod(base_s, 0o777)
+    dd, sock = os.path.join(base_s, "dd"), os.path.join(base_s, "sock")
+    os.makedirs(sock)
+    os.chmod(sock, 0o777)
+    r = subprocess.run(
+        _as_pg_user([
+            shutil.which("initdb"), "-D", dd, "-U", "postgres",
+            "--no-sync", "-A", "trust",
+        ]),
+        capture_output=True, text=True, cwd="/",
+    )
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+    subprocess.run(
+        _as_pg_user([
+            shutil.which("pg_ctl"), "-D", dd, "-l", os.path.join(base_s, "log"),
+            "-o", f"-k {sock} -c listen_addresses=''", "-w", "start",
+        ]),
+        check=True, capture_output=True, cwd="/",
+    )
+    psql = [
+        shutil.which("psql"), "-h", sock, "-U", "postgres", "-d", "postgres",
+        "-v", "ON_ERROR_STOP=1",
+    ]
+    try:
+        yield psql
+    finally:
+        subprocess.run(
+            _as_pg_user([shutil.which("pg_ctl"), "-D", dd, "-m", "immediate", "stop"]),
+            capture_output=True, cwd="/",
+        )
+        shutil.rmtree(base_s, ignore_errors=True)
+
+
+def test_live_copy_binary_roundtrip(spark, tmp_path, live_pg):
+    """Every part file COPYies into a real server and every value —
+    NULLs, unicode, epoch-2000 timestamps, full-range int64 — reads
+    back exactly."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 3.5, True, big, "2024-03-01 12:30:45.123456"),
+            (2, None, -0.25, False, -(1 << 62) - 7, None),
+            (3, "βψ", None, None, None, "1969-12-31 23:59:59.000001"),
+        ],
+        "id INT, s STRING, d DOUBLE, b BOOLEAN, v LONG, ts_str STRING",
+    ).select(
+        "id", "s", "d", "b", "v",
+        F.to_timestamp("ts_str").alias("ts"),
+    )
+    out = str(tmp_path / "parts")
+    n_files = write_pg_copy(df.repartition(2), out)
+    assert n_files >= 1
+    subprocess.run(
+        live_pg + ["-c",
+            "DROP TABLE IF EXISTS t_live;"
+            "CREATE TABLE t_live (id INT, s TEXT, d DOUBLE PRECISION,"
+            " b BOOLEAN, v BIGINT, ts TIMESTAMP);"],
+        check=True, capture_output=True,
+    )
+    for f in sorted(glob.glob(os.path.join(out, "*.pgcopy"))):
+        with open(f, "rb") as fh:
+            subprocess.run(
+                live_pg + ["-c", "COPY t_live FROM STDIN WITH (FORMAT binary)"],
+                stdin=fh, check=True, capture_output=True,
+            )
+    r = subprocess.run(
+        live_pg + ["-At", "-c",
+            "SET TimeZone='UTC';"
+            "SELECT id, coalesce(s,'<N>'), coalesce(d::text,'<N>'),"
+            " coalesce(b::text,'<N>'), coalesce(v::text,'<N>'),"
+            " coalesce(to_char(ts,'YYYY-MM-DD HH24:MI:SS.US'),'<N>')"
+            " FROM t_live ORDER BY id"],
+        capture_output=True, text=True, check=True,
+    )
+    assert r.stdout.splitlines() == [
+        "SET",  # psql's command tag for the SET TimeZone
+        f"1|alpha|3.5|true|{big}|2024-03-01 12:30:45.123456",
+        f"2|<N>|-0.25|false|{-(1 << 62) - 7}|<N>",
+        "3|βψ|<N>|<N>|<N>|1969-12-31 23:59:59.000001",
+    ]
