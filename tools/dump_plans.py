@@ -253,13 +253,15 @@ ANNOTATED = {
     "column_histograms": (
         "Equi-height histograms: one explode-unpivot scan (codegen;"
         " stack is interpreted) groups to a checkpointed per-(column,"
-        " coarse-cell, value) count relation; cut derivation is a"
-        " two-phase cumsum (cell-partitioned windows + a model-sized"
-        " offset window — never a per-column single partition, never"
-        " Spark's per-instance-buffering percentile_disc), and bucket"
-        " assignment rides the SAME relation via a codegen comparison"
-        " sum. The returned plan reads only the checkpoint — zero"
-        " parquet re-scans (plan-pinned)."
+        " coarse-cell, value) count relation; cut values are never"
+        " materialized — bucket(v) = #{i: cum_before(v) >= p_i*n}, so"
+        " ONE cell-partitioned cumsum window (plus a model-sized"
+        " offset window over the per-cell totals, broadcast back)"
+        " assigns buckets directly via a codegen comparison sum —"
+        " never a per-column single partition, never Spark's"
+        " per-instance-buffering percentile_disc. The returned plan"
+        " reads only the checkpoint — zero parquet re-scans"
+        " (plan-pinned)."
     ),
     "count_anomalies": (
         "Volume-anomaly monitor: one map-side-combined groupBy"
