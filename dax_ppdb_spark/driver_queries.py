@@ -1061,8 +1061,10 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # impl-twin, ann_topk_pq, dedup_embedding, dedup_embedding_banded,
 # quality_classifier, ann_index_persisted, ann_index_pq) plus the
 # heaviest multi-stage plans (the MinHash/prefix/simhash dedup
-# family, the ANN per-call lanes, decontaminate, source_overlap,
-# dedup_span_removal, embedding_recall).
+# family, the ANN per-call lanes, decontaminate, dedup_span_removal,
+# embedding_recall; dedup_recall and source_overlap ceded their head
+# slots to the two _clusters-touched re-heads above and defer with
+# the r10 tail group).
 #
 # Tail contents: the 45 rows green in CORRECTNESS_r11 whose
 # implementation this round does not touch, plus 27 r10-green
