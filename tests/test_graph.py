@@ -128,3 +128,61 @@ def test_interleaved_cc_calls_leave_session_conf_untouched(spark):
         if t.name.startswith("cc_state_")
     ]
     assert leftovers == []
+
+
+# --- property: both strategies equal a reference union-find on random
+# graphs (round 12 — the local_threshold re-pin to 1M makes path
+# equivalence THE invariant: whichever side of the threshold a corpus
+# lands on, the component map must be identical) -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=24),
+    st.integers(min_value=0, max_value=24),
+)
+
+
+def _ref_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent if any(a != b for a, b in edges if n in (a, b))}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_both_paths_match_reference_union_find(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    expect = _ref_components(edges)
+    got_local = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=1 << 40).collect()
+    }
+    got_star = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got_local == expect
+    assert got_star == expect
