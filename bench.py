@@ -191,7 +191,11 @@ def main() -> None:
     # smoke numbers — the round-11 "BENCH_DETAIL.json sits modified"
     # finding.  Non-default scales write a suffixed, gitignored-in-
     # spirit sidecar instead.
-    default_detail = os.path.isdir("/root/testdata/sf0.1") and sf == 0.1
+    # Identity check on the directory, not the regex-parsed sf: a copy
+    # of the corpus used for a two-checkout noise control (e.g.
+    # /tmp/ctl/sf0.1) parses as sf==0.1 but is NOT the driver corpus
+    # and must not overwrite the committed evidence file.
+    default_detail = os.path.realpath(sf_dir) == "/root/testdata/sf0.1"
     detail_name = (
         "BENCH_DETAIL.json" if default_detail else f"BENCH_DETAIL_sf{sf}.json"
     )

@@ -174,7 +174,11 @@ def main() -> int:
             )
             continue
         try:
-            odf = _canon(oracle_futs[name].result())
+            # pop(): the single DuckDB worker usually outruns Spark, so
+            # holding every finished result frame in the dict would grow
+            # peak memory toward the sum of all oracle outputs; dropping
+            # the future after its compare keeps it one-at-a-time.
+            odf = _canon(oracle_futs.pop(name).result())
         except Exception as e:
             print(f"FAIL  {name}: duckdb/canon error: {e!r}")
             failures += 1
