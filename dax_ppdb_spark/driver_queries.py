@@ -100,9 +100,24 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``unix_micros`` (session tz is UTC, session.py), raw-ns
     longs keep the ``DIV 1000`` path.  Both match DuckDB's
     ``epoch_us(ts)`` oracle expression.
+
+    ``nanosAsLong`` is a session conf with no per-read option, so a
+    legacy TIMESTAMP(NANOS) corpus is read under a cloned session
+    (``newSession()`` — shared SparkContext, isolated SQLConf) instead
+    of mutating the caller's conf: concurrent ``queries()`` callers on
+    one session must never observe the flag flip.  The common
+    timestamp[us] path touches no conf at all; the nanos case is
+    detected by the footer-schema error Spark itself raises.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy corpus: TIMESTAMP(NANOS) fails schema conversion
+        # ("Illegal Parquet type") unless nanosAsLong is on.  Scope it.
+        nanos = spark.newSession()
+        nanos.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = nanos.read.parquet(path)
     ts_type = dict(df.dtypes)["ts"]
     if ts_type.startswith("timestamp"):
         ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1001,10 +1016,15 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .streaming import windowed_event_counts
 
-    # Window alignment is session-timezone-relative; pin UTC so the
-    # buckets are epoch-aligned like the oracle's integer division.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    events = _read_events(spark, sf_dir).withColumn(
+    # Window alignment is session-timezone-relative; the plan is built
+    # (and therefore analyzed — the window's timeZoneId is baked in at
+    # analysis) under a UTC-pinned CLONE of the session so the buckets
+    # are epoch-aligned like the oracle's integer division WITHOUT
+    # mutating the caller's conf, which concurrent queries() callers
+    # would race on.
+    utc = spark.newSession()
+    utc.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read_events(utc, sf_dir).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     )
     out = windowed_event_counts(events, ts_col="ts", window_duration="10 minutes")

@@ -480,6 +480,7 @@ def embedding_outlier_ranks(
     sample_mod: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Intra-cluster outlier scoring — the pruning complement of
     SemDeDup: where :func:`semdedup_pairs` drops the redundant CENTER
@@ -505,14 +506,24 @@ def embedding_outlier_ranks(
     grows).  Fully deterministic: sampled Lloyd init/tie-breaks are
     the replayable :func:`~.similarity.kmeans_centroids` rules, so
     the DuckDB oracle chains the identical training.
+
+    ``centroids`` supplies a pre-trained quantizer (e.g. a persisted
+    :func:`~.similarity.ensure_centroid_model` generation) and skips
+    the training entirely; training is deterministic, so a persisted
+    model is bit-identical to training in place.
     """
     from pyspark.sql import Window
 
     from .similarity import assign_cells, kmeans_centroids
 
-    if n_clusters is None:
-        n_clusters = auto_semdedup_clusters(emb.count())
-    cents = kmeans_centroids(emb, n_clusters, iters, vec_col, id_col, sample_mod)
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_clusters is None:
+            n_clusters = auto_semdedup_clusters(emb.count())
+        cents = kmeans_centroids(
+            emb, n_clusters, iters, vec_col, id_col, sample_mod
+        )
     assigned = assign_cells(
         emb.select(
             F.col(id_col).alias("vec_id"),

@@ -1360,6 +1360,85 @@ def ensure_ivf_sq8_index(
     )
 
 
+def ensure_centroid_model(
+    corpus: DataFrame,
+    model_root: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Train-once/reuse-many coarse quantizer WITHOUT a per-vector
+    payload: the :func:`_ensure_index` fingerprint gate over bare
+    :func:`kmeans_centroids`, returning the model.
+
+    The persisted ANN tiers (:func:`ensure_ivf_sq8_index`,
+    :func:`ensure_ivf_pq_index`) store the quantizer alongside a
+    corpus-sized code table because probes read the codes.  The audit
+    consumers (:func:`..embeddings.embedding_outlier_ranks` under the
+    ``audit_quarantine_curate`` capstone) need only the CENTROIDS —
+    assignment happens inline against the live corpus — so persisting
+    codes would be pure write amplification.  This tier commits just
+    the model-sized centroid relation (rows AND the standard
+    ``_centroids`` sidecar, so :func:`_load_index_centroids` and
+    :data:`_CENTROID_CACHE` serve warm calls with zero Spark jobs)
+    under the usual ``_build_meta`` fingerprint; the warm path costs
+    one :func:`corpus_fingerprint` aggregate instead of the full
+    sampled-Lloyd training, and a changed corpus retrains exactly as
+    the serving contract requires.  Training is deterministic
+    (:func:`kmeans_centroids`), so a cold build, a warm load, and an
+    oracle replaying the training from SQL all yield bit-identical
+    centroids."""
+    params = {
+        "kind": "centroid_model",
+        "n_clusters": int(n_clusters),
+        "iters": int(iters),
+        "sample_mod": -1 if sample_mod is None else int(sample_mod),
+    }
+
+    def _build(meta: dict) -> None:
+        import pyarrow as pa
+
+        cents = kmeans_centroids(
+            corpus, n_clusters, iters, vec_col, id_col, sample_mod
+        )
+        if not cents:
+            raise ValueError(
+                "ensure_centroid_model: corpus (or its sample_mod "
+                "sample) is empty — nothing to train the quantizer on"
+            )
+        rows = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cid INT, centroid array<double>",
+        ).coalesce(1)
+        cdf = pa.table(
+            {
+                "cid": pa.array(range(len(cents)), type=pa.int32()),
+                "centroid": pa.array(
+                    [[float(x) for x in c] for c in cents],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        tbl = _ivf_index_table(model_root)
+        tbl.overwrite(
+            rows,
+            sidecars={
+                _CENTROIDS_SIDECAR: cdf,
+                _BUILD_META_SIDECAR: pa.table(
+                    {k: [v] for k, v in meta.items()}
+                ),
+            },
+        )
+        ver = tbl.current_version()
+        if ver is not None:
+            _CENTROID_CACHE[model_root] = (ver, [list(c) for c in cents])
+
+    _ensure_index(corpus, model_root, vec_col, id_col, params, _build)
+    return _load_index_centroids(corpus.sparkSession, model_root)
+
+
 def build_ivf_sq8_index(
     corpus: DataFrame,
     index_root: str,
