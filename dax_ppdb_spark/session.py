@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame debugging decorates EVERY classic-mode
+        # DataFrame/Column op with a call-site capture: a conf.get
+        # roundtrip, a Python stack walk, and a JVM origin set/clear
+        # PER OPERATION.  Plan-construction-heavy queries (the audit
+        # capstone builds ~3.5k py4j roundtrips) spend multiple
+        # seconds in it — measured ~35% of the capstone's driver-side
+        # build time.  The payoff (user-code line numbers inside JVM
+        # error messages) isn't worth 4x the roundtrips on a
+        # production driver; stack traces still point at the failing
+        # Python call either way.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # keep catalog artifacts (saveAsTable warehouses) out of the cwd
         .config(
             "spark.sql.warehouse.dir",
