@@ -1264,6 +1264,96 @@ def duplicated_span_stats(
     )
 
 
+def duplicate_substring_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dup: bool = True,
+) -> DataFrame:
+    """Exact duplicate-substring spans — the suffix-array-class dedup
+    pass of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", the ExactSubstr dedup), distributed as
+    sorted gram-fingerprint ranges instead of one machine-wide suffix
+    array: a substring of length >= ``min_len`` that occurs >=
+    ``min_count`` times in the corpus contains a duplicated
+    ``min_len``-char window at EVERY offset, so marking duplicated
+    fixed-length windows and merging consecutive marks recovers each
+    document's maximal duplicated spans of ANY length >= ``min_len``
+    (the exact span set ExactSubstr's suffix array removes; a merged
+    span's parts may match different partners, exactly as there).
+
+    Differences from :func:`duplicated_span_stats` (the token-n-gram
+    STATS pass): character-level windows (substring dedup is defined
+    over bytes, not token boundaries), occurrence counting instead of
+    distinct-doc df (a document repeating its own 30-char run is
+    duplication — ExactSubstr counts suffix multiplicity, not document
+    sets), and the output is the SPANS themselves — ``(doc_id,
+    span_start 1-based, span_len)`` per maximal run — i.e. removal
+    input, not a per-doc score.
+
+    Scale shape (the ``dup_spans`` df-bounded discipline): the
+    window fingerprints (60-bit ``md5_wide_long`` — hash equality
+    stands in for value equality here, so 32 bits would falsely merge
+    grams at corpus scale) are computed in ONE map pass per doc as an
+    array; the occurrence count groupBy exchanges 8-byte keys once;
+    the qualifying (duplicated) gram set — bounded by the corpus's
+    duplicate mass, not its size — broadcasts back onto the position
+    explode, so the wide (doc, pos) relation never shuffles and
+    singleton grams die at a map-side hash probe.  The island merge
+    (``pos - row_number()`` gap-and-islands) windows over duplicated
+    positions only.  Pass ``broadcast_dup=False`` when the duplicated
+    gram table exceeds the broadcast budget.  Reference semantics:
+    Lee et al. 2022 §4.1 (ExactSubstr); 50-token spans there, char
+    windows here — the testdata documents are ~500 chars.
+    """
+    from pyspark.sql import Window
+
+    from .text import md5_wide_long
+
+    txt = F.col(text_col)
+    # i ranges over 1..len-min_len+1 (1-based substring offsets); a
+    # guarded when() keeps sequence() from generating DESCENDING
+    # sequences for short docs (sequence(1, 0) is [1, 0], not empty).
+    ga = F.when(
+        F.length(txt) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - F.lit(min_len - 1)),
+            lambda i: md5_wide_long(F.substring(txt, i, min_len)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    rel = docs.select(
+        F.col(id_col).alias("doc_id"), ga.alias("ga")
+    ).localCheckpoint(eager=False)
+    g = rel.select(
+        "doc_id", F.posexplode(F.col("ga")).alias("pos0", "gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gram")
+    )
+    if broadcast_dup:
+        dup = F.broadcast(dup)
+    dup_pos = g.join(dup, "gram").select(
+        "doc_id", (F.col("pos0") + 1).alias("i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = dup_pos.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(min_len - 1))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
 def edit_verified_pairs(
     docs: DataFrame,
     k: int = 8,

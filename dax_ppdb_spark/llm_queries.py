@@ -2351,6 +2351,52 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(_read_spread(spark, sf_dir, "documents"), n=5)
 
 
+_DUP_SUBSTR_LEN = 30
+
+# Char-window offsets: i in 1..len-L+1, so the exclusive range end is
+# len-L+2; greatest(..., 1) empties the range for sub-L docs.
+_DUP_SUBSTRINGS_SQL = f"""
+WITH g0 AS (
+    SELECT doc_id,
+           unnest(range(1, greatest(length(text) - {_DUP_SUBSTR_LEN - 2}, 1))) AS i,
+           text
+    FROM documents
+),
+g AS (
+    SELECT doc_id, i,
+           {md5_wide_long_sql(f"substr(text, i, {_DUP_SUBSTR_LEN})")} AS gram
+    FROM g0
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+dup_pos AS (SELECT doc_id, i FROM g JOIN dupg USING (gram)),
+runs AS (
+    SELECT doc_id, i,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM dup_pos
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(COUNT(*) + {_DUP_SUBSTR_LEN - 1} AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@register("dup_substrings", _DUP_SUBSTRINGS_SQL)
+def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-class EXACT substring dedup (Lee et al. 2022's
+    ExactSubstr): every maximal character span of length >=
+    {_DUP_SUBSTR_LEN} that occurs at least twice in the corpus
+    (including a document repeating itself), as (doc_id, span_start,
+    span_len) removal input — the operator family the fixed-n-gram
+    ``dup_spans`` stats and CDC chunking approximate, here exact at
+    the window granularity and emitting the spans themselves."""
+    from .llm.dedup import duplicate_substring_spans
+
+    return duplicate_substring_spans(
+        _read_spread(spark, sf_dir, "documents"), min_len=_DUP_SUBSTR_LEN
+    )
+
+
 _DSIR_BUCKETS = 1024
 
 _DSIR_SQL = f"""
@@ -2832,17 +2878,41 @@ def q_url_block_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocked_domains(docs, bl).select("doc_id", "lang")
 
 
+# Corpus size above which `semdedup_flat` routes to the two-level
+# quantizer: the flat lane's N*sqrt(N) assignment law is the worst
+# growth row in the 10x scale study (7.3x), so a naive caller must
+# not get it by default on a large corpus.  Pinned by a measured
+# same-box sweep (tools/semdedup_sweep.py, identical replicated
+# corpora, both lanes per size):
+#   N= 4000  flat  16.0s  two-level 18.0s
+#   N= 8000  flat  32.8s  two-level 35.5s
+#   N=16000  flat 137.8s  two-level 74.3s
+#   N=20000  flat 138.3s  two-level 88.2s
+# Two-level overtakes between 8k and 16k rows; 10k splits the gap
+# with margin before flat's blow-up.  Same exact/approx split shape
+# as column_histograms: small corpora keep the flat lane (simplest,
+# oracle-bit-exact at driver scales), large corpora get the
+# O(N^(4/3)) tier — and the lazily-resolved ORACLE switches on the
+# same row count, so both lanes stay oracle-green.
+SEMDEDUP_FLAT_MAX_ROWS = 10_000
+
+
 def _semdedup_flat_sql() -> str:
     """Lazily-resolved oracle: replay the corpus-scaled cluster count
     (``auto_semdedup_clusters`` of the oracle corpus's row count) and
-    the shared Lloyd CTE chain, then in-cell pairs."""
+    the shared Lloyd CTE chain, then in-cell pairs.  Above
+    :data:`SEMDEDUP_FLAT_MAX_ROWS` this oracle IS the two-level
+    oracle, mirroring the engine-side default-swap."""
     from .driver_queries import oracle_table_rows
     from .llm.embeddings import auto_semdedup_clusters
 
-    k = auto_semdedup_clusters(oracle_table_rows("embeddings"))
+    n = oracle_table_rows("embeddings")
+    if n > SEMDEDUP_FLAT_MAX_ROWS:
+        return _semdedup_sql()
+    k = auto_semdedup_clusters(n)
     return f"""{_kmeans_cte(n_clusters=k, iters=3, sample_mod=2)},
 cell AS (SELECT cid FROM asg GROUP BY cid HAVING COUNT(*) <= 1000)
-SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM asg a
 JOIN asg b USING (cid)
@@ -2859,18 +2929,32 @@ def q_semdedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (k ~ sqrt(N), the flat-quantizer cost optimum) and the
     default-on cell cap.  Training runs on a 1/2 md5-hash sample.
 
-    This is the O(N^1.5) tier — correct and simplest, routed below
-    the two-level variant's corpus sizes; ``semdedup`` is the
-    O(N^(4/3)) production tier."""
-    from .llm.embeddings import auto_semdedup_clusters, semdedup_pairs
+    The flat tier is O(N^1.5); above
+    :data:`SEMDEDUP_FLAT_MAX_ROWS` (measured crossover — see the
+    constant) this query DEFAULT-SWAPS to the two-level O(N^(4/3))
+    quantizer, so the naive caller never rides the N*sqrt(N) law on a
+    large corpus.  Output schema is (vec_a, vec_b, cosine) in both
+    lanes; ``semdedup`` is the always-two-level production tier."""
+    from .llm.embeddings import (
+        auto_semdedup_clusters,
+        auto_semdedup_levels,
+        semdedup_pairs,
+        semdedup_pairs_two_level,
+    )
 
     n = table_rows_meta(sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    if n > SEMDEDUP_FLAT_MAX_ROWS:
+        k1, k2 = auto_semdedup_levels(n)
+        return semdedup_pairs_two_level(
+            emb, k1, k2, threshold=0.3, sample_mod=2
+        )
     return semdedup_pairs(
-        _read_spread(spark, sf_dir, "embeddings"),
+        emb,
         threshold=0.3,
         n_clusters=auto_semdedup_clusters(n),
         sample_mod=2,
-    )
+    ).select("vec_a", "vec_b", "cosine")
 
 
 def _semdedup_sql() -> str:

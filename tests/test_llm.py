@@ -702,6 +702,72 @@ def test_duplicated_span_stats_runs_and_fracs(spark):
     assert out[2].n_dup == 0 and out[2].max_run == 0 and out[2].dup_frac == 0.0
 
 
+def test_duplicate_substring_spans_exactsubstr_semantics(spark):
+    from dax_ppdb_spark.llm.dedup import duplicate_substring_spans
+
+    shared = "0123456789abcdefghij"  # 20 chars, shared across docs 0/1
+    docs = _docs(
+        spark,
+        [
+            shared + "-first-unique-tail-here",
+            "lead-in!" + shared + "+second-unique-ending",
+            # self-repetition inside ONE doc must count (occurrence
+            # multiplicity, not distinct docs — the ExactSubstr rule)
+            "zqxwvutsrqponmlkjihg" * 2 + "@@trailer-no-match@@",
+            "short",  # sub-L doc: no positions, no crash
+        ],
+    )
+    out = duplicate_substring_spans(docs, min_len=10).collect()
+    spans = {(r.doc_id, r.span_start, r.span_len) for r in out}
+    # docs 0/1: every 10-char window inside the 20-char shared run is
+    # duplicated -> ONE maximal span of exactly the shared region
+    assert (0, 1, 20) in spans
+    assert (1, 9, 20) in spans
+    # doc 2: the doubled 20-char run t+t — windows fully inside either
+    # copy occur twice WITHIN the doc (positions 1..11 match 21..31),
+    # but windows STRADDLING the copy boundary (12..20) are unique
+    # (t is aperiodic and the second copy ends at the trailer), so the
+    # two copies surface as two exact 20-char spans, not one 40-char
+    # span — precisely ExactSubstr's answer for a 2x repeat.
+    assert (2, 1, 20) in spans
+    assert (2, 21, 20) in spans
+    assert not any(r.doc_id == 3 for r in out)
+    # maximality is over POSITION islands (runs of duplicated window
+    # offsets): two spans of one doc may abut in char space (doc 2's
+    # copies touch) but their position runs must leave a gap, else the
+    # island merge failed to fuse them
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    for sp in by_doc.values():
+        sp.sort()
+        for (s1, l1), (s2, _) in zip(sp, sp[1:]):
+            run1 = l1 - 10 + 1  # positions s1 .. s1+run1-1
+            assert s1 + run1 < s2, "adjacent position runs not merged"
+
+
+def test_semdedup_flat_default_swaps_to_two_level(spark, monkeypatch):
+    """Above SEMDEDUP_FLAT_MAX_ROWS the flat query must route to the
+    two-level quantizer — bit-identical rows to `semdedup` — and its
+    lazily-resolved oracle must switch to the two-level SQL with it."""
+    import dax_ppdb_spark.llm_queries as lq
+    from dax_ppdb_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(lq, "SEMDEDUP_FLAT_MAX_ROWS", 1)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", sf)
+    qs = driver_queries.all_queries()
+    flat = qs["semdedup_flat"](spark, sf)
+    two = qs["semdedup"](spark, sf)
+    assert flat.columns == two.columns == ["vec_a", "vec_b", "cosine"]
+    assert flat.exceptAll(two).isEmpty() and two.exceptAll(flat).isEmpty()
+    assert lq._semdedup_flat_sql() == lq._semdedup_sql()
+    # below the bound the flat lane (and its flat oracle) stay put
+    monkeypatch.setattr(lq, "SEMDEDUP_FLAT_MAX_ROWS", 10_000)
+    assert qs["semdedup_flat"](spark, sf).columns == ["vec_a", "vec_b", "cosine"]
+    assert lq._semdedup_flat_sql() != lq._semdedup_sql()
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     from dax_ppdb_spark.llm.sampling import dsir_logweights
 

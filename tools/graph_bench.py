@@ -96,7 +96,12 @@ def main() -> None:
             f"| {times['local'] / times['star']:.2f} |",
             flush=True,
         )
-        edges.unpersist()
+        # localCheckpoint blocks are NOT cacheManager entries, so
+        # unpersist() would be a silent no-op; the RDD's own cleanup
+        # releases the checkpoint blocks when the reference drops
+        # (ContextCleaner), and the sweep's handful of generations is
+        # bounded either way.
+        del edges
 
 
 if __name__ == "__main__":

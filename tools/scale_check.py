@@ -70,6 +70,7 @@ QUERIES = [
     "ann_topk_multiprobe",
     "embedding_quantize",
     "dup_spans",
+    "dup_substrings",
     "dsir_weights",
     "semdedup",
     "semdedup_flat",
