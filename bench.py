@@ -89,7 +89,11 @@ HEADLINE = [
     # state machinery (index build/probe/append, versioned commits)
     # that the stateless one-shot oracle doesn't — the composed-chain
     # timing story lives in tools/curation_bench.py, which compares
-    # chain against chain.
+    # chain against chain.  stream_curated is registry-only for the
+    # same reason, amplified: its cold call runs an actual Structured
+    # Streaming drain (file-source listing, checkpoint log, per-batch
+    # sink commits) and its warm call is a sink read — neither is a
+    # like-for-like pairing with the one-shot oracle SQL.
     "gopher_quality",
     "quality_classifier",
     "top_ngrams",
@@ -107,6 +111,7 @@ HEADLINE = [
     "multimodal_decode",
     "embedding_quantize",
     "dup_spans",
+    "dup_substrings",
     "dsir_weights",
     "semdedup",
     "tfidf_keywords",

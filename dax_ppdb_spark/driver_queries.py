@@ -1055,56 +1055,88 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-12 tail (72 = visible registry 122 - head 50).  Rule recap:
-# tail = externally green in the immediately preceding round,
-# implementation untouched this round; overflow (the window is
-# smaller than half the registry, cadence ~2.4 rounds) defers the
-# LOWEST-RISK stale rows, preferring the most recently checked.
+# Round-13 tail (74 = visible registry 124 - head 50).  Rule recap:
+# tail = externally green at its LAST external check (one round back,
+# or — overflow only — two rounds back, after which re-heading is
+# MANDATORY), implementation untouched this round.
 #
-# This round the ENTIRE round-11 promise re-heads: all 24 r9-green
-# deferrals (validity_fill, validity_fill_pruned, latest_only,
-# rank_versions, replication_diff, semi_prune, consistency_lookup,
-# merge_upsert, merge_composite, ledger_scan, inlist_filter,
-# pricing_summary, pivot_patch, update_explode, union_concat,
-# updates_pipeline, update_validate, spatial_box, cone_search,
-# funnel, windowed_counts, split_assign, pii_redact, doc_fingerprint)
-# get fresh external rows, closing the SCD-2/scan/window staleness
-# debt the round-11 verdict ranked #1.  Also heading: the queries
-# whose implementation round 12 touches (column_histograms —
-# exact-lane pass-count shave; audit_quarantine_curate — shared-scan
-# shave; dedup_clusters, dedup_keep_best, leak_safe_split — the
-# shared _clusters definition rides ops/graph.py's local_threshold,
-# re-pinned 100k -> 1M by a measured sweep), and 21 of the 48
-# r10-green rows chosen risk-first:
-# every row the round-11 bench-regression adjudication names
-# (dedup_jaccard_prefix, bpe_merges + its bpe_merges_batched
-# impl-twin, ann_topk_pq, dedup_embedding, dedup_embedding_banded,
-# quality_classifier, ann_index_persisted, ann_index_pq) plus the
-# heaviest multi-stage plans (the MinHash/prefix/simhash dedup
-# family, the ANN per-call lanes, decontaminate, dedup_span_removal,
-# embedding_recall; dedup_recall and source_overlap ceded their head
-# slots to the two _clusters-touched re-heads above and defer with
-# the r10 tail group).
+# The round-12 promise is KEPT IN FULL: all 27 r10-green deferrals
+# (dedup_recall ... bigram_lm_score — two rounds externally stale,
+# ineligible to tail again) re-head this round.  Also heading: every
+# query whose implementation round 13 touches — the _read_events
+# family (the shared reader now scopes the nanosAsLong conf to a
+# cloned session instead of mutating the caller's: latest_only,
+# pivot_patch, update_explode, union_concat, updates_pipeline,
+# update_validate, funnel, retention_cohorts, windowed_counts —
+# which also builds its plan under a UTC-pinned session clone —
+# sessionize, asof_attribution, asof_tolerance, asof_forward,
+# distinct_sketch, count_anomalies), audit_quarantine_curate
+# (persisted ensure-gated quantizer + eager quarantine fold),
+# embedding_outliers (embedding_outlier_ranks grew the pre-trained-
+# centroids parameter), semdedup_flat (default-swaps to the two-level
+# quantizer above the measured SEMDEDUP_FLAT_MAX_ROWS), and the two
+# NEW queries dup_substrings and stream_curated; plus 5 risk-first
+# re-heads from the r11-green group (curate_incr + corpus_curate —
+# the curation chain stream_curated now exercises via streaming;
+# semdedup — its SQL now also serves as semdedup_flat's above-bound
+# oracle; knn_label_noise + weighted_sample — the round-12 boundary
+# bench rows).
 #
-# Tail contents: the 45 rows green in CORRECTNESS_r11 whose
-# implementation this round does not touch, plus 27 r10-green
-# deferrals chosen for trivially-stable plans (single-scan filters,
-# set ops, simple windows, sampling/packing map passes) — every one
-# of those 27 re-heads in round 13 (they will be two rounds stale,
-# hence ineligible to tail again under the green-last-round rule).
+# Tail contents: the 41 rows green in CORRECTNESS_r12 whose
+# implementation this round does not touch, then 33 r11-green
+# overflow deferrals (trivially-stable single-scan/sample/multimodal
+# plans) — every one of those 33 is two rounds externally stale after
+# this round and MUST re-head in round 14.
 _VERIFY_TAIL = (
-    # 45 r11-green, implementation untouched this round
+    # 41 r12-green, implementation untouched this round
+    "validity_fill",
+    "validity_fill_pruned",
+    "rank_versions",
+    "replication_diff",
+    "semi_prune",
+    "consistency_lookup",
+    "merge_upsert",
+    "merge_composite",
+    "ledger_scan",
+    "inlist_filter",
+    "pricing_summary",
+    "spatial_box",
+    "cone_search",
+    "column_histograms",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "quality_classifier",
+    "dedup_index_probe",
+    "dedup_incr_prefix",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_embedding",
+    "embedding_recall",
+    "dedup_embedding_banded",
+    "pii_redact",
+    "doc_fingerprint",
+    "ann_topk_bruteforce",
+    "ann_topk_multiprobe",
+    "ann_topk_ivf",
+    "split_assign",
+    "bpe_merges_batched",
+    "bpe_merges",
+    "ann_topk_pq",
+    "ann_topk_kmeans",
+    "decontaminate",
+    "dedup_keep_best",
+    "dedup_span_removal",
+    "leak_safe_split",
+    "ann_index_persisted",
+    "ann_index_pq",
+    # 33 r11-green lowest-risk deferrals (MUST re-head round 14)
     "revenue_by_nation",
-    "asof_attribution",
-    "asof_tolerance",
-    "asof_forward",
     "topk_per_key",
     "range_join",
-    "distinct_sketch",
     "constraint_audit",
     "constraint_violations",
     "table_stats",
-    "count_anomalies",
     "dedup_exact",
     "dedup_verified",
     "repetition_ratio",
@@ -1118,8 +1150,6 @@ _VERIFY_TAIL = (
     "dedup_cdc",
     "cdc_chunks",
     "multimodal_resize",
-    "corpus_curate",
-    "curate_incr",
     "quality_quantiles",
     "embedding_quantize",
     "dsir_weights",
@@ -1128,45 +1158,12 @@ _VERIFY_TAIL = (
     "embedding_covariance",
     "embedding_whiten",
     "url_block_filter",
-    "semdedup_flat",
-    "semdedup",
     "tfidf_keywords",
     "sample_exact_k",
-    "weighted_sample",
     "dedup_edit",
     "hybrid_search",
     "perplexity_buckets",
     "corpus_drift",
-    "knn_label_noise",
-    "embedding_outliers",
-    # 27 r10-green lowest-risk deferrals (re-head round 13)
-    "dedup_recall",
-    "source_overlap",
-    "existence_probe",
-    "notin_filter",
-    "contiguous_run",
-    "distinct_ids",
-    "cone_search_sorted",
-    "retention_cohorts",
-    "sessionize",
-    "crossmatch",
-    "snapshot_asof",
-    "overlap_violations",
-    "rollup_revenue",
-    "except_ids",
-    "intersect_ids",
-    "stratified_sample",
-    "doc_chunks",
-    "shard_pack",
-    "gopher_quality",
-    "top_ngrams",
-    "dup_spans",
-    "sequence_pack",
-    "url_dedup",
-    "text_clean",
-    "mixture_sample",
-    "dedup_paragraphs",
-    "bigram_lm_score",
 )
 
 

@@ -25,6 +25,7 @@ def stream_chunks(
     schema: StructType,
     checkpoint: str,
     process_batch,
+    max_files_per_trigger: int = 64,
 ) -> None:
     """Process newly landed chunk files exactly once per restart cycle.
 
@@ -32,10 +33,14 @@ def stream_chunks(
     ``Trigger.AvailableNow`` drains everything currently available and
     stops — the driver loop (cron, scheduler) provides the polling
     cadence, exactly like the reference's ``check_interval``.
+    ``max_files_per_trigger`` sets the micro-batch granularity (the
+    file source batches in modification-time order); 1 makes each
+    landed file its own batch — the deterministic-replay shape the
+    batch-twin oracle query uses.
     """
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
     query = (
@@ -126,6 +131,7 @@ def stream_curated(
     checkpoint: str,
     state_root: str,
     sink_path: str,
+    max_files_per_trigger: int = 64,
     **curate_kw,
 ) -> None:
     """Streaming corpus curation: file-source micro-batches through
@@ -158,4 +164,7 @@ def stream_curated(
             .parquet(sink_path)
         )
 
-    stream_chunks(spark, source_path, schema, checkpoint, _process)
+    stream_chunks(
+        spark, source_path, schema, checkpoint, _process,
+        max_files_per_trigger=max_files_per_trigger,
+    )
