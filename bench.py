@@ -112,6 +112,7 @@ HEADLINE = [
     "embedding_quantize",
     "dup_spans",
     "dup_substrings",
+    "substring_span_removal",
     "dsir_weights",
     "semdedup",
     "tfidf_keywords",

@@ -1354,6 +1354,91 @@ def duplicate_substring_spans(
     )
 
 
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    min_len: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dup: bool = True,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL — the transformation
+    :func:`duplicate_substring_spans` exists to drive: rebuild each
+    document with every CHARACTER covered by a corpus-duplicated
+    ``min_len``-char window dropped (Lee et al. 2022 cut the span
+    from all but one occurrence; dropping it everywhere keeps the
+    operator embarrassingly parallel — no global winner election —
+    exactly like the token-gram :func:`remove_duplicated_spans`).
+
+    Output per doc: ``cleaned`` (surviving characters, original order,
+    no separator — reconstruction is exact, unlike the token variant's
+    whitespace normalization), ``n_chars`` (original), ``n_removed``.
+
+    Scale shape: identical to :func:`duplicate_substring_spans` up to
+    the match-position fold (one 8-byte-key exchange, duplicated-gram
+    broadcast, position relation never shuffles); match positions
+    aggregate to ONE sorted int array per doc, that model-per-row
+    array joins back onto the (doc, text) relation, and the rebuild is
+    a single in-row pass — char ``j`` is covered iff some match start
+    ``p`` satisfies ``p <= j < p + min_len`` (``exists`` bounded by
+    the doc's own match count; no char-level relation ever shuffles).
+    """
+    from .text import md5_wide_long
+
+    txt = F.col(text_col)
+    ga = F.when(
+        F.length(txt) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - F.lit(min_len - 1)),
+            lambda i: md5_wide_long(F.substring(txt, i, min_len)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    rel = docs.select(
+        F.col(id_col).alias("doc_id"), txt.alias("__text"), ga.alias("ga")
+    ).localCheckpoint(eager=False)
+    g = rel.select("doc_id", F.posexplode(F.col("ga")).alias("pos0", "gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gram")
+    )
+    if broadcast_dup:
+        dup = F.broadcast(dup)
+    match_pos = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos0")).alias("mp"))
+    )
+    joined = rel.join(match_pos, "doc_id", "left").withColumn(
+        "mp", F.coalesce("mp", F.array().cast("array<int>"))
+    )
+    mp = F.col("mp")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("__text"))),
+        lambda j: F.substring(F.col("__text"), j, 1),
+    )
+    kept = F.filter(
+        chars,
+        lambda _c, i: ~F.exists(
+            mp, lambda p: (p <= i) & (i < p + min_len)
+        ),
+    )
+    empty_doc = F.length(F.col("__text")) == 0
+    return joined.select(
+        "doc_id",
+        F.when(empty_doc, F.lit("")).otherwise(F.array_join(kept, "")).alias(
+            "cleaned"
+        ),
+        F.length(F.col("__text")).cast("long").alias("n_chars"),
+        F.when(empty_doc, F.lit(0).cast("long"))
+        .otherwise(
+            (F.length(F.col("__text")) - F.size(kept)).cast("long")
+        )
+        .alias("n_removed"),
+    )
+
+
 def edit_verified_pairs(
     docs: DataFrame,
     k: int = 8,

@@ -2468,6 +2468,52 @@ FROM runs GROUP BY doc_id, grp
 """
 
 
+_SUBSTR_REMOVAL_SQL = f"""
+WITH t AS (SELECT doc_id, text FROM documents),
+ch AS (
+    SELECT doc_id, j, substr(text, j, 1) AS c
+    FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j FROM t)
+),
+g AS (
+    SELECT doc_id, i,
+           {md5_wide_long_sql(f"substr(text, i, {_DUP_SUBSTR_LEN})")} AS gram
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - {_DUP_SUBSTR_LEN - 2}, 1))) AS i
+          FROM t)
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+covered AS (
+    SELECT DISTINCT doc_id, i + unnest(range(0, {_DUP_SUBSTR_LEN})) AS j
+    FROM g JOIN dupg USING (gram)
+),
+kept AS (SELECT ch.* FROM ch ANTI JOIN covered USING (doc_id, j)),
+rebuilt AS (
+    SELECT doc_id, string_agg(c, '' ORDER BY j) AS cleaned,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, length(text) AS n_chars FROM t)
+SELECT base.doc_id, COALESCE(cleaned, '') AS cleaned,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_chars - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+@register("substring_span_removal", _SUBSTR_REMOVAL_SQL)
+def q_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup as a TRANSFORMATION: drop every character
+    covered by a corpus-duplicated {_DUP_SUBSTR_LEN}-char window and
+    rebuild the text exactly (no whitespace normalization — the char
+    rebuild is lossless outside the cut spans), the removal stage of
+    Lee et al. 2022 that ``dup_substrings`` emits the spans for."""
+    from .llm.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(
+        _read_spread(spark, sf_dir, "documents"), min_len=_DUP_SUBSTR_LEN
+    )
+
+
 @register("dup_substrings", _DUP_SUBSTRINGS_SQL)
 def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-class EXACT substring dedup (Lee et al. 2022's

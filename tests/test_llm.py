@@ -746,6 +746,33 @@ def test_duplicate_substring_spans_exactsubstr_semantics(spark):
             assert s1 + run1 < s2, "adjacent position runs not merged"
 
 
+def test_remove_duplicate_substrings_exact_rebuild(spark):
+    from dax_ppdb_spark.llm.dedup import remove_duplicate_substrings
+
+    shared = "0123456789abcdefghij"  # 20 chars
+    docs = _docs(
+        spark,
+        [
+            shared + " kept-tail  with   spacing!",
+            "prefix>" + shared + "<suffix",
+            "no duplicated content in this one at all",
+            "",
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_substrings(docs, min_len=10).collect()}
+    # the shared 20-char run is excised everywhere; the remainder is
+    # rebuilt EXACTLY (char-level — double spaces survive, unlike the
+    # token variant's whitespace normalization)
+    assert out[0].cleaned == " kept-tail  with   spacing!"
+    assert out[0].n_removed == 20
+    assert out[1].cleaned == "prefix><suffix"
+    assert out[1].n_removed == 20
+    # untouched doc: byte-identical round-trip, zero removed
+    assert out[2].cleaned == docs.collect()[2].text and out[2].n_removed == 0
+    # empty doc: total output, empty rebuild
+    assert out[3].cleaned == "" and out[3].n_chars == 0 and out[3].n_removed == 0
+
+
 def test_semdedup_flat_default_swaps_to_two_level(spark, monkeypatch):
     """Above SEMDEDUP_FLAT_MAX_ROWS the flat query must route to the
     two-level quantizer — bit-identical rows to `semdedup` — and its

@@ -281,6 +281,17 @@ ANNOTATED = {
         " on its one md5(text) exchange. No cartesian, no"
         " shuffle-weight join anywhere (plan-pinned)."
     ),
+    "dup_substrings": (
+        "ExactSubstr duplicate-substring spans: the char-window"
+        " fingerprint arrays are computed in one map pass per doc"
+        " (checkpointed — tokenize+md5 runs once for both branches);"
+        " the occurrence-count groupBy exchanges 8-byte gram keys"
+        " once; the duplicated-gram set (bounded by duplicate mass)"
+        " BROADCASTS back onto the position explode, so the wide"
+        " (doc, pos) relation never shuffles — singleton grams die at"
+        " a map-side hash probe; the gap-and-islands merge windows"
+        " only duplicated positions on one doc_id exchange."
+    ),
 }
 
 

@@ -71,6 +71,7 @@ QUERIES = [
     "embedding_quantize",
     "dup_spans",
     "dup_substrings",
+    "substring_span_removal",
     "dsir_weights",
     "semdedup",
     "semdedup_flat",
