@@ -102,6 +102,89 @@ def test_dup_spans_matches_bruteforce(spark, data):
 
 @settings(**SETTINGS)
 @given(
+    data=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    min_len=st.integers(2, 5),
+)
+def test_dup_substrings_matches_bruteforce(spark, data, min_len):
+    """duplicate_substring_spans == a plain-Python ExactSubstr replay:
+    a position is duplicated iff its min_len-char window occurs >= 2
+    times ANYWHERE in the corpus (same doc included), and maximal runs
+    of duplicated positions become (start 1-based, run + L - 1) spans.
+    The tiny 'abc ' alphabet makes collisions/overlaps/self-repeats
+    common at these lengths."""
+    from dax_ppdb_spark.llm.dedup import duplicate_substring_spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    L = min_len
+    occ: dict[str, int] = {}
+    for t in data:
+        for j in range(len(t) - L + 1):
+            w = t[j : j + L]
+            occ[w] = occ.get(w, 0) + 1
+    expected = set()
+    for i, t in enumerate(data):
+        dup = [j for j in range(len(t) - L + 1) if occ[t[j : j + L]] >= 2]
+        run_start = None
+        prev = None
+        for j in dup + [None]:
+            if j is not None and prev is not None and j == prev + 1:
+                prev = j
+                continue
+            if run_start is not None:
+                expected.add((i, run_start + 1, prev - run_start + L))
+            run_start, prev = j, j
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_substring_spans(docs, min_len=L).collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    min_len=st.integers(2, 4),
+)
+def test_substring_removal_matches_bruteforce(spark, data, min_len):
+    """remove_duplicate_substrings == drop every char covered by a
+    corpus-duplicated window, rebuild in order, exact char counts."""
+    from dax_ppdb_spark.llm.dedup import remove_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    L = min_len
+    occ: dict[str, int] = {}
+    for t in data:
+        for j in range(len(t) - L + 1):
+            w = t[j : j + L]
+            occ[w] = occ.get(w, 0) + 1
+    got = {
+        r.doc_id: (r.cleaned, r.n_chars, r.n_removed)
+        for r in remove_duplicate_substrings(docs, min_len=L).collect()
+    }
+    for i, t in enumerate(data):
+        covered = [False] * len(t)
+        for j in range(len(t) - L + 1):
+            if occ[t[j : j + L]] >= 2:
+                for c in range(j, j + L):
+                    covered[c] = True
+        cleaned = "".join(ch for ch, cv in zip(t, covered) if not cv)
+        assert got[i] == (cleaned, len(t), sum(covered)), (i, t)
+
+
+@settings(**SETTINGS)
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 30), st.sampled_from(["x", "y"])),
         min_size=1,
