@@ -1149,12 +1149,23 @@ def knn_label_agreement(
         )
     )
     ms = F.col("ms")
-    members = F.filter(ms, lambda y: y["is_home"])
-    cap = (
-        F.size(members) <= F.lit(max_bucket)
+    # Hoist the home-member array and the occupancy-cap predicate into
+    # per-cell COLUMNS: referenced as expression trees inside the
+    # per-candidate lambda below, `filter(ms, is_home)` re-materialized
+    # per (x, y) evaluation — the cap alone cost O(m) per candidate,
+    # O(m^3) per cell (measured ~1.3 s of the 2-probe audit's exec at
+    # sf0.1).  As projected columns both evaluate once per cell row and
+    # bind as O(1) references; values are bit-identical.
+    cells = cells.withColumn(
+        "__members", F.filter(ms, lambda y: y["is_home"])
+    ).withColumn(
+        "__cap",
+        F.size(F.col("__members")) <= F.lit(max_bucket)
         if max_bucket is not None
-        else F.lit(True)
+        else F.lit(True),
     )
+    members = F.col("__members")
+    cap = F.col("__cap")
 
     def _partial(x):
         # per-(vector, probed-cell) k-best candidates vs the cell's
