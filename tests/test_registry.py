@@ -27,3 +27,31 @@ def test_tail_is_actually_the_suffix():
     qs = list(driver_queries.queries())
     tail = driver_queries._VERIFY_TAIL
     assert qs[-len(tail):] == list(tail)
+
+
+def test_no_session_conf_mutation_in_query_bodies():
+    """Registered query functions must never mutate the CALLER's
+    session conf (round-13 hygiene): concurrent `queries()` callers
+    sharing one SparkSession would race on it.  Scoped mutations are
+    fine — clone via `newSession()` (isolated SQLConf, shared
+    SparkContext) and set the conf on the clone, as `_read_events`
+    and `windowed_counts` do."""
+    import inspect
+
+    offenders = []
+    for name, fn in driver_queries.all_queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue  # lambdas/partials from tools: nothing to scan
+        for ln in src.splitlines():
+            ln = ln.strip()
+            if ln.startswith("#") or "newSession" in ln:
+                continue
+            if "spark.conf.set" in ln or ".sparkSession.conf.set" in ln:
+                offenders.append((name, ln))
+    # the clone pattern binds the clone to a separate variable, so a
+    # mutation through THAT variable (e.g. `utc.conf.set`, config on a
+    # session named anything but `spark`) is out of scope here by
+    # design — the pin targets the shared handle the driver passes in
+    assert not offenders, offenders
