@@ -250,14 +250,20 @@ def jaccard_prefix_pairs(
     # rarity ranking, both verification sides); a lazy localCheckpoint
     # materializes the tokenize+shingle pass once instead of replaying
     # it per lineage branch (the unigram_logprob_score pattern).
+    # ORDER MATTERS: checkpoint the bare projection and filter the
+    # LEAF.  With the filter below the checkpoint, the optimizer
+    # substitutes the whole shingle HOF tree into the predicate and
+    # the checkpoint's plan-to-RDD step walks it pathologically —
+    # measured 3.9 s of driver time per call at sf0.1 vs 0.3 s in
+    # this shape (identical rows; the filter applies on read).
     sh = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             shingles(F.col(text_col), n).alias("shs"),
         )
+        .localCheckpoint(eager=False)
         .filter(F.size("shs") > 0)
         .withColumn("n_sh", F.size("shs"))
-        .localCheckpoint(eager=False)
     )
     inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
     df_tbl = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -394,14 +400,17 @@ def incremental_jaccard_prefix(
     """
 
     def _sets(docs: DataFrame) -> DataFrame:
+        # checkpoint-then-filter: see jaccard_prefix_pairs — a filter
+        # below the checkpoint inlines the shingle HOF tree into the
+        # predicate and the plan-to-RDD step walks it pathologically
         return (
             docs.select(
                 F.col(id_col).alias("doc_id"),
                 shingles(F.col(text_col), n).alias("shs"),
             )
+            .localCheckpoint(eager=False)
             .filter(F.size("shs") > 0)
             .withColumn("n_sh", F.size("shs"))
-            .localCheckpoint(eager=False)
         )
 
     def _prefix(sh: DataFrame, df_tbl: DataFrame, absent_df: int | None) -> DataFrame:
