@@ -1080,9 +1080,16 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-heads from the r11-green group (curate_incr + corpus_curate —
 # the curation chain stream_curated now exercises via streaming;
 # semdedup — its SQL now also serves as semdedup_flat's above-bound
-# oracle; knn_label_noise — a round-12 boundary bench row).
+# oracle; knn_label_noise — a round-12 boundary bench row, also
+# touched late in the round by the kNN occupancy-cap hoist).  A late
+# perf fix (checkpoint-then-filter in the shingle relations) touched
+# dedup_jaccard_prefix / dedup_incr_prefix / dedup_index_probe, so
+# they move from the planned tail to the head and the three untouched
+# original fillers (curate_incr, corpus_curate, semdedup — all
+# r11-green) take their tail slots, joining the round-14 must-re-head
+# group.
 #
-# Tail contents: the 41 rows green in CORRECTNESS_r12 whose
+# Tail contents: the 38 rows green in CORRECTNESS_r12 whose
 # implementation this round does not touch, then 33 r11-green
 # overflow deferrals (trivially-stable single-scan/sample/multimodal
 # plans) — every one of those 33 is two rounds externally stale after
@@ -1090,7 +1097,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last: judge-re-measured under the weak bar in round 12, untouched
 # here.)
 _VERIFY_TAIL = (
-    # 41 r12-green, implementation untouched this round
+    # 38 r12-green, implementation untouched this round
     "validity_fill",
     "validity_fill_pruned",
     "rank_versions",
@@ -1106,11 +1113,8 @@ _VERIFY_TAIL = (
     "cone_search",
     "column_histograms",
     "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "quality_classifier",
-    "dedup_index_probe",
-    "dedup_incr_prefix",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
@@ -1132,7 +1136,7 @@ _VERIFY_TAIL = (
     "leak_safe_split",
     "ann_index_persisted",
     "ann_index_pq",
-    # 34 r11-green lowest-risk deferrals (MUST re-head round 14)
+    # 37 r11-green lowest-risk deferrals (MUST re-head round 14)
     "revenue_by_nation",
     "topk_per_key",
     "range_join",
@@ -1167,6 +1171,9 @@ _VERIFY_TAIL = (
     "perplexity_buckets",
     "corpus_drift",
     "weighted_sample",
+    "curate_incr",
+    "corpus_curate",
+    "semdedup",
 )
 
 
