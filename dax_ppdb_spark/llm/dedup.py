@@ -1273,6 +1273,47 @@ def duplicated_span_stats(
     )
 
 
+def _char_window_fps(rel: DataFrame, min_len: int, keep_text: bool = False) -> DataFrame:
+    """Per-offset ``min_len``-char window fingerprints (60-bit
+    ``md5_wide_long``) as ONE array column ``ga`` — the shared build
+    of the ExactSubstr pair, hardened for long and non-ASCII
+    documents.
+
+    ``rel`` must expose ``doc_id`` and ``__text``.  The text splits to
+    a per-char array ONCE per row (``split(txt, '')`` — code-point
+    granular, O(len)) and every window is an O(1)-positioned array
+    ``slice`` + ``array_join``, so the whole build is O(len * min_len)
+    per document regardless of encoding.  The previous shape called
+    ``substring(txt, i, min_len)`` at every offset, and substring on
+    UTF-8 is an O(i) leading-byte scan for non-ASCII text — quadratic
+    per document, a single-task straggler on the MB-scale web-crawl
+    docs this operator exists for (Lee et al. 2022 run ExactSubstr on
+    raw bytes for the same reason).  The window STRINGS (and so the
+    md5 fingerprints and every downstream row) are bit-identical to
+    the substring build — only the positioning cost changed.
+
+    Plan-shape note: ``__ch`` is deliberately referenced more than
+    once in the consuming projection (sequence bound + slice), so
+    CollapseProject keeps the non-cheap ``split`` in its own project
+    instead of inlining it into the lambda body, where the
+    higher-order function would re-evaluate it per element.
+    """
+    from .text import md5_wide_long
+
+    ch = rel.withColumn("__ch", F.split(F.col("__text"), ""))
+    ga = F.when(
+        F.length(F.col("__text")) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__ch")) - F.lit(min_len - 1)),
+            lambda i: md5_wide_long(
+                F.array_join(F.slice(F.col("__ch"), i, min_len), "")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    cols = ["doc_id"] + (["__text"] if keep_text else []) + [ga.alias("ga")]
+    return ch.select(*cols)
+
+
 def duplicate_substring_spans(
     docs: DataFrame,
     min_len: int = 30,
@@ -1315,25 +1356,14 @@ def duplicate_substring_spans(
     positions only.  Pass ``broadcast_dup=False`` when the duplicated
     gram table exceeds the broadcast budget.  Reference semantics:
     Lee et al. 2022 §4.1 (ExactSubstr); 50-token spans there, char
-    windows here — the testdata documents are ~500 chars.
+    windows here.  Long/non-ASCII docs: the fingerprint build is the
+    O(len * min_len) :func:`_char_window_fps` pass — see there.
     """
     from pyspark.sql import Window
 
-    from .text import md5_wide_long
-
-    txt = F.col(text_col)
-    # i ranges over 1..len-min_len+1 (1-based substring offsets); a
-    # guarded when() keeps sequence() from generating DESCENDING
-    # sequences for short docs (sequence(1, 0) is [1, 0], not empty).
-    ga = F.when(
-        F.length(txt) >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), F.length(txt) - F.lit(min_len - 1)),
-            lambda i: md5_wide_long(F.substring(txt, i, min_len)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    rel = docs.select(
-        F.col(id_col).alias("doc_id"), ga.alias("ga")
+    rel = _char_window_fps(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        min_len,
     ).localCheckpoint(eager=False)
     g = rel.select(
         "doc_id", F.posexplode(F.col("ga")).alias("pos0", "gram")
@@ -1388,22 +1418,20 @@ def remove_duplicate_substrings(
     broadcast, position relation never shuffles); match positions
     aggregate to ONE sorted int array per doc, that model-per-row
     array joins back onto the (doc, text) relation, and the rebuild is
-    a single in-row pass — char ``j`` is covered iff some match start
-    ``p`` satisfies ``p <= j < p + min_len`` (``exists`` bounded by
-    the doc's own match count; no char-level relation ever shuffles).
+    INTERVAL-COMPLEMENT: the sorted match starts fold into merged
+    covered intervals (an interval boundary is a match whose gap to
+    its neighbor exceeds ``min_len`` — two index-guarded ``filter``
+    passes, O(matches)), and the surviving text is the concat of the
+    O(1)-positioned char-array slices BETWEEN those intervals —
+    O(len + matches) per document.  The previous shape kept chars via
+    a per-char array filtered with ``exists`` over every match start:
+    O(len * matches) comparisons per row, O(len^2) on the heavily
+    duplicated long docs this operator targets.
     """
-    from .text import md5_wide_long
-
-    txt = F.col(text_col)
-    ga = F.when(
-        F.length(txt) >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), F.length(txt) - F.lit(min_len - 1)),
-            lambda i: md5_wide_long(F.substring(txt, i, min_len)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    rel = docs.select(
-        F.col(id_col).alias("doc_id"), txt.alias("__text"), ga.alias("ga")
+    rel = _char_window_fps(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        min_len,
+        keep_text=True,
     ).localCheckpoint(eager=False)
     g = rel.select("doc_id", F.posexplode(F.col("ga")).alias("pos0", "gram"))
     dup = (
@@ -1422,29 +1450,76 @@ def remove_duplicate_substrings(
     joined = rel.join(match_pos, "doc_id", "left").withColumn(
         "mp", F.coalesce("mp", F.array().cast("array<int>"))
     )
+    # Merged covered intervals [s, e) from the sorted 0-based match
+    # starts: start ``p`` opens an interval iff it is first or its gap
+    # to the previous start exceeds min_len (touching/overlapping
+    # windows merge — same covered-char union either way); a start
+    # closes one iff it is last or the NEXT start opens a new one.
+    # The two filters are position-aligned by construction, so
+    # zip_with pairs them without a join.  element_at is 1-based and
+    # when() keeps it lazy at the array edges.
+    L = F.lit(min_len)
     mp = F.col("mp")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(F.col("__text"))),
-        lambda j: F.substring(F.col("__text"), j, 1),
-    )
-    kept = F.filter(
-        chars,
-        lambda _c, i: ~F.exists(
-            mp, lambda p: (p <= i) & (i < p + min_len)
+    starts = F.filter(
+        mp,
+        lambda p, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            p - F.element_at(mp, i) > L
         ),
+    )
+    ends = F.filter(
+        mp,
+        lambda p, i: F.when(i == F.size(mp) - F.lit(1), F.lit(True)).otherwise(
+            F.element_at(mp, i + F.lit(2)) - p > L
+        ),
+    )
+    iv = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), (e + L).alias("e"))
+    )
+    st = joined.withColumn("__ch", F.split(F.col("__text"), "")).withColumn(
+        "__iv", iv
+    )
+    # Rebuild = concat of the k+1 complement gaps around the k merged
+    # intervals.  Each gap is one O(1)-positioned slice of the char
+    # array; per-row cost is O(len + intervals), and __ch / __iv are
+    # each referenced >= 2 times below so CollapseProject materializes
+    # them as attributes instead of re-deriving them per lambda
+    # element (see _char_window_fps).
+    ch, ivc = F.col("__ch"), F.col("__iv")
+    k = F.size(ivc)
+
+    def _gap_start(j):
+        return F.when(j == F.lit(0), F.lit(0)).otherwise(
+            F.element_at(ivc, j).getField("e")
+        )
+
+    def _gap_end(j):
+        return F.when(j == k, F.size(ch)).otherwise(
+            F.element_at(ivc, j + F.lit(1)).getField("s")
+        )
+
+    cleaned = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), k),
+            lambda j: F.array_join(
+                F.slice(ch, _gap_start(j) + F.lit(1), _gap_end(j) - _gap_start(j)),
+                "",
+            ),
+        ),
+        "",
+    )
+    n_removed = F.aggregate(
+        ivc,
+        F.lit(0),
+        lambda acc, x: acc + (x.getField("e") - x.getField("s")),
     )
     empty_doc = F.length(F.col("__text")) == 0
-    return joined.select(
+    return st.select(
         "doc_id",
-        F.when(empty_doc, F.lit("")).otherwise(F.array_join(kept, "")).alias(
-            "cleaned"
+        F.when(empty_doc, F.lit("")).otherwise(cleaned).alias("cleaned"),
+        F.when(empty_doc, F.lit(0)).otherwise(F.size(ch)).cast("long").alias(
+            "n_chars"
         ),
-        F.length(F.col("__text")).cast("long").alias("n_chars"),
-        F.when(empty_doc, F.lit(0).cast("long"))
-        .otherwise(
-            (F.length(F.col("__text")) - F.size(kept)).cast("long")
-        )
-        .alias("n_removed"),
+        n_removed.cast("long").alias("n_removed"),
     )
 
 

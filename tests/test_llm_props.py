@@ -185,6 +185,95 @@ def test_substring_removal_matches_bruteforce(spark, data, min_len):
 
 @settings(**SETTINGS)
 @given(
+    data=st.lists(
+        st.text(alphabet="aé𝄞 ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    min_len=st.integers(2, 4),
+)
+def test_exactsubstr_multibyte_chars(spark, data, min_len):
+    """Both ExactSubstr operators stay code-point exact on multi-byte
+    UTF-8 (2-byte é, 4-byte 𝄞): offsets/lengths count characters, the
+    rebuild is char-lossless outside cut spans — the long/non-ASCII
+    hardening's semantic pin (cost pin: tools/substr_longdoc_bench)."""
+    from dax_ppdb_spark.llm.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    L = min_len
+    occ: dict[str, int] = {}
+    for t in data:
+        for j in range(len(t) - L + 1):
+            occ[t[j : j + L]] = occ.get(t[j : j + L], 0) + 1
+    exp_spans = set()
+    exp_clean = {}
+    for i, t in enumerate(data):
+        dup = [j for j in range(len(t) - L + 1) if occ[t[j : j + L]] >= 2]
+        covered = [False] * len(t)
+        run_start = prev = None
+        for j in dup + [None]:
+            if j is not None:
+                for c in range(j, j + L):
+                    covered[c] = True
+            if j is not None and prev is not None and j == prev + 1:
+                prev = j
+                continue
+            if run_start is not None:
+                exp_spans.add((i, run_start + 1, prev - run_start + L))
+            run_start = prev = j
+        exp_clean[i] = (
+            "".join(ch for ch, cv in zip(t, covered) if not cv),
+            len(t),
+            sum(covered),
+        )
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_substring_spans(docs, min_len=L).collect()
+    }
+    assert got_spans == exp_spans
+    got_clean = {
+        r.doc_id: (r.cleaned, r.n_chars, r.n_removed)
+        for r in remove_duplicate_substrings(docs, min_len=L).collect()
+    }
+    assert got_clean == exp_clean
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=16),
+        min_size=2,
+        max_size=5,
+    ),
+    min_len=st.integers(2, 3),
+)
+def test_exactsubstr_nonbroadcast_lane_equal(spark, data, min_len):
+    """broadcast_dup=False (the shuffle-join escape hatch for corpora
+    whose duplicated-gram set exceeds the broadcast budget) is
+    row-for-row equal to the broadcast lane — the 2-char alphabet at
+    tiny min_len makes nearly every gram duplicated, the lane's
+    worst case."""
+    from dax_ppdb_spark.llm.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    for fn in (duplicate_substring_spans, remove_duplicate_substrings):
+        a = sorted(map(tuple, fn(docs, min_len=min_len, broadcast_dup=True).collect()))
+        b = sorted(map(tuple, fn(docs, min_len=min_len, broadcast_dup=False).collect()))
+        assert a == b, fn.__name__
+
+
+@settings(**SETTINGS)
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 30), st.sampled_from(["x", "y"])),
         min_size=1,
