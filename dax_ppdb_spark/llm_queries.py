@@ -1816,7 +1816,16 @@ def q_stream_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             # mtimes: the file source batches in modification-time
             # order, so batch 0 is the low-id file — the id-ascending
             # arrival the one-shot oracle composition requires.
+            # Crash-atomic: BOTH files land under _stage/src first and
+            # the completed directory renames into place in one
+            # os.rename (same filesystem — both under root), so a rerun
+            # after a crash mid-staging never sees a half-populated
+            # src: it sees no src at all and restages from scratch
+            # (the leftover _stage is cleared up front).
             stage = os.path.join(root, "_stage")
+            shutil.rmtree(stage, ignore_errors=True)
+            stage_src = os.path.join(stage, "src")
+            os.makedirs(stage_src, exist_ok=True)
             for i, part in enumerate(
                 (
                     docs.filter(F.col("doc_id") < boundary),
@@ -1829,10 +1838,10 @@ def q_stream_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f for f in os.listdir(d)
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 ]
-                os.makedirs(src, exist_ok=True)
-                dst = os.path.join(src, f"batch{i}.parquet")
+                dst = os.path.join(stage_src, f"batch{i}.parquet")
                 shutil.copyfile(os.path.join(d, pf), dst)
                 os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+            os.rename(stage_src, src)
             shutil.rmtree(stage, ignore_errors=True)
         stream_curated(
             spark,

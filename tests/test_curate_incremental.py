@@ -217,3 +217,65 @@ def test_stream_curated_exactly_once(spark, tmp_path):
         os.remove(crc)
     ids3 = drain()
     assert ids3 == ids2
+
+
+def test_stream_curated_staging_crash_atomic(spark):
+    """q_stream_curated's landing-file staging is crash-atomic: both
+    batch files materialize under _stage/src and the COMPLETED
+    directory renames into src in one os.rename.  A crash mid-staging
+    therefore leaves no src at all (only _stage litter, cleared on
+    rerun) — the pre-fix shape copied files into src one at a time,
+    so a rerun after a crash between the two copies saw src present,
+    skipped staging, drained only batch 0, and cached a silently
+    wrong sink behind the _DRAINED marker."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dax_ppdb_spark.driver_queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+
+    # Recompute the query's deterministic staging root so the test can
+    # plant the crash state it is about to recover from.
+    docs = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    n, fp = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)")),
+    ).first()
+    key = hashlib.md5(
+        f"{os.path.realpath(sf)}|{n}|{fp}|stream".encode()
+    ).hexdigest()[:16]
+    root = os.path.join("/tmp", f"dax_ppdb_stream_curated_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # Crash leftover: a half-populated _stage (one of two files), NO
+    # src, no marker — the state an interrupted staging now leaves.
+    half = os.path.join(root, "_stage", "src")
+    os.makedirs(half)
+    with open(os.path.join(half, "batch0.parquet"), "wb") as fh:
+        fh.write(b"torn write")
+
+    got = sorted(
+        (r.doc_id, r.batch)
+        for r in qs["stream_curated"](spark, sf).collect()
+    )
+    # Restaged from scratch: both batches present and equal to the
+    # direct (non-streaming) twin that shares the oracle by design.
+    assert {b for _, b in got} == {0, 1}
+    direct = sorted(
+        (r.doc_id, r.batch) for r in qs["curate_incr"](spark, sf).collect()
+    )
+    assert got == direct
+    assert os.path.exists(os.path.join(root, "_DRAINED"))
+    assert sorted(os.listdir(os.path.join(root, "src"))) == [
+        "batch0.parquet",
+        "batch1.parquet",
+    ]
+    assert not os.path.exists(os.path.join(root, "_stage"))
