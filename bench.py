@@ -201,7 +201,12 @@ def main() -> None:
     # of the corpus used for a two-checkout noise control (e.g.
     # /tmp/ctl/sf0.1) parses as sf==0.1 but is NOT the driver corpus
     # and must not overwrite the committed evidence file.
-    default_detail = os.path.realpath(sf_dir) == "/root/testdata/sf0.1"
+    # realpath BOTH sides: if /root/testdata is ever a symlink, the
+    # left side resolves past it and a literal right side would never
+    # match again, silently freezing the driver-scale evidence file.
+    default_detail = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
     detail_name = (
         "BENCH_DETAIL.json" if default_detail else f"BENCH_DETAIL_sf{sf}.json"
     )

@@ -40,6 +40,16 @@ def main() -> int:
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     registry = driver_queries.all_queries()
+    # A typo'd name — including a misspelled sf_dir path that fails
+    # isdir() and falls through into names — must not traceback on
+    # registry[name] mid-run; report and drop it up front, same as the
+    # BENCH_DETAIL branch below.
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown queries (skipped): {', '.join(unknown)}")
+        names = [n for n in names if n in registry]
+        if not names:
+            return 1
     if not names:
         try:
             detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
