@@ -1055,49 +1055,100 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still fails the commit gate, not just a later round.  See README
 # "Verification rotation".
 #
-# Round-13 tail (75 = visible registry 125 - head 50).  Rule recap:
-# tail = externally green at its LAST external check (one round back,
-# or — overflow only — two rounds back, after which re-heading is
-# MANDATORY), implementation untouched this round.
+# STANDING ROTATION POLICY (round 14, replacing the per-round
+# "overflow deferral" exception with a committed steady-state rule —
+# the round-13 verdict's registry-growth item):
 #
-# The round-12 promise is KEPT IN FULL: all 27 r10-green deferrals
-# (dedup_recall ... bigram_lm_score — two rounds externally stale,
-# ineligible to tail again) re-head this round.  Also heading: every
-# query whose implementation round 13 touches — the _read_events
-# family (the shared reader now scopes the nanosAsLong conf to a
-# cloned session instead of mutating the caller's: latest_only,
-# pivot_patch, update_explode, union_concat, updates_pipeline,
-# update_validate, funnel, retention_cohorts, windowed_counts —
-# which also builds its plan under a UTC-pinned session clone —
-# sessionize, asof_attribution, asof_tolerance, asof_forward,
-# distinct_sketch, count_anomalies), audit_quarantine_curate
-# (persisted ensure-gated quantizer + eager quarantine fold),
-# embedding_outliers (embedding_outlier_ranks grew the pre-trained-
-# centroids parameter), semdedup_flat (default-swaps to the two-level
-# quantizer above the measured SEMDEDUP_FLAT_MAX_ROWS), and the
-# THREE new queries dup_substrings, substring_span_removal and
-# stream_curated; plus 4 risk-first
-# re-heads from the r11-green group (curate_incr + corpus_curate —
-# the curation chain stream_curated now exercises via streaming;
-# semdedup — its SQL now also serves as semdedup_flat's above-bound
-# oracle; knn_label_noise — a round-12 boundary bench row, also
-# touched late in the round by the kNN occupancy-cap hoist).  A late
-# perf fix (checkpoint-then-filter in the shingle relations) touched
-# dedup_jaccard_prefix / dedup_incr_prefix / dedup_index_probe, so
-# they move from the planned tail to the head and the three untouched
-# original fillers (curate_incr, corpus_curate, semdedup — all
-# r11-green) take their tail slots, joining the round-14 must-re-head
-# group.
+#   1. A query may sit in the tail only if (a) its implementation and
+#      oracle are untouched this round AND (b) its last external green
+#      row is at most TWO rounds back.  Equivalently: every external
+#      query heads at least once every three rounds.
+#   2. A touched query always heads that round.
+#   3. Compensating control for tailed rounds: `make check` runs the
+#      FULL registry oracle selfcheck at sf0.01 AND sf0.1 before every
+#      end-of-round commit, so a tailed regression fails the commit
+#      gate, not a later round.
+#   4. Registration cap: at 125 external queries the 3-round window
+#      needs >= ceil(125/3) = 42 mandatory heads per round on
+#      average, leaving ~8 head slots of churn slack.  A new
+#      registration (which must head in its first round) requires
+#      EITHER folding a bit-identical twin into `_FOLDED` or showing
+#      the round's head arithmetic still closes in this comment.
 #
-# Tail contents: the 38 rows green in CORRECTNESS_r12 whose
-# implementation this round does not touch, then 33 r11-green
-# overflow deferrals (trivially-stable single-scan/sample/multimodal
-# plans) — every one of those 33 is two rounds externally stale after
-# this round and MUST re-head in round 14.  (weighted_sample sits
-# last: judge-re-measured under the weak bar in round 12, untouched
-# here.)
+# Round-14 arithmetic (tail 75 = visible registry 125 - head 50).
+# The round-13 promise is KEPT IN FULL: all 37 r11-green overflow
+# deferrals (revenue_by_nation ... semdedup — two rounds externally
+# stale, ineligible to tail again) re-head this round.  Also heading:
+# the three queries round 14 touches — dup_substrings and
+# substring_span_removal (the ExactSubstr long/non-ASCII hardening:
+# slice-window fingerprint build + interval-complement rebuild) and
+# stream_curated (crash-atomic landing-file staging) — plus 10
+# risk-first discretionary re-heads drawn from the r12-green group
+# now on its second tail round, chosen to thin round 15's mandatory
+# set and cover the perf-sensitive families: dedup_clusters (this
+# round's noise-adjudicated bench row), ann_index_persisted +
+# ann_index_pq (persisted-index ensure gates), ann_topk_kmeans +
+# ann_topk_pq, dedup_minhash_lsh, quality_classifier,
+# dedup_embedding_banded, leak_safe_split, bpe_merges.
+# 37 + 3 + 10 = 50.
+#
+# Tail contents: the 47 rows green in CORRECTNESS_r13 whose
+# implementation round 14 does not touch (one round externally
+# stale), then the remaining 28 r12-green rows on their SECOND tail
+# round — at the policy's staleness bound, so round 15 MUST re-head
+# all 28 (plus anything round 15 touches; 28 + churn fits the 50-row
+# window with 22 slots spare, which is what the deferred
+# `_read_events` except-narrowing fix is budgeted against).
 _VERIFY_TAIL = (
-    # 38 r12-green, implementation untouched this round
+    # 47 r13-green, implementation untouched this round
+    "latest_only",
+    "existence_probe",
+    "notin_filter",
+    "contiguous_run",
+    "distinct_ids",
+    "pivot_patch",
+    "update_explode",
+    "union_concat",
+    "updates_pipeline",
+    "update_validate",
+    "cone_search_sorted",
+    "funnel",
+    "retention_cohorts",
+    "windowed_counts",
+    "sessionize",
+    "asof_attribution",
+    "asof_tolerance",
+    "asof_forward",
+    "crossmatch",
+    "snapshot_asof",
+    "overlap_violations",
+    "rollup_revenue",
+    "except_ids",
+    "intersect_ids",
+    "distinct_sketch",
+    "count_anomalies",
+    "dedup_jaccard_prefix",
+    "dedup_index_probe",
+    "dedup_incr_prefix",
+    "dedup_recall",
+    "stratified_sample",
+    "doc_chunks",
+    "shard_pack",
+    "gopher_quality",
+    "top_ngrams",
+    "dup_spans",
+    "sequence_pack",
+    "url_dedup",
+    "text_clean",
+    "semdedup_flat",
+    "source_overlap",
+    "mixture_sample",
+    "dedup_paragraphs",
+    "bigram_lm_score",
+    "knn_label_noise",
+    "embedding_outliers",
+    "audit_quarantine_curate",
+    # 28 r12-green on their SECOND tail round (MUST re-head round 15)
     "validity_fill",
     "validity_fill_pruned",
     "rank_versions",
@@ -1113,13 +1164,9 @@ _VERIFY_TAIL = (
     "cone_search",
     "column_histograms",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "quality_classifier",
-    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
     "embedding_recall",
-    "dedup_embedding_banded",
     "pii_redact",
     "doc_fingerprint",
     "ann_topk_bruteforce",
@@ -1127,53 +1174,9 @@ _VERIFY_TAIL = (
     "ann_topk_ivf",
     "split_assign",
     "bpe_merges_batched",
-    "bpe_merges",
-    "ann_topk_pq",
-    "ann_topk_kmeans",
     "decontaminate",
     "dedup_keep_best",
     "dedup_span_removal",
-    "leak_safe_split",
-    "ann_index_persisted",
-    "ann_index_pq",
-    # 37 r11-green lowest-risk deferrals (MUST re-head round 14)
-    "revenue_by_nation",
-    "topk_per_key",
-    "range_join",
-    "constraint_audit",
-    "constraint_violations",
-    "table_stats",
-    "dedup_exact",
-    "dedup_verified",
-    "repetition_ratio",
-    "lm_score",
-    "text_stats",
-    "lang_id",
-    "token_count_bpe",
-    "multimodal_frame_sample",
-    "multimodal_decode",
-    "bpe_encode",
-    "dedup_cdc",
-    "cdc_chunks",
-    "multimodal_resize",
-    "quality_quantiles",
-    "embedding_quantize",
-    "dsir_weights",
-    "corpus_cube",
-    "ann_recall",
-    "embedding_covariance",
-    "embedding_whiten",
-    "url_block_filter",
-    "tfidf_keywords",
-    "sample_exact_k",
-    "dedup_edit",
-    "hybrid_search",
-    "perplexity_buckets",
-    "corpus_drift",
-    "weighted_sample",
-    "curate_incr",
-    "corpus_curate",
-    "semdedup",
 )
 
 
