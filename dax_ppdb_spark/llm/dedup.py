@@ -1273,24 +1273,38 @@ def duplicated_span_stats(
     )
 
 
+# Per-row routing bound for the ExactSubstr fingerprint build: below
+# it, per-offset substring(txt, i, L) — whose O(i) per-call char scan
+# is quadratic per doc but with a constant so small it wins outright
+# on short docs; at/above it, the split-once char-array path whose
+# O(1)-positioned slices stay linear to MB-scale docs.  Measured
+# crossover ~1.5-2k chars on BOTH ascii and mixed-UTF-8 corpora
+# (constant 2M-char corpora, min-of-2 noop writes: at 1k chars
+# substring wins 0.69 vs 0.80 s; at 2k the array path wins 0.61 vs
+# 0.73 s; at 16k it wins 0.73 vs 5.59 s and keeps flat).
+_CHAR_ARRAY_CUTOFF = 1024
+
+
 def _char_window_fps(rel: DataFrame, min_len: int, keep_text: bool = False) -> DataFrame:
     """Per-offset ``min_len``-char window fingerprints (60-bit
     ``md5_wide_long``) as ONE array column ``ga`` — the shared build
     of the ExactSubstr pair, hardened for long and non-ASCII
     documents.
 
-    ``rel`` must expose ``doc_id`` and ``__text``.  The text splits to
-    a per-char array ONCE per row (``split(txt, '')`` — code-point
-    granular, O(len)) and every window is an O(1)-positioned array
-    ``slice`` + ``array_join``, so the whole build is O(len * min_len)
-    per document regardless of encoding.  The previous shape called
-    ``substring(txt, i, min_len)`` at every offset, and substring on
-    UTF-8 is an O(i) leading-byte scan for non-ASCII text — quadratic
-    per document, a single-task straggler on the MB-scale web-crawl
-    docs this operator exists for (Lee et al. 2022 run ExactSubstr on
-    raw bytes for the same reason).  The window STRINGS (and so the
-    md5 fingerprints and every downstream row) are bit-identical to
-    the substring build — only the positioning cost changed.
+    ``rel`` must expose ``doc_id`` and ``__text``.  Docs of length >=
+    ``_CHAR_ARRAY_CUTOFF`` split to a per-char array ONCE per row
+    (``split(txt, '')`` — code-point granular, O(len)) and every
+    window is an O(1)-positioned array ``slice`` + ``array_join``, so
+    their build is O(len * min_len) regardless of encoding; shorter
+    docs keep the plain ``substring(txt, i, min_len)`` build, whose
+    O(i)-scan quadratic term is cheaper than the array's allocation
+    overhead below the measured crossover.  An unconditional
+    substring build was quadratic per document — a single-task
+    straggler on the MB-scale web-crawl docs this operator exists for
+    (Lee et al. 2022 run ExactSubstr on raw bytes for the same
+    reason).  Both lanes emit the SAME window strings, so the md5
+    fingerprints and every downstream row are bit-identical whichever
+    lane a doc takes.
 
     Plan-shape note: ``__ch`` is deliberately referenced more than
     once in the consuming projection (sequence bound + slice), so
@@ -1300,16 +1314,28 @@ def _char_window_fps(rel: DataFrame, min_len: int, keep_text: bool = False) -> D
     """
     from .text import md5_wide_long
 
-    ch = rel.withColumn("__ch", F.split(F.col("__text"), ""))
-    ga = F.when(
-        F.length(F.col("__text")) >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("__ch")) - F.lit(min_len - 1)),
-            lambda i: md5_wide_long(
-                F.array_join(F.slice(F.col("__ch"), i, min_len), "")
-            ),
+    txt = F.col("__text")
+    ch = rel.withColumn(
+        "__ch",
+        F.when(F.length(txt) >= _CHAR_ARRAY_CUTOFF, F.split(txt, "")).otherwise(
+            F.expr("CAST(array() AS array<string>)")
         ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    )
+    short_ga = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - F.lit(min_len - 1)),
+        lambda i: md5_wide_long(F.substring(txt, i, min_len)),
+    )
+    long_ga = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__ch")) - F.lit(min_len - 1)),
+        lambda i: md5_wide_long(
+            F.array_join(F.slice(F.col("__ch"), i, min_len), "")
+        ),
+    )
+    ga = (
+        F.when(F.length(txt) < min_len, F.expr("CAST(array() AS array<bigint>)"))
+        .when(F.length(txt) < _CHAR_ARRAY_CUTOFF, short_ga)
+        .otherwise(long_ga)
+    )
     cols = ["doc_id"] + (["__text"] if keep_text else []) + [ga.alias("ga")]
     return ch.select(*cols)
 

@@ -1030,3 +1030,73 @@ def test_rowcount_anomalies_matches_python_z(spark, counts, window):
         assert out[i][0] == z, (i, v, hist)
         assert out[i][1] == (z is not None and abs(z) > 3.0)
         assert out[i][1] is not None
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 10**6))
+def test_exactsubstr_cutoff_straddle(spark, seed):
+    """Docs straddling _CHAR_ARRAY_CUTOFF (the substring-vs-char-array
+    routing bound) produce identical spans/removal to a brute-force
+    replay — the two build lanes must be value-identical at and
+    around the switch, including multi-byte chars in the long lane."""
+    import random
+
+    from dax_ppdb_spark.llm.dedup import (
+        _CHAR_ARRAY_CUTOFF,
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    rng = random.Random(seed)
+    alpha = "abcdé𝄞 "
+    run = "".join(rng.choice(alpha) for _ in range(60))  # shared dup run
+    data = []
+    for n in (
+        _CHAR_ARRAY_CUTOFF - 40,
+        _CHAR_ARRAY_CUTOFF - 1,
+        _CHAR_ARRAY_CUTOFF,
+        _CHAR_ARRAY_CUTOFF + 40,
+    ):
+        body = "".join(rng.choice(alpha) for _ in range(n - 120))
+        cut = rng.randrange(len(body))
+        data.append(body[:cut] + run + body[cut:] + run)
+    L = 30
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+    occ: dict[str, int] = {}
+    for t in data:
+        for j in range(len(t) - L + 1):
+            occ[t[j : j + L]] = occ.get(t[j : j + L], 0) + 1
+    exp_spans = set()
+    exp_clean = {}
+    for i, t in enumerate(data):
+        dup = [j for j in range(len(t) - L + 1) if occ[t[j : j + L]] >= 2]
+        covered = [False] * len(t)
+        run_start = prev = None
+        for j in dup + [None]:
+            if j is not None:
+                for c in range(j, j + L):
+                    covered[c] = True
+            if j is not None and prev is not None and j == prev + 1:
+                prev = j
+                continue
+            if run_start is not None:
+                exp_spans.add((i, run_start + 1, prev - run_start + L))
+            run_start = prev = j
+        exp_clean[i] = (
+            "".join(ch for ch, cv in zip(t, covered) if not cv),
+            len(t),
+            sum(covered),
+        )
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_substring_spans(docs, min_len=L).collect()
+    }
+    assert got_spans == exp_spans
+    got_clean = {
+        r.doc_id: (r.cleaned, r.n_chars, r.n_removed)
+        for r in remove_duplicate_substrings(docs, min_len=L).collect()
+    }
+    assert got_clean == exp_clean
