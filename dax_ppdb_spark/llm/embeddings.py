@@ -14,10 +14,36 @@ last-ulp engine differences cannot flip the oracle hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import assign_cells, cosine_similarity, dot, kmeans_centroids
+
+
+# Below this many ASSIGNED rows (corpus rows x fine probes) the pair
+# stages share ONE explicit hash exchange on the cell id: the
+# assignment relation feeds THREE consumers (the over-occupancy cell
+# filter and both self-join sides), and in the re-scan shape Spark
+# re-executes the whole assignment pipeline — scan, coarse argmin,
+# residual, multi-probe fine argmin, all interpreted higher-order
+# folds — once per consumer (measured: 4 identical subtrees / 4
+# parquet scans in the semdedup physical plan).  A repartition("cid")
+# ahead of the consumers makes the self-join sides canonically equal,
+# so the exchange is planned once and REUSED, the assignment runs
+# once, and the vectors cross the network once instead of twice; the
+# occupancy cap becomes a window count over the same shuffle instead
+# of a second assignment pass feeding a broadcast.
+#
+# Why gated and not unconditional: in this shape a degenerate hot cell
+# (all-zero embeddings) crosses the exchange BEFORE the count filter
+# drops it — a linear single-task read of that cell's rows.  The
+# re-scan shape filters over-occupied cells map-side (partial-agg'd
+# counts, broadcast semi-join BELOW the join exchanges), so hot-cell
+# rows never shuffle at all.  Known-bounded corpora take the
+# one-exchange shape; unknown or 100-TB-scale corpora keep the
+# skew-proof shape — the same metadata-gated rule as
+# llm_queries._AUDIT_CHECKPOINT_ROWS and similarity.LOCAL_TRAIN_ROWS.
+PAIR_ONE_EXCHANGE_ROWS = 50_000_000
 
 
 def _half_up(x: Column) -> Column:
@@ -139,6 +165,7 @@ def semdedup_pairs_two_level(
     probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """SemDeDup with a TWO-LEVEL (coarse x residual) quantizer — the
     O(N^(4/3)) scale tier that replaces the flat k~sqrt(N) Lloyd
@@ -197,15 +224,13 @@ def semdedup_pairs_two_level(
     c1df = emb.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(cents1)], "cid1 INT, __c1 array<double>"
     )
-    from .similarity import canonical_residual
+    from .similarity import with_canonical_residual
 
-    res = (
-        a1.join(F.broadcast(c1df), "cid1")
-        .withColumn(
-            "r", canonical_residual(F.zip_with("v", "__c1", lambda a, b: a - b))
-        )
-        .drop("__c1")
-    )
+    res = with_canonical_residual(
+        a1.join(F.broadcast(c1df), "cid1"),
+        F.zip_with("v", "__c1", lambda a, b: a - b),
+        "r",
+    ).drop("__c1")
     from .similarity import assign_cells_multi
 
     assigned = (
@@ -213,7 +238,24 @@ def semdedup_pairs_two_level(
         .withColumn("cid", F.col("cid1") * n_fine + F.col("cid2"))
         .select("cid", "id", "v")
     )
-    if max_cell is not None:
+    # One-exchange shape under the metadata gate (see
+    # PAIR_ONE_EXCHANGE_ROWS): hash-partition by cell once, count the
+    # cell occupancy as a window over that same shuffle, and let both
+    # self-join sides reuse the exchange — identical rows either way.
+    one_exchange = (
+        corpus_count is not None
+        and corpus_count * max(probes, 1) <= PAIR_ONE_EXCHANGE_ROWS
+    )
+    if one_exchange:
+        assigned = assigned.repartition("cid")
+        if max_cell is not None:
+            w = Window.partitionBy("cid")
+            assigned = (
+                assigned.withColumn("__cell_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__cell_n") <= max_cell)
+                .drop("__cell_n")
+            )
+    elif max_cell is not None:
         ok = (
             assigned.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -257,6 +299,7 @@ def semdedup_pairs(
     max_cell: int | None = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
     found WITHIN k-means cells only — cluster the corpus with the
@@ -282,7 +325,9 @@ def semdedup_pairs(
     vec_b`` and cosine >= ``threshold``.
     """
     if n_clusters is None:
-        n_clusters = auto_semdedup_clusters(emb.count())
+        if corpus_count is None:
+            corpus_count = emb.count()
+        n_clusters = auto_semdedup_clusters(corpus_count)
     cents = kmeans_centroids(emb, n_clusters, iters, vec_col, id_col, sample_mod)
     assigned = assign_cells(
         emb.select(
@@ -291,7 +336,20 @@ def semdedup_pairs(
         ),
         cents,
     )
-    if max_cell is not None:
+    # Same one-exchange shape as the two-level tier (see
+    # PAIR_ONE_EXCHANGE_ROWS): the occupancy filter and both join
+    # sides otherwise each re-run the full assignment pass.
+    one_exchange = corpus_count is not None and corpus_count <= PAIR_ONE_EXCHANGE_ROWS
+    if one_exchange:
+        assigned = assigned.repartition("cid")
+        if max_cell is not None:
+            w = Window.partitionBy("cid")
+            assigned = (
+                assigned.withColumn("__cell_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__cell_n") <= max_cell)
+                .drop("__cell_n")
+            )
+    elif max_cell is not None:
         ok = (
             assigned.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n"))

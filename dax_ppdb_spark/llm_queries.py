@@ -3089,13 +3089,14 @@ def q_semdedup_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n > SEMDEDUP_FLAT_MAX_ROWS:
         k1, k2 = auto_semdedup_levels(n)
         return semdedup_pairs_two_level(
-            emb, k1, k2, threshold=0.3, sample_mod=2
+            emb, k1, k2, threshold=0.3, sample_mod=2, corpus_count=n
         )
     return semdedup_pairs(
         emb,
         threshold=0.3,
         n_clusters=auto_semdedup_clusters(n),
         sample_mod=2,
+        corpus_count=n,
     ).select("vec_a", "vec_b", "cosine")
 
 
@@ -3174,6 +3175,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_fine=k2,
         threshold=0.3,
         sample_mod=2,
+        corpus_count=n,
     )
 
 
