@@ -117,6 +117,8 @@ def pq_codebooks(
     hash sample once per subspace — at 100 TB each pass reads the
     same sampled GBs (the :func:`kmeans_centroids` contract).
     """
+    from .text import md5_long
+
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("pq_codebooks: empty corpus")
@@ -124,6 +126,31 @@ def pq_codebooks(
     if d % m:
         raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
     sub = d // m
+    # Every subspace trains on the SAME hash-sampled id set (the md5
+    # filter does not depend on the subspace), so when the sample fits
+    # the driver one collect of the FULL vectors funds all m Lloyd
+    # chains: slice the matrix per subspace and run the bit-replayed
+    # local loop (``_lloyd_local`` on a column slice sees exactly the
+    # rows the old per-subspace collect saw, in the same id order).
+    # The previous shape paid m sequential (count + collect) job pairs
+    # — 2m driver-scheduled jobs re-reading the same sample.
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_mod is not None:
+        c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
+    X = _collect_id_sorted_sample(c)
+    if X is not None:
+        import numpy as np
+
+        if len(X) == 0:
+            raise ValueError("pq_codebooks: empty training sample")
+        return [
+            _lloyd_local(
+                np.ascontiguousarray(X[:, s * sub : (s + 1) * sub]), k_cb, iters
+            )
+            for s in range(m)
+        ]
     books = []
     for s in range(m):
         sliced = corpus.select(
@@ -246,36 +273,79 @@ def topk_ivfpq(
     broadcast queries to their cell only (the IVF prune), never the
     full corpus.
     """
+    from .text import md5_long
+
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = kmeans_centroids(corpus, n_clusters, iters, vec_col, id_col, sample_mod)
-    if not cents:
-        raise ValueError("topk_ivfpq: empty corpus")
+    # BOTH quantizer levels train on the same hash-sampled id set (the
+    # md5 filter is subspace- and level-independent), so when the
+    # sample fits the driver, ONE collect funds the whole training
+    # cascade: coarse Lloyd, coarse assignment, exact-IEEE residual
+    # subtraction, and all m residual-subspace Lloyd chains — the
+    # two_level_centroids pattern extended to PQ.  The previous shape
+    # was ~12 sequential driver jobs (coarse count+collect, dim probe,
+    # m x (count + collect) over the checkpointed residual relation).
+    # Distributed fallback (big samples) keeps the old job cascade.
+    tr = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_mod is not None:
+        tr = tr.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
+    X = _collect_id_sorted_sample(tr)
+    books = None
+    if X is not None:
+        import numpy as np
+
+        if len(X) == 0:
+            raise ValueError("topk_ivfpq: empty corpus")
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+        sub = d // m
+        cents = _lloyd_local(X, n_clusters, iters)
+        C = np.array(cents, dtype=np.float64)
+        R = X - C[_assign_local(X, C)]
+        books = [
+            _lloyd_local(
+                np.ascontiguousarray(R[:, s * sub : (s + 1) * sub]), k_cb, pq_iters
+            )
+            for s in range(m)
+        ]
+    else:
+        cents = kmeans_centroids(
+            corpus, n_clusters, iters, vec_col, id_col, sample_mod
+        )
+        if not cents:
+            raise ValueError("topk_ivfpq: empty corpus")
     cdf = corpus.sparkSession.createDataFrame(
         [([[float(x) for x in cc] for cc in cents],)],
         "__cents: array<array<double>>",
     )
-    # The assigned+residual relation feeds m subspace trainings, the
-    # dim probe, and the scoring plan — localCheckpoint so the argmin
-    # assignment pass runs once, not m+2 times per lineage replay.
     t = (
         c.crossJoin(F.broadcast(cdf))
         .withColumn("cid", _argmin_dist(F.col("v"), F.col("__cents")))
         .withColumn("cc", F.element_at(F.col("__cents"), F.col("cid") + 1))
         .drop("__cents")
         .withColumn("r", F.zip_with("v", "cc", lambda a, b: a - b))
-        .localCheckpoint(eager=False)
     )
-    books = pq_codebooks(
-        t.select(F.col("nid"), F.col("r")),
-        m,
-        k_cb,
-        pq_iters,
-        vec_col="r",
-        id_col="nid",
-        sample_mod=sample_mod,
-    )
+    if books is None:
+        # Distributed training consumes t m+2 times (m subspace
+        # trainings, the dim probe, the scoring plan) — localCheckpoint
+        # so the argmin assignment pass runs once per consumer set.
+        # On the fused local path t has exactly ONE consumer (the
+        # reconstruction below), so a checkpoint would be a pure extra
+        # materialization pass.
+        t = t.localCheckpoint(eager=False)
+        books = pq_codebooks(
+            t.select(F.col("nid"), F.col("r")),
+            m,
+            k_cb,
+            pq_iters,
+            vec_col="r",
+            id_col="nid",
+            sample_mod=sample_mod,
+        )
     rec = pq_reconstruct(t, books, vec_col="r", id_col="nid", out_col="rres")
     # cv is DERIVED (coarse + residual reconstruction): no norm
     # precompute — CollapseProject would inline the reconstruction
@@ -524,6 +594,31 @@ def _lloyd_local(X: "np.ndarray", n_clusters: int, iters: int) -> list[list[floa
 LOCAL_TRAIN_ROWS = 100_000
 
 
+def _collect_id_sorted_sample(c: DataFrame):
+    """ONE-job gate-probe + collect for the driver-local training path.
+
+    ``limit(LOCAL_TRAIN_ROWS + 1)`` either returns the ENTIRE sample
+    (a limit past the end is a no-op, so <= LOCAL_TRAIN_ROWS rows means
+    we already hold all of them) or proves the sample is big by
+    returning one row more than the bound.  That replaces the previous
+    persist + count + collect pair (two sequential Spark jobs, each
+    paying scheduler latency) with a single job — and on the BIG-sample
+    path the CollectLimit early-terminates after the first partitions,
+    so the probe is far cheaper than the count it replaces.
+
+    ``c`` must have columns ``(id, v)``.  Returns the id-sorted sample
+    matrix (possibly 0 rows), or ``None`` when the sample exceeds
+    :data:`LOCAL_TRAIN_ROWS` and the caller must run distributed.
+    """
+    import numpy as np
+
+    rows = c.limit(LOCAL_TRAIN_ROWS + 1).collect()
+    if len(rows) > LOCAL_TRAIN_ROWS:
+        return None
+    rows.sort(key=lambda r: r[0])
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -560,6 +655,16 @@ def kmeans_centroids(
     )
     if sample_mod is not None:
         c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
+    # Driver-local fast path: ONE limit-probe job both measures the
+    # gate and collects the whole sample when it fits
+    # (:func:`_collect_id_sorted_sample`) — vs the previous
+    # persist+count+collect pair.  Every Lloyd iteration then runs on
+    # the driver matrix.
+    X = _collect_id_sorted_sample(c)
+    if X is not None:
+        if len(X) == 0:
+            return []
+        return _lloyd_local(X, n_clusters, iters)
     # Persist the projected training sample for the duration of the
     # loop: every Lloyd iteration is a fresh Spark job, and without
     # this each of the iters+1 jobs RE-EXECUTES the sample's entire
@@ -570,19 +675,6 @@ def kmeans_centroids(
     # the unpersist below never invalidates caller-visible lineage.
     c = c.persist()
     try:
-        n_sample = c.count()
-        if n_sample == 0:
-            return []
-        if n_sample <= LOCAL_TRAIN_ROWS:
-            # Driver-local fast path: ONE collect funds every Lloyd
-            # iteration (vs 2+ jobs per iteration re-executing the
-            # sample lineage).  Rows sort by id on the driver so the
-            # init is identical to the distributed orderBy/limit.
-            import numpy as np
-
-            rows = sorted(c.collect(), key=lambda r: r.id)
-            X = np.array([r.v for r in rows], dtype=np.float64)
-            return _lloyd_local(X, n_clusters, iters)
         cents = [r.v for r in c.orderBy("id").limit(n_clusters).collect()]
         for _ in range(iters):
             assigned = assign_cells(c, cents).select("cid", "v")
@@ -702,20 +794,20 @@ def two_level_centroids(
     )
     if sample_mod is not None:
         c = c.filter(md5_long(F.col("id").cast("string")) % sample_mod == 0)
+    # ONE limit-probe job gates AND collects (see
+    # :func:`_collect_id_sorted_sample`); both trainings run local.
+    X = _collect_id_sorted_sample(c)
+    if X is not None:
+        import numpy as np
+
+        if len(X) == 0:
+            return [], []
+        cents1 = _lloyd_local(X, n_coarse, iters)
+        c1 = np.array(cents1)
+        resid = _canonical_residual_local(X - c1[_assign_local(X, c1)])
+        return cents1, _lloyd_local(resid, n_fine, iters)
     c = c.persist()
     try:
-        n_sample = c.count()
-        if n_sample == 0:
-            return [], []
-        if n_sample <= LOCAL_TRAIN_ROWS:
-            import numpy as np
-
-            rows = sorted(c.collect(), key=lambda r: r.id)
-            X = np.array([r.v for r in rows], dtype=np.float64)
-            cents1 = _lloyd_local(X, n_coarse, iters)
-            c1 = np.array(cents1)
-            resid = _canonical_residual_local(X - c1[_assign_local(X, c1)])
-            return cents1, _lloyd_local(resid, n_fine, iters)
         cents1 = kmeans_centroids(c, n_coarse, iters, vec_col="v", id_col="id")
         c1df = c.sparkSession.createDataFrame(
             [(i, cent) for i, cent in enumerate(cents1)],
