@@ -1615,43 +1615,53 @@ def source_overlap_matrix(
     view that tells a datamix owner which sources are near-copies of
     each other before weighting them independently.
 
-    One (source, shingle) distinct relation, self-joined on the
-    shingle — the shingle fingerprinted to a 60-bit md5 long
-    (``text.md5_wide_long``; 32 bits would birthday-collide at corpus
-    scale and inflate every overlap count) at the scan, so every
-    shingle-keyed exchange (the distinct, the cap aggregation, the
-    self-join) shuffles 8-byte keys instead of n-word strings (the
-    same contract note as ``duplicated_span_stats``: a collision
-    merges two shingles identically on both engines).  A pair row appears once per
-    SHARED shingle, so a plain count is the shared-shingle
-    cardinality.  ``max_sources`` is the usual skew guard — a shingle
-    present in more than that many sources (universal boilerplate) is
-    dropped before the pair expansion, bounding the per-shingle
-    fan-out at ``max_sources^2`` instead of (number of domains)^2.
+    ONE shingle-keyed aggregation — the shingle fingerprinted to a
+    60-bit md5 long (``text.md5_wide_long``; 32 bits would
+    birthday-collide at corpus scale and inflate every overlap count)
+    at the scan, so the only shingle exchange shuffles 8-byte keys
+    plus map-side-deduped source sets (``collect_set`` partials
+    absorb a source's repeated shingles before the wire, playing the
+    old ``distinct``'s role without its exchange).  Each surviving
+    shingle expands its sorted source set to ordered pairs IN-ROW
+    (``source_a < source_b`` by construction), so a pair row appears
+    once per SHARED shingle and a plain count is the shared-shingle
+    cardinality — row-identical to the former distinct + cap-count +
+    self-join shape, which paid 4 parquet scans and ~9 exchanges for
+    the same arithmetic.  ``max_sources`` is the usual skew guard — a
+    shingle present in more than that many sources (universal
+    boilerplate) is dropped before the pair expansion, bounding the
+    per-shingle fan-out at ``max_sources^2`` instead of (number of
+    domains)^2; the aggregation state for such a shingle is one
+    source-id set, bounded by the DOMAIN count, never the corpus.
     """
     from .text import md5_wide_long
 
-    ss = (
+    srcs = (
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
         )
         .select("source", md5_wide_long(F.col("sh")).alias("sh"))
-        .distinct()
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
     if max_sources is not None:
-        ok = (
-            ss.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("ns"))
-            .filter(F.col("ns") <= max_sources)
-            .select("sh")
+        srcs = srcs.filter(F.size("srcs") <= max_sources)
+    s = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
         )
-        ss = ss.join(ok, "sh")
-    a = ss.select(F.col("sh"), F.col("source").alias("source_a"))
-    b = ss.select(F.col("sh"), F.col("source").alias("source_b"))
+    )
     return (
-        a.join(b, "sh")
-        .filter(F.col("source_a") < F.col("source_b"))
+        srcs.select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
