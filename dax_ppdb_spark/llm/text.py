@@ -337,6 +337,76 @@ def doc_fingerprint(text: Column) -> Column:
     return total % HASH_PRIME
 
 
+BPE_LOCAL_VOCAB_ROWS = 100_000
+
+
+def _bpe_learn_merges_local(
+    spark, rows, n_merges, batch_size, rounds, _with_vocab
+):
+    """Driver-local replay of the :func:`bpe_learn_merges` loop over a
+    collected vocabulary — bit-identical selection and application
+    (see the fast-path comment at the call site for the order/
+    tie-break argument)."""
+    import math
+
+    vocab = [(r["w"], r["freq"], list(r["s"])) for r in rows]
+    results: list[tuple] = []
+    if rounds is None:
+        rounds = math.ceil(n_merges / batch_size)
+    for _ in range(rounds):
+        if len(results) >= n_merges:
+            break
+        cnt: dict = {}
+        for _w, freq, s in vocab:
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    k = (s[i], s[i + 1])
+                    cnt[k] = cnt.get(k, 0) + freq
+        cand = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        cand = cand[: 8 * batch_size]
+        used: set = set()
+        batch = []
+        for (a, b), c in cand:
+            if len(batch) >= batch_size:
+                break
+            if a in used or b in used:
+                continue
+            used.add(a)
+            used.add(b)
+            batch.append((a, b, c))
+        if not batch:
+            break
+        for a, b, c in batch:
+            results.append((len(results) + 1, a, b, a + b, c))
+        mm = {a: b for a, b, _c in batch}
+
+        def _apply(s):
+            out = []
+            n = len(s)
+            for i in range(1, n + 1):
+                prev_start = i > 1 and mm.get(s[i - 2]) == s[i - 1]
+                here_start = i < n and mm.get(s[i - 1]) == s[i]
+                if prev_start:
+                    continue
+                if here_start:
+                    out.append(s[i - 1] + s[i])
+                else:
+                    out.append(s[i - 1])
+            return out
+
+        vocab = [(w_, freq, _apply(s)) for w_, freq, s in vocab]
+    merges = spark.createDataFrame(
+        results[:n_merges],
+        "rank LONG, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
+    )
+    if _with_vocab:
+        vdf = spark.createDataFrame(
+            vocab, "w STRING, freq LONG, s ARRAY<STRING>"
+        )
+        return merges, vdf
+    return merges
+
+
 def bpe_learn_merges(
     docs,
     n_merges: int = 8,
@@ -418,8 +488,23 @@ def bpe_learn_merges(
                 lambda i: F.col("w").substr(i, F.lit(1)),
             ),
         )
-        .localCheckpoint(eager=False)
     )
+    # Driver-local fast path: every training round is ONE pair-count
+    # aggregation over the VOCABULARY plus a top-K collect — when the
+    # vocab itself fits the driver, one limit-probe collect funds the
+    # entire loop (the ANN trainers' _collect_id_sorted_sample
+    # pattern), replacing rounds x (job + exchange + collect) of pure
+    # scheduler latency.  The local replay is value-exact: integer
+    # pair counts, (cnt DESC, a ASC, b ASC) candidate order (Python
+    # str compares by code point; UTF-8 binary order used by Spark is
+    # code-point order, so ties break identically), the same
+    # greedy-disjoint batch, and the same position-local merge rule.
+    lrows = w.limit(BPE_LOCAL_VOCAB_ROWS + 1).collect()
+    if len(lrows) <= BPE_LOCAL_VOCAB_ROWS:
+        return _bpe_learn_merges_local(
+            spark, lrows, n_merges, batch_size, rounds, _with_vocab
+        )
+    w = w.localCheckpoint(eager=False)
     results: list[tuple] = []
     if rounds is None:
         rounds = math.ceil(n_merges / batch_size)

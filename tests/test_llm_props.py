@@ -870,6 +870,44 @@ def test_bpe_batched_matches_bruteforce(spark, data, n_merges, batch):
     assert got == want[:n_merges]
 
 
+def test_bpe_local_and_distributed_lanes_equal(spark, monkeypatch):
+    """The driver-local BPE fast path (vocab fits the limit-probe
+    collect) must be row-identical to the distributed training loop —
+    merges AND the fully-merged vocabulary — on a corpus with ties,
+    repeated words, batching, and an early-stopping word."""
+    from dax_ppdb_spark.llm import text as text_mod
+
+    data = [
+        "abab abab cdcd",
+        "abab cdcd cdcd efef",
+        "ab cd ef gh gh",
+        "x",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id LONG, text STRING"
+    )
+
+    def run(with_vocab):
+        out = {}
+        for batch in (1, 3):
+            m, v = text_mod.bpe_learn_merges(
+                docs, n_merges=5, batch_size=batch, _with_vocab=True
+            )
+            out[batch] = (
+                [tuple(r) for r in m.orderBy("rank").collect()],
+                sorted(
+                    (r["w"], r["freq"], tuple(r["s"])) for r in v.collect()
+                ),
+            )
+        return out
+
+    local = run(True)
+    monkeypatch.setattr(text_mod, "BPE_LOCAL_VOCAB_ROWS", 0)
+    dist = run(True)
+    assert local == dist
+    assert local[1][0]  # non-degenerate: merges were actually learned
+
+
 @settings(**SETTINGS)
 @given(
     threshold=st.floats(min_value=0.3, max_value=0.95),
