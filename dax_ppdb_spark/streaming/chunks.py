@@ -19,6 +19,67 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _await_drain(query, stall_timeout: float) -> bool:
+    """Wait for an ``AvailableNow`` drain to terminate, polling so a
+    wedged py4j callback can never park the caller forever.  Returns
+    True on normal termination, False once no micro-batch has
+    committed for ``stall_timeout`` seconds (progress is read from
+    ``lastProgress`` — a stalled ``foreachBatch`` stops producing it).
+    """
+    import time
+
+    last_key, last_t = None, time.monotonic()
+    while not query.awaitTermination(5.0):
+        p = query.lastProgress
+        key = (p["batchId"], p["timestamp"]) if p else None
+        if key != last_key:
+            last_key, last_t = key, time.monotonic()
+        elif time.monotonic() - last_t > stall_timeout:
+            return False
+    return True
+
+
+def _reset_callback_server(spark: SparkSession) -> None:
+    """Force-recover the py4j callback server after a wedged
+    ``foreachBatch`` dispatch.
+
+    Observed failure (twice, once on an otherwise idle box): the JVM
+    stream-execution thread parks in ``CallbackClient.sendCommand``
+    waiting for the Python ``foreachBatch`` reply while the kernel
+    shows the JVM's callback CONNECTION SITTING UNACCEPTED in the
+    Python ``CallbackServer``'s listen backlog (ESTAB, Recv-Q > 0, no
+    owning fd) — py4j's accept loop has stopped accepting, so the call
+    can never be served and the drain never terminates.  Closing the
+    server socket directly (lock-free — the graceful ``shutdown()``
+    path takes the server lock, which may be party to the wedge) RSTs
+    the backlog connection, which surfaces in the JVM as an
+    IOException on the blocked read -> the micro-batch fails -> the
+    query terminates; a fresh callback server on a new port is then
+    installed via the same ``resetCallbackClient`` path PySpark uses
+    at startup, and the idempotent re-drain replays only uncommitted
+    batches.
+    """
+    import threading
+
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    gw = spark.sparkContext._gateway
+    cbs = gw.__dict__.get("_callback_server")
+    if cbs is not None:
+        try:
+            cbs.server_socket.close()
+        except Exception:
+            pass
+        # Graceful close of any surviving per-connection threads; on a
+        # daemon thread with a bounded join because shutdown() takes
+        # the server lock that may be part of the original deadlock.
+        t = threading.Thread(target=cbs.shutdown, daemon=True)
+        t.start()
+        t.join(10.0)
+        gw._callback_server = None
+    ensure_callback_server_started(gw)
+
+
 def stream_chunks(
     spark: SparkSession,
     source_path: str,
@@ -26,6 +87,8 @@ def stream_chunks(
     checkpoint: str,
     process_batch,
     max_files_per_trigger: int = 64,
+    stall_timeout: float = 300.0,
+    max_restarts: int = 2,
 ) -> None:
     """Process newly landed chunk files exactly once per restart cycle.
 
@@ -37,19 +100,61 @@ def stream_chunks(
     file source batches in modification-time order); 1 makes each
     landed file its own batch — the deterministic-replay shape the
     batch-twin oracle query uses.
+
+    The drain is supervised: if no micro-batch commits for
+    ``stall_timeout`` seconds (the observed py4j callback wedge — see
+    :func:`_reset_callback_server`), the callback server is recovered
+    and the query restarted on the same checkpoint, up to
+    ``max_restarts`` times.  Restart safety is the operator's existing
+    exactly-once contract: committed batches are never redelivered and
+    ``process_batch`` is idempotent under redelivery of the one
+    in-flight batch.
     """
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_path)
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_path)
+        )
+        return (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    attempts = max_restarts + 1
+    for attempt in range(attempts):
+        query = _start()
+        try:
+            if _await_drain(query, stall_timeout):
+                return
+        except Exception:
+            # The query failed — including the failure injected by the
+            # callback-server reset of the PREVIOUS attempt racing this
+            # one.  The last attempt propagates; earlier ones re-drain.
+            if attempt == attempts - 1:
+                raise
+        _reset_callback_server(spark)
+        try:
+            query.stop()
+        except Exception:
+            pass
+        # Two active queries on one checkpoint are rejected — wait for
+        # the wedged one to actually terminate (the reset makes its
+        # blocked read fail promptly) before restarting.
+        import time as _time
+
+        for _ in range(120):
+            if not query.isActive:
+                break
+            _time.sleep(0.5)
+    raise RuntimeError(
+        f"stream_chunks: drain stalled {attempts}x (no batch progress "
+        f"for {stall_timeout}s each); py4j callback recovery did not "
+        "unstick it"
     )
-    query = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
 
 
 def session_event_counts(

@@ -109,6 +109,44 @@ def test_stream_chunks_drains_available_files(spark, tmp_path):
     assert seen == []
 
 
+def test_stream_chunks_recovers_from_stalled_batch(spark, tmp_path):
+    """The drain watchdog: a micro-batch that makes no progress past
+    ``stall_timeout`` is treated as the observed py4j callback wedge —
+    the callback server is recycled, the query restarted on the same
+    checkpoint, and the batch REPLAYED (idempotent by the operator's
+    exactly-once contract).  Pins the recovery loop end-to-end: every
+    row is processed despite the first delivery stalling, and the
+    stalled delivery is re-delivered rather than skipped."""
+    import threading
+    import time
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.write.parquet(os.path.join(src, "batch0"))
+    processed: set[int] = set()
+    deliveries: list[int] = []
+    stalled_once = threading.Event()
+
+    def handle(batch_df, batch_id):
+        deliveries.append(batch_id)
+        if not stalled_once.is_set():
+            stalled_once.set()
+            time.sleep(12)  # well past stall_timeout: wedge the drain
+        processed.update(r.v for r in batch_df.collect())
+
+    stream_chunks(
+        spark,
+        src + "/*",
+        df.schema,
+        str(tmp_path / "ckpt"),
+        handle,
+        stall_timeout=3.0,
+    )
+    assert processed == set(range(10))
+    assert len(deliveries) >= 2  # stalled delivery + its replay
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     t = datetime.datetime(2026, 1, 1, 0, 0, 0)
     rows = [
