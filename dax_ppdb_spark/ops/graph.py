@@ -111,55 +111,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return to_u.unionByName(to_v).distinct()
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
-    """Single-task min-root union-find over a one-partition edge set.
-
-    The hybrid fast path for graphs the size probe measured as tiny
+def _driver_components(spark, pdf, node_type: str) -> DataFrame:
+    """Min-root union-find over an edge set already on the driver —
+    the hybrid fast path for graphs the size probe measured as tiny
     (the usual case: LSH-capped near-dup edges are a sliver of the
-    corpus): the star loop would pay ~log(n) rounds of 3-4 shuffle
-    stages each plus a driver convergence probe per round, all to
-    converge a graph that fits ONE task.  Instead the edges coalesce
-    to one partition and a union-find runs inside a single
-    ``mapInPandas`` job — same (node, min-id component) output, same
-    determinism (depends only on the edge set), one job instead of
-    ~10.  This is the same local-vs-distributed switch AQE makes for
-    joins, applied to the iterative operator; graphs above the
-    threshold never take this path.
+    corpus).
+
+    The count fingerprint that decides the lane has already
+    materialized the checkpointed edge blocks, so collecting them and
+    running the union-find HERE costs one cheap cached read: the star
+    loop would pay
+    ~log(n) rounds of 3-4 shuffle stages each plus a driver
+    convergence probe per round, and the earlier executor variant
+    (``coalesce(1).mapInPandas``) still paid a Python-worker stage
+    with no parallelism in it.  Same (node, min-id component) output,
+    same determinism (depends only on the edge *set* — duplicate or
+    reordered edges union identically, and the min-id root rule keeps
+    each tree's root at the component minimum throughout).  As a local
+    relation the result also broadcasts into downstream joins at plan
+    time instead of riding a one-partition shuffle.
 
     Type-preserving like the star path: node ids may be any orderable
     type (long doc ids, string content hashes) — the output schema
-    mirrors the edge column type and values are never coerced.
+    mirrors the edge column type and values are never coerced (pandas
+    round-trips longs/strings losslessly, and Python's code-point
+    string order equals Spark's UTF-8 binary order, so the min-id
+    labels match the executor lanes exactly).
     """
     import pandas as pd
 
-    node_type = edges.schema["src"].dataType.simpleString()
+    parent: dict = {}
 
-    def find_all(batches):
-        parent: dict = {}
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for pdf in batches:
-            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # min-id root so the final label IS the component min
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        nodes = sorted(parent)
-        yield pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
-
-    return edges.coalesce(1).mapInPandas(
-        find_all, f"node {node_type}, component {node_type}"
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so the final label IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted(parent)
+    out = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+    return spark.createDataFrame(
+        out, schema=f"node {node_type}, component {node_type}"
     )
 
 
@@ -177,18 +180,19 @@ def connected_components(
     appear in an edge list, so callers join the result back to their
     entity table and ``coalesce`` to the node's own id.
 
-    Hybrid execution: the deduped edge count (measured by the same
-    one-job fingerprint probe the loop uses) picks the strategy —
-    at or below ``local_threshold`` edges, a single-task union-find
-    (:func:`_local_components`, one job); above it, the
-    large-star/small-star rounds.  Both produce identical output.
+    Hybrid execution: the deduped edge count (the one-job fingerprint
+    probe the star loop needs anyway) picks the strategy — at or below
+    ``local_threshold`` edges the materialized blocks collect to the
+    driver and a union-find labels them there
+    (:func:`_driver_components`); above it, the large-star/small-star
+    rounds.  Both produce identical output.
     The 1M default is pinned by a measured sweep
     (tools/graph_bench.py, BASELINE.md "connected_components
     local-vs-star sweep"): local wins 4-10x up to 1M edges and the
     time crossover extrapolates to ~8-10M, but a 1M-edge task's
-    union-find dict is already ~200-400 MB of Python heap, so the
-    pin leaves memory headroom on ordinary executors rather than
-    chasing the last measured factor.
+    union-find dict is already ~200-400 MB of Python heap (now on the
+    DRIVER, plus the ~16 MB probe collect), so the pin leaves memory
+    headroom rather than chasing the last measured factor.
 
     Deterministic: output depends only on the edge *set*.  Raises if
     the star rounds have not converged after ``max_iterations`` (at
@@ -242,7 +246,18 @@ def connected_components(
             F.col("src").alias("node"), F.col("dst").alias("component")
         )
     if cur_fp[0] <= local_threshold:
-        return _local_components(cur)
+        # The fingerprint already materialized the checkpoint blocks,
+        # so this collect is a cheap cached read (~16 MB of (src, dst)
+        # pairs at the 1M bound — model-sized, like every trainer
+        # collect).  NOT a limit() probe: CollectLimit's incremental
+        # take (1, 4, 16... partitions) re-runs the pair pipeline's
+        # reduce stages once per escalation on a lazily-checkpointed
+        # input — measured 1.9 s -> 6.2 s build on dedup_clusters.
+        return _driver_components(
+            edges.sparkSession,
+            cur.toPandas(),
+            edges.schema[src].dataType.simpleString(),
+        )
     cur = _squeeze(cur, cur_fp[0])
     # Same metadata-driven sizing for the rounds' SHUFFLES: each star
     # round is 4-5 shuffle stages, and on a small graph 32-partition

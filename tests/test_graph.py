@@ -130,6 +130,26 @@ def test_interleaved_cc_calls_leave_session_conf_untouched(spark):
     assert leftovers == []
 
 
+def test_probe_boundary_picks_the_same_lanes(spark):
+    """The limit(threshold+1) probe must reproduce the old count-based
+    lane decision EXACTLY at the boundary: threshold == n_edges takes
+    the driver lane, threshold == n_edges - 1 takes the star loop, and
+    both label identically (duplicate input edges collapse before the
+    probe, so they cannot tip the decision)."""
+    edges = [(1, 2), (2, 3), (10, 11), (1, 2), (2, 1)]  # 3 distinct
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    at = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=3).collect()
+    }
+    below = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=2).collect()
+    }
+    assert at == below == expect
+
+
 # --- property: both strategies equal a reference union-find on random
 # graphs (round 12 — the local_threshold re-pin to 1M makes path
 # equivalence THE invariant: whichever side of the threshold a corpus
