@@ -81,14 +81,32 @@ def hashed_logistic_train(
     ``w_j += (lr * g_j) / n`` — the model is ``dim+1`` numbers, the
     only thing that ever leaves the executors.
     """
-    tk = docs.select(
+    tk = _tokenized(docs, label_col, dim, text_col, id_col)
+    return _train_on_tokens(tk, dim, rounds, lr)
+
+
+def _tokenized(
+    docs: DataFrame, label_col: str, dim: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The checkpointed ``(doc_id, y, hj)`` training relation — built
+    once; the gradient rounds AND the one-shot scoring pass both read
+    its materialized blocks, so the corpus is tokenized exactly once
+    per train-and-score call."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("double").alias("y"),
         _hashed_tokens(F.col(text_col), dim).alias("hj"),
     ).localCheckpoint(eager=False)
-    n = tk.count()
-    if n == 0:
-        raise ValueError("hashed_logistic_train: empty training set")
+
+
+def _train_on_tokens(
+    tk: DataFrame, dim: int, rounds: int, lr: float
+) -> list[float]:
+    n: int | None = None
+    if rounds <= 0:
+        n = tk.count()
+        if n == 0:
+            raise ValueError("hashed_logistic_train: empty training set")
     w = [0.0] * (dim + 1)
     for _ in range(rounds):
         wx = _dot(F.col("hj"), w, dim)
@@ -102,9 +120,18 @@ def hashed_logistic_train(
                 ).alias("j"),
             )
             .groupBy("j")
-            .agg(F.sum("rd").alias("g"))
+            # count rides the same aggregation: the bias feature (j =
+            # dim) appears exactly once per doc, so its group count IS
+            # the training-set size — the separate n = tk.count() job
+            # (which also paid the checkpoint materialization up
+            # front) is gone.
+            .agg(F.sum("rd").alias("g"), F.count(F.lit(1)).alias("c"))
             .collect()
         )
+        if n is None:
+            n = next((int(r["c"]) for r in grads if int(r["j"]) == dim), 0)
+            if n == 0:
+                raise ValueError("hashed_logistic_train: empty training set")
         g = {int(r["j"]): r["g"] for r in grads}
         w = [
             w[j] + (lr * float(g.get(j, 0))) / n
@@ -144,8 +171,19 @@ def train_and_score(
 ) -> DataFrame:
     """Fit on the labeled relation, score the SAME relation — the
     one-shot evaluation form (production splits train/apply across
-    relations; both halves are the functions above)."""
-    w = hashed_logistic_train(
-        docs, label_col, dim, rounds, lr, text_col, id_col
+    relations; both halves are the functions above).
+
+    Scoring reads the training pass's checkpointed ``(doc_id, hj)``
+    relation instead of re-tokenizing the corpus: the hashed features
+    are deterministic, so the scores are bit-identical and the second
+    full tokenize pass (previously the whole execute-side cost) is
+    gone."""
+    tk = _tokenized(docs, label_col, dim, text_col, id_col)
+    w = _train_on_tokens(tk, dim, rounds, lr)
+    wx = _dot(F.col("hj"), w, dim)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-wx)), 6) + F.lit(0.0)
+    return tk.select(
+        F.col("doc_id").alias(id_col),
+        score.alias("score"),
+        (score >= 0.5).alias("predicted"),
     )
-    return hashed_logistic_score(docs, w, dim, text_col, id_col)

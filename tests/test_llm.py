@@ -2049,6 +2049,37 @@ def test_hashed_logistic_matches_bruteforce(spark):
         assert got[i] == r6(1.0 / (1.0 + math.exp(-wx))) + 0.0
 
 
+def test_train_and_score_equals_separate_train_then_score(spark):
+    """train_and_score scores from the checkpointed (doc_id, hj)
+    training relation instead of re-tokenizing the corpus; the hashed
+    features are deterministic, so it must be ROW-IDENTICAL to the
+    two-call form (train, then score the raw relation)."""
+    from dax_ppdb_spark.llm.classify import (
+        hashed_logistic_score,
+        hashed_logistic_train,
+        train_and_score,
+    )
+
+    data = [
+        (0, "alpha beta gamma alpha", 1.0),
+        (1, "delta beta", 0.0),
+        (2, "gamma gamma epsilon", 1.0),
+        (3, "zeta", 0.0),
+        (4, "", 1.0),
+    ]
+    docs = spark.createDataFrame(data, "doc_id LONG, text STRING, label DOUBLE")
+    fused = {
+        r.doc_id: (r.score, r.predicted)
+        for r in train_and_score(docs, "label", dim=8, rounds=3, lr=0.5).collect()
+    }
+    w = hashed_logistic_train(docs, "label", dim=8, rounds=3, lr=0.5)
+    split = {
+        r.doc_id: (r.score, r.predicted)
+        for r in hashed_logistic_score(docs, w, dim=8).collect()
+    }
+    assert fused == split
+
+
 def test_embedding_neardup_target_recall_wiring(spark):
     """target_recall threads through to auto_bands: the banded run
     uses the model-derived band count (more bands than the default 8
