@@ -117,7 +117,11 @@ def _guarded_ceil(x) -> "Column":
 
 
 def _rarity_prefix(
-    inv: DataFrame, df_tbl: DataFrame, threshold: float, absent_df: int | None = None
+    inv: DataFrame,
+    df_tbl: DataFrame,
+    threshold: float,
+    absent_df: int | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Keep each doc's prefix — its ``n_sh - ceil(t * n_sh) + 1``
     rarest shingles under the global (df, shingle) order — from an
@@ -127,6 +131,12 @@ def _rarity_prefix(
     prefix bound lossless.  The guarded ``ceil`` (:func:`_guarded_ceil`)
     ensures a float product above an exact integer can only LENGTHEN a
     prefix, at any set size.
+
+    ``with_pos=True`` additionally returns each kept shingle's ``df``
+    and its 1-based rank ``__pos`` in the doc's global (df, shingle)
+    order — the inputs of the PPJoin positional filter (every doc
+    sorts by the SAME global key, so rank is monotone in that order
+    across docs).
     """
     from pyspark.sql import Window
 
@@ -144,10 +154,13 @@ def _rarity_prefix(
         - _guarded_ceil(F.col("n_sh") * F.lit(threshold)).cast("int")
         + 1
     )
+    cols = ["doc_id", "n_sh", "shingle"] + (
+        ["df", "__pos"] if with_pos else []
+    )
     return (
         ranked.withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= pref_len)
-        .select("doc_id", "n_sh", "shingle")
+        .select(*cols)
     )
 
 
@@ -228,7 +241,12 @@ def jaccard_prefix_pairs(
     while the hottest (highest-df) shingles fall out of most prefixes
     automatically and candidate fan-out tracks rare-shingle df, not
     boilerplate df.  A length filter (min size >= ceil(t * max size))
-    prunes further; survivors are verified with an exact per-pair
+    prunes further, and the PPJoin POSITIONAL filter (Xiao et al.,
+    WWW 2008) prunes again at each pair's first common shingle in the
+    global (df, shingle) order: overlap <= 1 + min(suffix lengths), so
+    pairs that cannot reach ceil(t/(1+t) * (n_a+n_b)) common shingles
+    never enter the verification joins — both filters lossless.
+    Survivors are verified with an exact per-pair
     ``array_intersect``.
 
     Scale shape: df aggregation, one doc-partitioned window to rank
@@ -267,23 +285,75 @@ def jaccard_prefix_pairs(
     )
     inv = sh.select("doc_id", "n_sh", F.explode("shs").alias("shingle"))
     df_tbl = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    prefix = _rarity_prefix(inv, df_tbl, threshold)
+    prefix = _rarity_prefix(inv, df_tbl, threshold, with_pos=True)
     members = (
         prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n_sh"))).alias("ms"))
+        .agg(
+            F.first("df").alias("df"),
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "n_sh", "__pos"))
+            ).alias("ms"),
+        )
         .filter(F.size("ms") > 1)
     )
-    cand = (
-        members.select(_expand_member_pairs("ms", "n_sh").alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    # Pair expansion carries each entry's (df, shingle) order key and
+    # both members' prefix ranks, feeding the PPJoin POSITIONAL filter
+    # (Xiao et al., WWW 2008) below.
+    expanded = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_sh"].alias("n_a"),
+                        y["n_sh"].alias("n_b"),
+                        x["__pos"].alias("pa"),
+                        y["__pos"].alias("pb"),
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = (
+        members.select("df", "shingle", expanded.alias("p"))
+        .select("df", "shingle", "p.*")
         # length filter: jaccard <= min/max of the set sizes
         .filter(
             F.least("n_a", "n_b")
             >= _guarded_ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
     )
+    # One aggregation plays the old distinct's role AND finds each
+    # pair's FIRST common shingle in the global (df, shingle) order.
+    # Every doc lists its shingles in that same global order, so any
+    # common shingle ordered before this entry would sit at a smaller
+    # rank in BOTH prefixes and the pair would have been generated
+    # under it — hence at the minimum entry there are no common
+    # shingles before it, and the total overlap is bounded by
+    # 1 + min(suffix lengths after the entry's ranks).  Dropping pairs
+    # whose bound cannot reach the required overlap
+    # alpha = ceil(t/(1+t) * (n_a+n_b))  (J >= t  <=>  I >= alpha)
+    # is LOSSLESS (the guarded ceil errs downward: alpha can only
+    # shrink, keeping more candidates).  Verification below stays the
+    # exact per-pair intersection; this only shrinks how many pairs
+    # ride the array-attach joins.
+    first = pairs.groupBy("doc_a", "doc_b").agg(
+        F.min(F.struct("df", "shingle", "pa", "pb", "n_a", "n_b")).alias("e")
+    )
+    alpha = _guarded_ceil(
+        (F.col("e.n_a") + F.col("e.n_b"))
+        * F.lit(threshold / (1.0 + threshold))
+    )
+    cand = first.filter(
+        F.lit(1)
+        + F.least(
+            F.col("e.n_a") - F.col("e.pa"), F.col("e.n_b") - F.col("e.pb")
+        )
+        >= alpha
+    ).select("doc_a", "doc_b")
     sa = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("__sa"),
