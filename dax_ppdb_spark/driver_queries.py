@@ -1079,28 +1079,48 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The round-13 promise is KEPT IN FULL: all 37 r11-green overflow
 # deferrals (revenue_by_nation ... semdedup — two rounds externally
 # stale, ineligible to tail again) re-head this round.  Also heading:
-# the three queries round 14 touches — dup_substrings and
-# substring_span_removal (the ExactSubstr long/non-ASCII hardening:
-# slice-window fingerprint build + interval-complement rebuild) and
-# stream_curated (crash-atomic landing-file staging) — plus 10
-# risk-first discretionary re-heads drawn from the r12-green group
-# now on its second tail round, chosen to thin round 15's mandatory
-# set and cover the perf-sensitive families: dedup_clusters (this
-# round's noise-adjudicated bench row), ann_index_persisted +
-# ann_index_pq (persisted-index ensure gates), ann_topk_kmeans +
-# ann_topk_pq, dedup_minhash_lsh, quality_classifier,
-# dedup_embedding_banded, leak_safe_split, bpe_merges.
-# 37 + 3 + 10 = 50.
+# dup_substrings + substring_span_removal (ExactSubstr long/non-ASCII
+# hardening) and stream_curated (crash-atomic staging + drain
+# watchdog); eight touched discretionary re-heads (dedup_clusters,
+# leak_safe_split, quality_classifier, bpe_merges, ann_topk_kmeans,
+# ann_topk_pq, ann_index_persisted, ann_index_pq — all on this
+# round's optimization call graph); and the round's two deepest
+# algorithmic rewrites swapped in from the tail: dedup_jaccard_prefix
+# (PPJoin positional candidate filter) and source_overlap (self-join
+# collapsed to one shingle aggregation).  37 + 3 + 8 + 2 = 50.
 #
-# Tail contents: the 47 rows green in CORRECTNESS_r13 whose
-# implementation round 14 does not touch (one round externally
-# stale), then the remaining 28 r12-green rows on their SECOND tail
-# round — at the policy's staleness bound, so round 15 MUST re-head
-# all 28 (plus anything round 15 touches; 28 + churn fits the 50-row
-# window with 22 slots spare, which is what the deferred
-# `_read_events` except-narrowing fix is budgeted against).
+# OPTIMIZATION-ROUND EXCEPTION (documented deviation from rule 2,
+# round 14 only): this round exists to optimize operators, and its
+# touched-query set (22 externally-visible queries) plus the 37
+# mandatory staleness re-heads exceeds the 50-row head.  Rule 1's
+# staleness bound is hard (the 37 cannot tail), so after heading
+# every touched query the head budget allows, EIGHT touched rows
+# remain tailed under rule 3's compensating control, each with a
+# same-session full-registry oracle pass at sf0.01 AND a targeted or
+# `make check` pass at sf0.1: semdedup_flat + knn_label_noise +
+# embedding_outliers + audit_quarantine_curate (ANN trainer fusion /
+# shared-exchange call graph; the trainer rewrites are additionally
+# bit-replay-pinned by tests and exercised externally through the
+# HEADED ann_* rows that share every code path), bpe_merges_batched
+# (local-lane equivalence pytest-pinned; bpe_merges heads),
+# dedup_keep_best (downstream of the CC driver lane; dedup_clusters
+# and leak_safe_split head the same lane), and dedup_incr_prefix +
+# dedup_index_probe + dedup_recall (call _rarity_prefix, whose change
+# is a pass-through parameter — their plans are bit-identical to
+# r13).  Round 15 MUST re-head all eight alongside its other
+# mandates.
+#
+# Tail contents: 45 rows green in CORRECTNESS_r13 whose output-
+# affecting implementation round 14 does not change beyond the
+# exception above (one round externally stale), then 30 r12-green
+# rows on their SECOND tail round (incl. dedup_minhash_lsh and
+# dedup_embedding_banded, tailed to fund the two swap-ins) — at the
+# staleness bound, so round 15 MUST re-head all 30 (plus the 8
+# exception rows and anything round 15 touches; 38 + churn fits the
+# 50-row window with ~12 slots spare).
 _VERIFY_TAIL = (
-    # 47 r13-green, implementation untouched this round
+    # 45 r13-green, output-affecting implementation untouched this
+    # round (the 8 optimization-round exception rows are flagged)
     "latest_only",
     "existence_probe",
     "notin_filter",
@@ -1127,10 +1147,9 @@ _VERIFY_TAIL = (
     "intersect_ids",
     "distinct_sketch",
     "count_anomalies",
-    "dedup_jaccard_prefix",
-    "dedup_index_probe",
-    "dedup_incr_prefix",
-    "dedup_recall",
+    "dedup_index_probe",   # exception row (plan-identical to r13)
+    "dedup_incr_prefix",   # exception row (plan-identical to r13)
+    "dedup_recall",        # exception row (plan-identical to r13)
     "stratified_sample",
     "doc_chunks",
     "shard_pack",
@@ -1140,15 +1159,14 @@ _VERIFY_TAIL = (
     "sequence_pack",
     "url_dedup",
     "text_clean",
-    "semdedup_flat",
-    "source_overlap",
+    "semdedup_flat",       # exception row (one-exchange pair shape)
     "mixture_sample",
     "dedup_paragraphs",
     "bigram_lm_score",
-    "knn_label_noise",
-    "embedding_outliers",
-    "audit_quarantine_curate",
-    # 28 r12-green on their SECOND tail round (MUST re-head round 15)
+    "knn_label_noise",     # exception row (ANN trainer fusion)
+    "embedding_outliers",  # exception row (ANN trainer fusion)
+    "audit_quarantine_curate",  # exception row (trainer call graph)
+    # 30 r12-green on their SECOND tail round (MUST re-head round 15)
     "validity_fill",
     "validity_fill_pruned",
     "rank_versions",
@@ -1173,10 +1191,12 @@ _VERIFY_TAIL = (
     "ann_topk_multiprobe",
     "ann_topk_ivf",
     "split_assign",
-    "bpe_merges_batched",
+    "bpe_merges_batched",  # exception row (local training lane)
     "decontaminate",
-    "dedup_keep_best",
+    "dedup_keep_best",     # exception row (CC driver lane downstream)
     "dedup_span_removal",
+    "dedup_minhash_lsh",
+    "dedup_embedding_banded",
 )
 
 
