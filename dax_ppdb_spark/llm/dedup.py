@@ -289,16 +289,14 @@ def jaccard_prefix_pairs(
     members = (
         prefix.groupBy("shingle")
         .agg(
-            F.first("df").alias("df"),
             F.sort_array(
                 F.collect_set(F.struct("doc_id", "n_sh", "__pos"))
             ).alias("ms"),
         )
         .filter(F.size("ms") > 1)
     )
-    # Pair expansion carries each entry's (df, shingle) order key and
-    # both members' prefix ranks, feeding the PPJoin POSITIONAL filter
-    # (Xiao et al., WWW 2008) below.
+    # Pair expansion carries both members' prefix ranks, feeding the
+    # PPJoin POSITIONAL filter (Xiao et al., WWW 2008) below.
     expanded = F.explode(
         F.flatten(
             F.transform(
@@ -318,39 +316,56 @@ def jaccard_prefix_pairs(
         )
     )
     pairs = (
-        members.select("df", "shingle", expanded.alias("p"))
-        .select("df", "shingle", "p.*")
+        members.select(expanded.alias("p"))
+        .select("p.*")
         # length filter: jaccard <= min/max of the set sizes
         .filter(
             F.least("n_a", "n_b")
             >= _guarded_ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
         )
     )
-    # One aggregation plays the old distinct's role AND finds each
-    # pair's FIRST common shingle in the global (df, shingle) order.
-    # Every doc lists its shingles in that same global order, so any
-    # common shingle ordered before this entry would sit at a smaller
-    # rank in BOTH prefixes and the pair would have been generated
-    # under it — hence at the minimum entry there are no common
-    # shingles before it, and the total overlap is bounded by
-    # 1 + min(suffix lengths after the entry's ranks).  Dropping pairs
-    # whose bound cannot reach the required overlap
+    # One aggregation plays the old distinct's role AND accumulates the
+    # pair's ENTIRE common-prefix evidence (PPJoin's positional filter
+    # in its accumulated form).  Every doc lists its shingles in the
+    # same global (df, shingle) order, so the pair's common prefix
+    # entries are EXACTLY the common shingles ordered at or before the
+    # LAST such entry: any common shingle ordered earlier sits at a
+    # smaller rank than that entry in BOTH docs, both prefixes contain
+    # the last entry's ranks, hence both contain it and it generated a
+    # row of this group too.  With c = the group's row count and
+    # (pa_max, pb_max) = the last entry's ranks (ranks are monotone in
+    # the global order, so the per-column maxes are one entry's), the
+    # total overlap is c + |common shingles after the last entry|
+    #               <= c + min(n_a - pa_max, n_b - pb_max)
+    # — uniformly at least as tight as the r14 single-entry bound
+    # 1 + min(n_a - pa_min, n_b - pb_min), since the c entries occupy
+    # c ranks of each suffix.  Dropping pairs whose bound cannot reach
+    # the required overlap
     # alpha = ceil(t/(1+t) * (n_a+n_b))  (J >= t  <=>  I >= alpha)
     # is LOSSLESS (the guarded ceil errs downward: alpha can only
     # shrink, keeping more candidates).  Verification below stays the
     # exact per-pair intersection; this only shrinks how many pairs
-    # ride the array-attach joins.
-    first = pairs.groupBy("doc_a", "doc_b").agg(
-        F.min(F.struct("df", "shingle", "pa", "pb", "n_a", "n_b")).alias("e")
+    # ride the array-attach joins — and the aggregation input is now
+    # four ints per row (the old min-struct carried df + the shingle
+    # STRING through the exchange purely to locate the first entry).
+    grp = (
+        pairs.select("doc_a", "doc_b", "n_a", "n_b", "pa", "pb")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa").alias("pa_max"),
+            F.max("pb").alias("pb_max"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
     alpha = _guarded_ceil(
-        (F.col("e.n_a") + F.col("e.n_b"))
-        * F.lit(threshold / (1.0 + threshold))
+        (F.col("n_a") + F.col("n_b")) * F.lit(threshold / (1.0 + threshold))
     )
-    cand = first.filter(
-        F.lit(1)
+    cand = grp.filter(
+        F.col("c")
         + F.least(
-            F.col("e.n_a") - F.col("e.pa"), F.col("e.n_b") - F.col("e.pb")
+            F.col("n_a") - F.col("pa_max"), F.col("n_b") - F.col("pb_max")
         )
         >= alpha
     ).select("doc_a", "doc_b")
