@@ -45,6 +45,126 @@ from .similarity import assign_cells, cosine_similarity, dot, kmeans_centroids
 # llm_queries._AUDIT_CHECKPOINT_ROWS and similarity.LOCAL_TRAIN_ROWS.
 PAIR_ONE_EXCHANGE_ROWS = 50_000_000
 
+# Vectorized (mapInArrow + NumPy) lane for the pair stages' full-corpus
+# assignment.  The interpreted higher-order argmin/residual chain costs
+# ~25k interpreted ops per row at 64 dims (HOFs never enter codegen and
+# see no CSE); the Arrow lane replays the identical IEEE arithmetic on
+# whole batches (similarity.two_level_assign_arrow's proof note) and
+# emits bit-identical rows — pinned by the lane-equivalence test, which
+# flips this flag to compare both lanes.  True at every scale: the
+# centroid model is closure-captured (model-sized), the stage is
+# map-side (no exchange), and only (cid, id, v) crosses the boundary.
+ARROW_ASSIGN = True
+
+# Vectorized per-cell pair scoring (groupBy(cid).applyInArrow): each
+# cell's vectors cross the Python boundary ONCE and the quadratic
+# cosine work runs in NumPy, replacing the cell self-join that shipped
+# every vector once per pair plus an interpreted ~130-op fold per pair.
+# Applies only under the one-exchange metadata gate (bounded corpora):
+# the re-scan shape's map-side hot-cell filtering — the 100-TB skew
+# story — keeps the JVM join pipeline unchanged.  Row-identical to the
+# join lane (sequential per-dimension IEEE accumulation for dots and
+# norms, exact decimal HALF_UP rounding; see _pair_cells_arrow) —
+# pinned by the lane-equivalence test, which flips this flag.
+ARROW_PAIRS = True
+
+
+def _pair_cells_arrow(
+    assigned: DataFrame,
+    threshold: float,
+    max_cell: int | None,
+    with_cid: bool = False,
+) -> DataFrame:
+    """In-cell pair mining as ONE grouped Arrow stage over the
+    ``(cid, id, v)`` assignment relation: per cell, enforce the
+    occupancy cap, order members by id, score all ``id_a < id_b``
+    pairs, and emit those with round-6 cosine >= ``threshold``.
+
+    Bit-replay against the join lane, step by step: the pair dot and
+    both squared norms accumulate per DIMENSION in the zip_with fold's
+    exact IEEE order (``acc += x_d * y_d`` for d = 0..dim-1 — the
+    :func:`~.similarity._assign_local` pattern, identical per pair to
+    the fold); ``dot / sqrt(n2a * n2b)`` is exact IEEE division/sqrt;
+    the raw-value prefilter keeps every pair with ``raw >= threshold -
+    1e-6`` (round-6 moves a value by at most 0.5e-6 + one double ulp,
+    so no pair whose ROUNDED cosine reaches the threshold is dropped);
+    survivors are rounded with the exact decimal HALF_UP
+    (:func:`~.similarity._round6_half_up` — java BigDecimal bit for
+    bit) and re-filtered on the rounded value, exactly the JVM's
+    ``round(...) >= threshold``.  The occupancy cap drops
+    over-occupied cells exactly like the window count (the group IS
+    the probe-expanded cell).  One divergence on OUT-OF-CONTRACT
+    input: a zero-NORM embedding makes the join lane raise ANSI
+    divide-by-zero, while this lane yields NaN (comparisons False) and
+    drops the pair — embeddings are non-degenerate by the table
+    contract, so neither behavior is reachable in production.
+    """
+    import numpy as np
+
+    from .similarity import _list_matrix, _round6_half_up
+
+    id_t = assigned.schema["id"].dataType.simpleString()
+    out_schema = ("cid int, " if with_cid else "") + (
+        f"vec_a {id_t}, vec_b {id_t}, cosine double"
+    )
+
+    def fn(key, tbl):
+        import pyarrow as pa
+
+        m = tbl.num_rows
+        empty = pa.table(
+            ([pa.array([], "int32")] if with_cid else [])
+            + [
+                pa.array([], tbl.column("id").type),
+                pa.array([], tbl.column("id").type),
+                pa.array([], "float64"),
+            ],
+            names=(["cid"] if with_cid else []) + ["vec_a", "vec_b", "cosine"],
+        )
+        if m < 2 or (max_cell is not None and m > max_cell):
+            return empty
+        ids_col = tbl.column("id").combine_chunks()
+        order = np.argsort(ids_col.to_numpy(zero_copy_only=False), kind="stable")
+        ids_col = ids_col.take(pa.array(order))
+        V = _list_matrix(tbl.column("v").combine_chunks())[order]
+        n2 = np.zeros(m)
+        G = np.zeros((m, m))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            n2 += col * col
+            G += col[:, None] * col[None, :]
+        ia, ib = np.triu_indices(m, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = G[ia, ib] / np.sqrt(n2[ia] * n2[ib])
+        keep = np.flatnonzero(raw >= threshold - 1e-6)
+        if len(keep) == 0:
+            return empty
+        cos = np.array([_round6_half_up(x) for x in raw[keep]])
+        ok = np.flatnonzero(cos >= threshold)
+        if len(ok) == 0:
+            return empty
+        final, cos = keep[ok], cos[ok]
+        cols = [
+            ids_col.take(pa.array(ia[final])),
+            ids_col.take(pa.array(ib[final])),
+            pa.array(cos, "float64"),
+        ]
+        names = ["vec_a", "vec_b", "cosine"]
+        if with_cid:
+            kv = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+            cols.insert(0, pa.array(np.full(len(final), kv, dtype=np.int32)))
+            names.insert(0, "cid")
+        return pa.table(cols, names=names)
+
+    # null cell ids (possible only via the interpreted lane on an
+    # empty centroid model) never pair in the join lane (null equi-join
+    # keys match nothing) — drop them so the group lane agrees.
+    return (
+        assigned.filter(F.col("cid").isNotNull())
+        .groupBy("cid")
+        .applyInArrow(fn, out_schema)
+    )
+
 
 def _half_up(x: Column) -> Column:
     """round-half-toward-+inf as ``floor(x + 0.5)`` — exact and
@@ -216,28 +336,41 @@ def semdedup_pairs_two_level(
     cents1, cents2 = two_level_centroids(
         emb, n_coarse, n_fine, iters, vec_col, id_col, sample_mod
     )
-    # Coarse assignment of the full corpus, then residuals via a
-    # broadcast hash join on the k1-row centroid table (the centroid
-    # ARRAYS ride as data — the literal-tree cost documented in
-    # similarity.assign_cells applies just as much here).
-    a1 = assign_cells(e, cents1, vec_col="v", out_col="cid1")
-    c1df = emb.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(cents1)], "cid1 INT, __c1 array<double>"
-    )
-    from .similarity import with_canonical_residual
+    # Full-corpus assignment: the Arrow lane fuses coarse argmin,
+    # exact-IEEE residual, sign canonicalization and multi-probe fine
+    # argmin into ONE vectorized map stage (bit-replay proof at
+    # similarity.two_level_assign_arrow); the interpreted lane below is
+    # the same pipeline as four higher-order projections, kept for the
+    # lane-equivalence pin (and as the no-numpy fallback).
+    if ARROW_ASSIGN and cents1 and cents2:
+        from .similarity import two_level_assign_arrow
 
-    res = with_canonical_residual(
-        a1.join(F.broadcast(c1df), "cid1"),
-        F.zip_with("v", "__c1", lambda a, b: a - b),
-        "r",
-    ).drop("__c1")
-    from .similarity import assign_cells_multi
+        assigned = two_level_assign_arrow(e, cents1, cents2, probes, n_fine)
+    else:
+        # Coarse assignment of the full corpus, then residuals via a
+        # broadcast hash join on the k1-row centroid table (the
+        # centroid ARRAYS ride as data — the literal-tree cost
+        # documented in similarity.assign_cells applies just as much
+        # here).
+        a1 = assign_cells(e, cents1, vec_col="v", out_col="cid1")
+        c1df = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents1)],
+            "cid1 INT, __c1 array<double>",
+        )
+        from .similarity import with_canonical_residual
 
-    assigned = (
-        assign_cells_multi(res, cents2, probes, vec_col="r", out_col="cid2")
-        .withColumn("cid", F.col("cid1") * n_fine + F.col("cid2"))
-        .select("cid", "id", "v")
-    )
+        res = with_canonical_residual(
+            a1.join(F.broadcast(c1df), "cid1"),
+            F.zip_with("v", "__c1", lambda a, b: a - b),
+            "r",
+        ).drop("__c1")
+        from .similarity import assign_cells_multi
+
+        assigned = (
+            assign_cells_multi(res, cents2, probes, vec_col="r", out_col="cid2")
+            .withColumn("cid", F.col("cid1") * n_fine + F.col("cid2"))
+            .select("cid", "id", "v")
+        )
     # One-exchange shape under the metadata gate (see
     # PAIR_ONE_EXCHANGE_ROWS): hash-partition by cell once, count the
     # cell occupancy as a window over that same shuffle, and let both
@@ -246,6 +379,14 @@ def semdedup_pairs_two_level(
         corpus_count is not None
         and corpus_count * max(probes, 1) <= PAIR_ONE_EXCHANGE_ROWS
     )
+    if one_exchange and ARROW_PAIRS:
+        # Per-cell Arrow pair lane: the assignment relation has ONE
+        # consumer (the grouped pair stage subsumes the occupancy
+        # window AND the self-join), each vector crosses the exchange
+        # and the Python boundary once, and the quadratic scoring runs
+        # vectorized.  Row-identical to the join lane below
+        # (_pair_cells_arrow's bit-replay note).
+        return _pair_cells_arrow(assigned, threshold, max_cell).distinct()
     if one_exchange:
         assigned = assigned.repartition("cid")
         if max_cell is not None:
@@ -329,17 +470,30 @@ def semdedup_pairs(
             corpus_count = emb.count()
         n_clusters = auto_semdedup_clusters(corpus_count)
     cents = kmeans_centroids(emb, n_clusters, iters, vec_col, id_col, sample_mod)
-    assigned = assign_cells(
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ),
-        cents,
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # Arrow vs interpreted assignment lane: see ARROW_ASSIGN and the
+    # bit-replay note at similarity.flat_assign_arrow.
+    if ARROW_ASSIGN and cents:
+        from .similarity import flat_assign_arrow
+
+        assigned = flat_assign_arrow(e, cents)
+    else:
+        assigned = assign_cells(e, cents)
     # Same one-exchange shape as the two-level tier (see
     # PAIR_ONE_EXCHANGE_ROWS): the occupancy filter and both join
     # sides otherwise each re-run the full assignment pass.
     one_exchange = corpus_count is not None and corpus_count <= PAIR_ONE_EXCHANGE_ROWS
+    if one_exchange and ARROW_PAIRS:
+        # Per-cell Arrow pair lane (see the two-level tier): one
+        # consumer, one boundary crossing per vector, vectorized
+        # scoring; flat tier keeps the cell id in its output and has
+        # no probe-duplicate pairs to dedup.
+        return _pair_cells_arrow(assigned, threshold, max_cell, with_cid=True).select(
+            "cid", "vec_a", "vec_b", "cosine"
+        )
     if one_exchange:
         assigned = assigned.repartition("cid")
         if max_cell is not None:

@@ -761,6 +761,135 @@ def _canonical_residual_local(R: "np.ndarray") -> "np.ndarray":
     return R * s[:, None]
 
 
+def _assign_multi_local(
+    X: "np.ndarray", cents: "np.ndarray", probes: int
+) -> "np.ndarray":
+    """Vectorized twin of :func:`_argmin_multi`: the same sequential
+    per-dimension distance accumulation as :func:`_assign_local`
+    (bit-identical IEEE order), then the ``probes`` nearest per row —
+    ``np.argsort(kind="stable")`` keeps equal distances in index order,
+    exactly the (d, i) struct sort's first-index tie-break."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], cents.shape[0]))
+    for d in range(X.shape[1]):
+        diff = X[:, d][:, None] - cents[:, d][None, :]
+        acc += diff * diff
+    return np.argsort(acc, axis=1, kind="stable")[:, : min(probes, len(cents))]
+
+
+def _list_matrix(col) -> "np.ndarray":
+    """(n, dim) float64 matrix from a pyarrow list<double> array —
+    zero-copy over the flattened child buffer.  The vectorized
+    assignment lane requires DENSE, uniform-dimension vectors (the
+    embedding-table contract); anything else fails LOUDLY rather than
+    silently diverging from the interpreted lane."""
+    import numpy as np
+
+    if col.null_count:
+        raise ValueError("arrow assignment lane: null embedding vector")
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError("arrow assignment lane: null embedding element")
+    vals = np.asarray(flat)
+    n = len(col)
+    if n == 0:
+        return vals.reshape(0, 0)
+    if len(vals) % n:
+        raise ValueError("arrow assignment lane: ragged embedding dims")
+    return vals.reshape(n, len(vals) // n)
+
+
+def two_level_assign_arrow(
+    e: DataFrame,
+    cents1: list[list[float]],
+    cents2: list[list[float]],
+    probes: int,
+    n_fine: int,
+) -> DataFrame:
+    """Vectorized (mapInArrow + NumPy) twin of the two-level
+    assignment pipeline in ``semdedup_pairs_two_level``: coarse argmin,
+    exact-IEEE residual, sign canonicalization, multi-probe fine
+    argmin, ``cid = cid1 * n_fine + cid2`` — ONE Python-boundary
+    crossing instead of four interpreted higher-order projections
+    (guide §4.2; HOFs never enter codegen and cost ~25k interpreted
+    ops/row at 64 dims).
+
+    Bit-replay proof, step by step against the interpreted lane:
+    distances accumulate per dimension in the zip_with fold's exact
+    IEEE order (:func:`_assign_local` — the established `_lloyd_local`
+    replay, which the TRAINING path already uses for this exact
+    composite: ``_canonical_residual_local(X - c1[_assign_local(X,
+    c1)])``); the residual subtraction is elementwise-exact; the sign
+    canonicalization is :func:`_canonical_residual_local` (np.argmax
+    resolves abs ties to the first index, like ``array_position`` of
+    the max); the fine ranking is :func:`_assign_multi_local` (stable
+    argsort == the (d, i) struct sort's first-index tie-break).  Only
+    integer cell ids leave the stage — ``v`` passes through as the
+    untouched input buffer — so the emitted rows are bit-identical to
+    the interpreted lane's (pinned by the lane-equivalence test).
+
+    ``e`` must be exactly ``(id, v)``; output is ``(cid, id, v)`` with
+    ``probes`` rows per input row (like ``assign_cells_multi``).
+    """
+    import numpy as np
+
+    C1 = np.array([[float(x) for x in c] for c in cents1], dtype=np.float64)
+    C2 = np.array([[float(x) for x in c] for c in cents2], dtype=np.float64)
+    id_field = e.schema["id"].dataType.simpleString()
+    out_schema = f"cid int, id {id_field}, v array<double>"
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id")
+            vcol = batch.column("v")
+            X = _list_matrix(vcol)
+            cid1 = _assign_local(X, C1)
+            rc = _canonical_residual_local(X - C1[cid1])
+            fine = _assign_multi_local(rc, C2, probes)  # (n, p)
+            p = fine.shape[1]
+            cid = (cid1[:, None] * n_fine + fine).ravel().astype(np.int32)
+            take = pa.array(np.repeat(np.arange(n, dtype=np.int64), p))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cid), ids.take(take), vcol.take(take)],
+                ["cid", "id", "v"],
+            )
+
+    return e.mapInArrow(fn, out_schema)
+
+
+def flat_assign_arrow(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Vectorized twin of :func:`assign_cells` for the flat-quantizer
+    pair lane — same bit-replay argument as
+    :func:`two_level_assign_arrow`, single probe, no residual.
+    ``e`` must be exactly ``(id, v)``; output is ``(cid, id, v)``."""
+    import numpy as np
+
+    C = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
+    id_field = e.schema["id"].dataType.simpleString()
+    out_schema = f"cid int, id {id_field}, v array<double>"
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = _list_matrix(batch.column("v"))
+            cid = _assign_local(X, C).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cid), batch.column("id"), batch.column("v")],
+                ["cid", "id", "v"],
+            )
+
+    return e.mapInArrow(fn, out_schema)
+
+
 def two_level_centroids(
     corpus: DataFrame,
     n_coarse: int,

@@ -1138,3 +1138,69 @@ def test_exactsubstr_cutoff_straddle(spark, seed):
         for r in remove_duplicate_substrings(docs, min_len=L).collect()
     }
     assert got_clean == exp_clean
+
+
+def test_semdedup_arrow_and_interpreted_lanes_equal(spark, monkeypatch):
+    """The vectorized (mapInArrow/applyInArrow) assignment and pair
+    lanes must be row-identical to the interpreted HOF + self-join
+    pipeline — both tiers, on data with abs-ties, duplicate vectors
+    (cosine exactly 1), sign-flipped twins (canonicalization), and
+    near-threshold pairs.  (A zero-NORM vector is outside the
+    embedding-table contract: the interpreted lane raises ANSI
+    divide-by-zero on its pairs, so there is no reachable common
+    behavior to pin for it.)"""
+    import itertools
+
+    from dax_ppdb_spark.llm import embeddings as E
+
+    rows = []
+    for i in range(40):
+        base = [((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((101, rows[3][1][:]))        # exact duplicate of id 3
+    rows.append((102, [-x for x in rows[5][1]]))  # sign-flipped twin
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    outs_flat, outs_two = {}, {}
+    for aa, ap in itertools.product((True, False), repeat=2):
+        monkeypatch.setattr(E, "ARROW_ASSIGN", aa)
+        monkeypatch.setattr(E, "ARROW_PAIRS", ap)
+        outs_flat[(aa, ap)] = sorted(
+            tuple(r)
+            for r in E.semdedup_pairs(
+                emb, threshold=0.2, n_clusters=5, corpus_count=len(rows)
+            ).collect()
+        )
+        outs_two[(aa, ap)] = sorted(
+            tuple(r)
+            for r in E.semdedup_pairs_two_level(
+                emb, 4, 4, threshold=0.2, probes=2, corpus_count=len(rows)
+            ).collect()
+        )
+    ref_flat, ref_two = outs_flat[(False, False)], outs_two[(False, False)]
+    assert ref_flat and ref_two  # non-degenerate: pairs actually found
+    assert all(v == ref_flat for v in outs_flat.values())
+    assert all(v == ref_two for v in outs_two.values())
+    # the duplicate pair survives with cosine exactly 1.0 in every lane
+    assert any(r[1] == 3 and r[2] == 101 and r[3] == 1.0 for r in ref_flat)
+
+
+def test_semdedup_arrow_pair_lane_respects_cell_cap(spark, monkeypatch):
+    """The grouped Arrow pair stage must drop over-occupied cells
+    exactly like the occupancy window: identical rows under a binding
+    max_cell in both lanes."""
+    from dax_ppdb_spark.llm import embeddings as E
+
+    rows = [(i, [float((i * 5 + d) % 7) for d in range(4)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {}
+    for ap in (True, False):
+        monkeypatch.setattr(E, "ARROW_PAIRS", ap)
+        got[ap] = sorted(
+            tuple(r)
+            for r in E.semdedup_pairs(
+                emb, threshold=0.0, n_clusters=3, max_cell=8,
+                corpus_count=len(rows),
+            ).collect()
+        )
+    assert got[True] == got[False]

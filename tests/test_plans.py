@@ -68,16 +68,21 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, registry):
         plan = plan_of(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
         if "ArrowEvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan:
-            # Arrow-batched Python is allowed in exactly two places:
-            # the multimodal codec path (inherently Python) and the
+            # Arrow-batched Python is allowed in exactly three places:
+            # the multimodal codec path (inherently Python), the
             # connected-components local fast path (single-task
             # union-find, fires only under the measured size
             # threshold; the distributed star rounds are pure SQL) —
-            # which both cluster-consuming queries inherit.
+            # which both cluster-consuming queries inherit — and the
+            # semdedup assignment/pair vectorized lane (bit-replayed
+            # NumPy over whole batches; the r15 ARROW_ASSIGN /
+            # ARROW_PAIRS gates, lane-equivalence-pinned).
             assert name.startswith("multimodal") or name in (
                 "dedup_clusters",
                 "dedup_keep_best",
                 "leak_safe_split",
+                "semdedup",
+                "semdedup_flat",
             ), f"{name} uses Pandas evaluation outside the allowed paths"
 
 
@@ -327,11 +332,17 @@ def test_semdedup_is_equi_join_on_cell(spark, sf_dir, registry, qname):
             assert "__cents" in b or "Join condition: None" in b, (
                 f"nested loop without centroid attach:\n{b}"
             )
-    # The O(N) pair stage itself must be an equi join on the cell id.
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        "BroadcastHashJoin" in plan
-    )
-    assert "hashpartitioning(cid" in plan or "Left keys [1]: [cid" in plan
+    # The O(N) pair stage itself must be KEYED BY THE CELL ID: either
+    # the equi self-join (interpreted lane) or the grouped Arrow pair
+    # stage clustered on cid (vectorized lane) — both bound the pair
+    # fan-out by cell occupancy; an all-pairs scan has neither shape.
+    if "FlatMapGroupsInArrow" in plan:
+        assert "hashpartitioning(cid" in plan
+    else:
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        )
+        assert "hashpartitioning(cid" in plan or "Left keys [1]: [cid" in plan
 
 
 def test_dup_spans_no_cartesian_single_gram_shuffle(spark, sf_dir, registry):
