@@ -91,11 +91,23 @@ def _tokenized(
     """The checkpointed ``(doc_id, y, hj)`` training relation — built
     once; the gradient rounds AND the one-shot scoring pass both read
     its materialized blocks, so the corpus is tokenized exactly once
-    per train-and-score call."""
+    per train-and-score call.
+
+    ``hj`` coalesces to the EMPTY array for NULL text: tokens(NULL) is
+    NULL, concat(NULL, [bias]) is NULL, and explode would then drop
+    the doc from the gradient aggregation entirely — silently
+    excluding it from the fused bias-group count that stands in for
+    the training-set size n (the pre-fusion tk.count() included every
+    doc).  With the coalesce, a NULL-text doc contributes exactly its
+    bias row, preserving the old n semantics and the 'bias appears
+    once per doc' invariant the fused count relies on."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("double").alias("y"),
-        _hashed_tokens(F.col(text_col), dim).alias("hj"),
+        F.coalesce(
+            _hashed_tokens(F.col(text_col), dim),
+            F.array().cast("array<int>"),
+        ).alias("hj"),
     ).localCheckpoint(eager=False)
 
 
@@ -149,8 +161,15 @@ def hashed_logistic_score(
 ) -> DataFrame:
     """Score every document under a trained model — one map-side pass
     (the usual 100 TB inference shape: weights are literals, the scan
-    is the cost).  Output: ``(id_col, score round 6, predicted)``."""
-    hj = _hashed_tokens(F.col(text_col), dim)
+    is the cost).  Output: ``(id_col, score round 6, predicted)``.
+
+    NULL text coalesces to zero tokens (score = sigmoid(bias)), the
+    same convention as the training relation — so separate
+    train-then-score equals the fused :func:`train_and_score` on every
+    doc, NULL-text ones included."""
+    hj = F.coalesce(
+        _hashed_tokens(F.col(text_col), dim), F.array().cast("array<int>")
+    )
     wx = _dot(hj, weights, dim)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-wx)), 6) + F.lit(0.0)
     return docs.select(

@@ -253,10 +253,15 @@ def connected_components(
         # take (1, 4, 16... partitions) re-runs the pair pipeline's
         # reduce stages once per escalation on a lazily-checkpointed
         # input — measured 1.9 s -> 6.2 s build on dedup_clusters.
+        # node type from the COMPUTED frame, not the caller's src
+        # column: greatest/least(src, dst) type-coerces when the two
+        # dtypes differ, and createDataFrame's declared schema must
+        # match the collected values (the old _local_components read
+        # the type from the computed frame for the same reason).
         return _driver_components(
             edges.sparkSession,
             cur.toPandas(),
-            edges.schema[src].dataType.simpleString(),
+            cur.schema["src"].dataType.simpleString(),
         )
     cur = _squeeze(cur, cur_fp[0])
     # Same metadata-driven sizing for the rounds' SHUFFLES: each star

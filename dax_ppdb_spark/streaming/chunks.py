@@ -19,20 +19,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _await_drain(query, stall_timeout: float) -> bool:
+def _assert_py4j_recovery_surface() -> None:
+    """Fail LOUDLY (ImportError) if a PySpark/py4j upgrade removed the
+    internals :func:`_reset_callback_server` leans on — otherwise the
+    drain would silently lose its recovery lane and the next wedge
+    would look like an unexplained permanent stall."""
+    import inspect
+
+    try:
+        from pyspark.java_gateway import (  # noqa: F401
+            ensure_callback_server_started,
+        )
+    except ImportError as e:  # pragma: no cover - version drift guard
+        raise ImportError(
+            "drain-watchdog recovery surface gone: "
+            "pyspark.java_gateway.ensure_callback_server_started"
+        ) from e
+    from py4j.java_gateway import CallbackServer
+
+    if not hasattr(CallbackServer, "shutdown") or (
+        "server_socket" not in inspect.getsource(CallbackServer)
+    ):
+        raise ImportError(
+            "drain-watchdog recovery surface changed: py4j CallbackServer "
+            "no longer exposes server_socket/shutdown"
+        )
+
+
+_assert_py4j_recovery_surface()
+
+
+def _make_tracker() -> dict:
+    """Shared in-flight marker between the ``foreachBatch`` wrapper and
+    the watchdog (module-level factory so tests can inject a tracker
+    that simulates the wedge's 'Python never saw the call' signature).
+    """
+    return {"inflight": 0}
+
+
+def _await_drain(query, stall_timeout: float, tracker: dict) -> bool:
     """Wait for an ``AvailableNow`` drain to terminate, polling so a
     wedged py4j callback can never park the caller forever.  Returns
-    True on normal termination, False once no micro-batch has
-    committed for ``stall_timeout`` seconds (progress is read from
-    ``lastProgress`` — a stalled ``foreachBatch`` stops producing it).
-    """
+    True on normal termination, False on the WEDGE SIGNATURE: no
+    micro-batch has committed for ``stall_timeout`` seconds (progress
+    read from ``lastProgress``) AND no ``process_batch`` invocation is
+    executing on the Python side (``tracker``).  A legitimately slow
+    micro-batch keeps ``inflight`` > 0 the whole time it runs, so it is
+    never declared wedged no matter how long it takes — the observed
+    py4j wedge is precisely the opposite state, the JVM blocked sending
+    a callback that Python never received (connection unaccepted in the
+    CallbackServer's listen backlog), which leaves the Python side
+    idle."""
     import time
 
     last_key, last_t = None, time.monotonic()
     while not query.awaitTermination(5.0):
         p = query.lastProgress
         key = (p["batchId"], p["timestamp"]) if p else None
-        if key != last_key:
+        if key != last_key or tracker["inflight"] > 0:
             last_key, last_t = key, time.monotonic()
         elif time.monotonic() - last_t > stall_timeout:
             return False
@@ -102,14 +146,30 @@ def stream_chunks(
     batch-twin oracle query uses.
 
     The drain is supervised: if no micro-batch commits for
-    ``stall_timeout`` seconds (the observed py4j callback wedge — see
-    :func:`_reset_callback_server`), the callback server is recovered
-    and the query restarted on the same checkpoint, up to
-    ``max_restarts`` times.  Restart safety is the operator's existing
-    exactly-once contract: committed batches are never redelivered and
-    ``process_batch`` is idempotent under redelivery of the one
-    in-flight batch.
+    ``stall_timeout`` seconds AND no ``process_batch`` call is
+    executing Python-side (the observed py4j callback wedge's
+    signature — see :func:`_reset_callback_server` and
+    :func:`_await_drain`), the callback server is recovered and the
+    query restarted on the same checkpoint, up to ``max_restarts``
+    times.  A merely SLOW micro-batch (``process_batch`` running
+    longer than ``stall_timeout`` — plausible for a heavy curate over
+    ``max_files_per_trigger`` files at scale) is NOT a wedge: the
+    in-flight marker keeps the watchdog quiet for as long as the batch
+    actually runs, so there is no per-batch processing-time ceiling.
+    A query that FAILS (a genuine ``process_batch``/source exception)
+    propagates immediately — no reset, no silent re-execution.
+    Restart safety is the operator's existing exactly-once contract:
+    committed batches are never redelivered and ``process_batch`` is
+    idempotent under redelivery of the one in-flight batch.
     """
+    tracker = _make_tracker()
+
+    def _tracked(df, batch_id):
+        tracker["inflight"] += 1
+        try:
+            return process_batch(df, batch_id)
+        finally:
+            tracker["inflight"] -= 1
 
     def _start():
         stream = (
@@ -118,7 +178,7 @@ def stream_chunks(
             .parquet(source_path)
         )
         return (
-            stream.writeStream.foreachBatch(process_batch)
+            stream.writeStream.foreachBatch(_tracked)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -127,15 +187,17 @@ def stream_chunks(
     attempts = max_restarts + 1
     for attempt in range(attempts):
         query = _start()
-        try:
-            if _await_drain(query, stall_timeout):
-                return
-        except Exception:
-            # The query failed — including the failure injected by the
-            # callback-server reset of the PREVIOUS attempt racing this
-            # one.  The last attempt propagates; earlier ones re-drain.
-            if attempt == attempts - 1:
-                raise
+        # A genuine query exception (process_batch raised, source
+        # disappeared, ...) propagates from _await_drain right here —
+        # deterministic failures must surface immediately, not after
+        # two silent re-executions, and resetting the SESSION-GLOBAL
+        # callback server for them would RST the in-flight callbacks
+        # of every other streaming query sharing the session.
+        if _await_drain(query, stall_timeout, tracker):
+            return
+        # Confirmed wedge signature: recover the callback server even
+        # on the final attempt (leaving it wedged would break the next
+        # streaming call on this session), then restart or give up.
         _reset_callback_server(spark)
         try:
             query.stop()
@@ -152,8 +214,8 @@ def stream_chunks(
             _time.sleep(0.5)
     raise RuntimeError(
         f"stream_chunks: drain stalled {attempts}x (no batch progress "
-        f"for {stall_timeout}s each); py4j callback recovery did not "
-        "unstick it"
+        f"for {stall_timeout}s each with no process_batch in flight); "
+        "py4j callback recovery did not unstick it"
     )
 
 

@@ -206,3 +206,18 @@ def test_both_paths_match_reference_union_find(spark, edges):
     }
     assert got_local == expect
     assert got_star == expect
+
+
+def test_driver_lane_handles_coerced_src_dst_types(spark):
+    """greatest/least(src, dst) type-coerces when the two columns'
+    dtypes differ (int vs long -> long); the driver lane's declared
+    component-map schema must come from the COMPUTED frame, or
+    createDataFrame mismatches the collected values."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=1 << 40).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -2066,6 +2066,7 @@ def test_train_and_score_equals_separate_train_then_score(spark):
         (2, "gamma gamma epsilon", 1.0),
         (3, "zeta", 0.0),
         (4, "", 1.0),
+        (5, None, 0.0),  # NULL text: zero tokens, bias row only
     ]
     docs = spark.createDataFrame(data, "doc_id LONG, text STRING, label DOUBLE")
     fused = {
@@ -2078,6 +2079,34 @@ def test_train_and_score_equals_separate_train_then_score(spark):
         for r in hashed_logistic_score(docs, w, dim=8).collect()
     }
     assert fused == split
+    # the NULL-text doc is IN the training set (its bias row funds the
+    # fused n) and scores sigmoid(bias), not NULL
+    assert fused[5][0] is not None
+
+
+def test_classifier_counts_null_text_docs_in_n(spark):
+    """A NULL-text doc must count toward the training-set size n
+    exactly like the pre-fusion tk.count() did: training on (doc with
+    tokens, NULL-text doc) must differ from training on the token doc
+    alone, and an all-NULL-text corpus must train (n = corpus size),
+    not raise 'empty training set'."""
+    from dax_ppdb_spark.llm.classify import hashed_logistic_train
+
+    with_null = spark.createDataFrame(
+        [(0, "alpha beta", 1.0), (1, None, 0.0)],
+        "doc_id LONG, text STRING, label DOUBLE",
+    )
+    without = spark.createDataFrame(
+        [(0, "alpha beta", 1.0)], "doc_id LONG, text STRING, label DOUBLE"
+    )
+    w2 = hashed_logistic_train(with_null, "label", dim=8, rounds=2, lr=0.5)
+    w1 = hashed_logistic_train(without, "label", dim=8, rounds=2, lr=0.5)
+    assert w2 != w1  # the NULL doc's bias residual and n both differ
+    all_null = spark.createDataFrame(
+        [(0, None, 1.0), (1, None, 0.0)], "doc_id LONG, text STRING, label DOUBLE"
+    )
+    w = hashed_logistic_train(all_null, "label", dim=8, rounds=1, lr=0.5)
+    assert len(w) == 9  # trains; n = 2, no 'empty training set'
 
 
 def test_embedding_neardup_target_recall_wiring(spark):

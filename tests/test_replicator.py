@@ -109,18 +109,66 @@ def test_stream_chunks_drains_available_files(spark, tmp_path):
     assert seen == []
 
 
-def test_stream_chunks_recovers_from_stalled_batch(spark, tmp_path):
-    """The drain watchdog: a micro-batch that makes no progress past
-    ``stall_timeout`` is treated as the observed py4j callback wedge —
-    the callback server is recycled and the query restarted on the
-    same checkpoint.  Pins the recovery CONTRACT end-to-end: the drain
-    RETURNS despite the stalled delivery (no unbounded hang) and every
-    row is processed exactly (either the replay delivers the batch
-    again, or — when the stalled callback races the reset and commits
-    first — the restart finds nothing left; both are correct, so the
-    delivery count itself is not asserted)."""
+def test_stream_chunks_tolerates_slow_batch_without_reset(spark, tmp_path):
+    """A micro-batch whose ``process_batch`` runs LONGER than
+    ``stall_timeout`` is a slow batch, not the py4j wedge — the
+    in-flight marker keeps the watchdog quiet, so the batch is
+    delivered exactly ONCE (no mid-batch RST, no replay) and the drain
+    completes normally.  This pins the ADVICE-flagged false positive:
+    before the wedge-signature gate, any heavy curate over a big
+    trigger would have been RST mid-batch and, after max_restarts
+    identical retries, turned into a guaranteed RuntimeError."""
+    import time
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.write.parquet(os.path.join(src, "batch0"))
+    processed: list[int] = []
+    calls: list[int] = []
+
+    def handle(batch_df, batch_id):
+        calls.append(batch_id)
+        time.sleep(8)  # well past stall_timeout: slow, NOT wedged
+        processed.extend(r.v for r in batch_df.collect())
+
+    t0 = time.time()
+    stream_chunks(
+        spark,
+        src + "/*",
+        df.schema,
+        str(tmp_path / "ckpt"),
+        handle,
+        stall_timeout=3.0,
+    )
+    assert sorted(processed) == list(range(10))
+    assert len(calls) == 1  # delivered once: no reset, no replay
+    assert time.time() - t0 < 120
+
+
+def test_stream_chunks_recovers_from_wedge_signature(spark, tmp_path, monkeypatch):
+    """The drain watchdog on the REAL wedge signature — no batch
+    progress AND no ``process_batch`` in flight (the JVM blocked on a
+    callback Python never received).  Simulated by masking the
+    in-flight marker, so the sleeping first delivery looks exactly
+    like the wedge from the watchdog's seat: the callback server is
+    recycled, the query restarts on the same checkpoint, and the
+    recovery CONTRACT holds — the drain RETURNS (no unbounded hang)
+    and every row is processed (either the replay redelivers, or the
+    stalled callback races the reset and commits first; both are
+    correct, so the delivery count itself is not asserted)."""
     import threading
     import time
+
+    from dax_ppdb_spark.streaming import chunks as chunks_mod
+
+    class _MaskedTracker(dict):
+        """Writes land; reads of 'inflight' always say idle."""
+
+        def __getitem__(self, k):
+            return 0 if k == "inflight" else super().__getitem__(k)
+
+    monkeypatch.setattr(chunks_mod, "_make_tracker", lambda: _MaskedTracker(inflight=0))
 
     src = str(tmp_path / "landing")
     os.makedirs(src)
@@ -132,7 +180,7 @@ def test_stream_chunks_recovers_from_stalled_batch(spark, tmp_path):
     def handle(batch_df, batch_id):
         if not stalled_once.is_set():
             stalled_once.set()
-            time.sleep(15)  # well past stall_timeout: wedge the drain
+            time.sleep(15)  # past stall_timeout; tracker masked -> "wedge"
         processed.update(r.v for r in batch_df.collect())
 
     t0 = time.time()
@@ -146,6 +194,48 @@ def test_stream_chunks_recovers_from_stalled_batch(spark, tmp_path):
     )
     assert processed == set(range(10))
     assert time.time() - t0 < 120  # returned, bounded — never a hang
+
+
+def test_stream_chunks_propagates_batch_exceptions_immediately(spark, tmp_path):
+    """A deterministic ``process_batch`` failure must surface on the
+    FIRST attempt — no callback-server reset, no silent re-execution
+    (the ADVICE-flagged swallow-and-retry path)."""
+    import pyspark.errors
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    df = spark.range(4).withColumnRenamed("id", "v")
+    df.write.parquet(os.path.join(src, "batch0"))
+    calls: list[int] = []
+
+    def handle(batch_df, batch_id):
+        calls.append(batch_id)
+        raise ValueError("deterministic batch failure")
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        stream_chunks(
+            spark, src + "/*", df.schema, str(tmp_path / "ckpt"), handle
+        )
+    assert len(calls) == 1  # first failure propagated; no re-run
+
+
+def test_py4j_recovery_surface_pin(monkeypatch):
+    """A PySpark/py4j upgrade that removes the recovery internals must
+    fail LOUDLY at the surface assert, not silently disable the
+    watchdog's recovery lane."""
+    import py4j.java_gateway
+
+    from dax_ppdb_spark.streaming import chunks as chunks_mod
+
+    chunks_mod._assert_py4j_recovery_surface()  # current surface: OK
+
+    class _NoShutdown:
+        def __init__(self):
+            pass
+
+    monkeypatch.setattr(py4j.java_gateway, "CallbackServer", _NoShutdown)
+    with pytest.raises(ImportError, match="recovery surface"):
+        chunks_mod._assert_py4j_recovery_surface()
 
 
 def test_windowed_event_counts_batch_semantics(spark):
