@@ -4047,6 +4047,43 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_emb <= _AUDIT_CHECKPOINT_ROWS:
         emb = emb.localCheckpoint(eager=False)
 
+    # The outlier audit's coarse quantizer is a PERSISTED model (the
+    # ann_index_persisted ensure-gate): the ~N/2-sample Lloyd training
+    # was the dominant fixed cost of every audit run, and it only
+    # changes when the corpus does.  Warm calls pay one exact
+    # corpus-fingerprint aggregate instead; training is deterministic,
+    # so the stored centroids are bit-identical to training in place
+    # and the DuckDB oracle keeps replaying the training from SQL.
+    #
+    # The ensure job runs on a DRIVER THREAD while the constraint and
+    # kNN plans build below (guide-§2.6 overlap: actions are only
+    # sequential because the driver calls them sequentially).  The
+    # fingerprint aggregate is the first rung of the call's serial job
+    # ladder and nothing before the outlier branch needs its result —
+    # joined exactly where the centroids become plan inputs.  Spark
+    # job state (descriptions, groups) is thread-local, so the
+    # concurrent job cannot leak into the caller's.
+    import os
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .llm.similarity import ensure_centroid_model
+
+    model_root = os.path.join(
+        tempfile.gettempdir(),
+        "dax_ppdb_spark_audit_quantizer",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    pool = ThreadPoolExecutor(max_workers=1)
+    cents_fut = pool.submit(
+        ensure_centroid_model,
+        emb,
+        model_root,
+        n_clusters=auto_semdedup_clusters(n_emb),
+        iters=3,
+        sample_mod=2,
+    )
+
     rules = [
         AcceptedValues("lang", ("en", "zh", "es")),
         InRange("n_chars", 1, 500),
@@ -4063,30 +4100,7 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_neighbors") >= 3) & (F.col("agreement") <= 0.2))
         .select(F.col("vec_id").alias("doc_id"), F.lit("label_noise").alias("reason"))
     )
-    # The outlier audit's coarse quantizer is a PERSISTED model (the
-    # ann_index_persisted ensure-gate): the ~N/2-sample Lloyd training
-    # was the dominant fixed cost of every audit run, and it only
-    # changes when the corpus does.  Warm calls pay one exact
-    # corpus-fingerprint aggregate instead; training is deterministic,
-    # so the stored centroids are bit-identical to training in place
-    # and the DuckDB oracle keeps replaying the training from SQL.
-    import os
-    import tempfile
-
-    from .llm.similarity import ensure_centroid_model
-
-    model_root = os.path.join(
-        tempfile.gettempdir(),
-        "dax_ppdb_spark_audit_quantizer",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    cents = ensure_centroid_model(
-        emb,
-        model_root,
-        n_clusters=auto_semdedup_clusters(n_emb),
-        iters=3,
-        sample_mod=2,
-    )
+    cents = cents_fut.result()
     outl = (
         embedding_outlier_ranks(emb, sample_mod=2, centroids=cents)
         .filter(F.col("cell_rank") == 1)
@@ -4097,15 +4111,16 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final union.  Without a checkpoint the whole audit subtree
     # (kNN cell exchange, Lloyd assignment, constraint scan) re-runs
     # once per consumer; the checkpoint is audit-sized (flagged ids
-    # only), so it stays O(flagged) at any corpus scale.  EAGER, for
-    # the driver's sake rather than the executors': lazy, the entire
-    # audit DAG rides inside the logical plan of every one of the ~10
-    # downstream curation steps, and Spark's per-transformation
-    # analysis re-walks it each time — measured 3.5 s of
-    # plan-construction per call at sf0.1 against <1 s of execution.
-    # Eager truncation turns the audit into a leaf the moment it is
-    # built; the work it fronts (the audit pass) runs exactly once
-    # either way.
+    # only), so it stays O(flagged) at any corpus scale.  The
+    # checkpoint call truncates the plan to a leaf the moment it is
+    # built (a LogicalRDD, eager or not — without it the audit DAG
+    # rides inside the logical plan of every one of the ~10 downstream
+    # curation steps and per-transformation analysis re-walks it each
+    # time, measured 3.5 s/call at sf0.1), and the audit JOB — the
+    # second rung of the call's serial job ladder — runs on the pool
+    # thread WHILE those downstream plans build (guide §2.6), joined
+    # before the DataFrame is handed back so the caller never races
+    # the materialization.
     quar = (
         viol.unionByName(noise)
         .unionByName(outl)
@@ -4113,8 +4128,9 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("reason"))).alias("reason")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    quar_fut = pool.submit(quar.count)
     clean = docs.join(F.broadcast(quar.select("doc_id")), "doc_id", "left_anti")
     quality = clean.withColumn(
         "quality_score", quality_metrics(F.col("text"))["quality_score"]
@@ -4139,4 +4155,6 @@ def q_audit_quarantine_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality_score"),
         F.lit(None).cast("string").alias("split"),
     )
+    quar_fut.result()
+    pool.shutdown(wait=True)
     return quarantined.unionByName(kept)
