@@ -1075,52 +1075,33 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      EITHER folding a bit-identical twin into `_FOLDED` or showing
 #      the round's head arithmetic still closes in this comment.
 #
-# Round-14 arithmetic (tail 75 = visible registry 125 - head 50).
-# The round-13 promise is KEPT IN FULL: all 37 r11-green overflow
-# deferrals (revenue_by_nation ... semdedup — two rounds externally
-# stale, ineligible to tail again) re-head this round.  Also heading:
-# dup_substrings + substring_span_removal (ExactSubstr long/non-ASCII
-# hardening) and stream_curated (crash-atomic staging + drain
-# watchdog); eight touched discretionary re-heads (dedup_clusters,
-# leak_safe_split, quality_classifier, bpe_merges, ann_topk_kmeans,
-# ann_topk_pq, ann_index_persisted, ann_index_pq — all on this
-# round's optimization call graph); and the round's two deepest
-# algorithmic rewrites swapped in from the tail: dedup_jaccard_prefix
-# (PPJoin positional candidate filter) and source_overlap (self-join
-# collapsed to one shingle aggregation).  37 + 3 + 8 + 2 = 50.
+# Round-15 arithmetic (tail 75 = visible registry 125 - head 50).
+# The round-14 rotation debt is CLOSED IN FULL: all 9 flagged
+# exception rows (dedup_index_probe, dedup_incr_prefix, dedup_recall,
+# semdedup_flat, knn_label_noise, embedding_outliers,
+# audit_quarantine_curate, bpe_merges_batched, dedup_keep_best) and
+# all 30 r12-green second-tail rows (validity_fill ...
+# dedup_embedding_banded) head this round — 37 mandatory re-heads
+# (the two lists overlap by bpe_merges_batched + dedup_keep_best,
+# which sat inside the 30).  Also heading, per rule 2, every query
+# this round touches that is not already among the 37: semdedup +
+# semdedup_flat + the jaccard pair (dedup_jaccard_prefix,
+# dedup_recall) on the r15 Arrow-lane / PPJoin-accumulation rewrites;
+# quality_classifier (NULL-text n fix); dedup_clusters +
+# dedup_keep_best + leak_safe_split (graph.py schema-coercion fix);
+# stream_curated (wedge-signature watchdog); audit_quarantine_curate
+# (job-ladder overlap) — adding 6 beyond the 37.  Seven r14-green
+# untouched rows stay headed to fill the window (incl. dedup_verified,
+# whose r14 cross-core uptick this round adjudicated as noise —
+# a fresh external row closes it).  37 + 6 + 7 = 50.  NO exception
+# rows this round: every touched query heads.
 #
-# OPTIMIZATION-ROUND EXCEPTION (documented deviation from rule 2,
-# round 14 only): this round exists to optimize operators, and its
-# touched-query set (22 externally-visible queries) plus the 37
-# mandatory staleness re-heads exceeds the 50-row head.  Rule 1's
-# staleness bound is hard (the 37 cannot tail), so after heading
-# every touched query the head budget allows, EIGHT touched rows
-# remain tailed under rule 3's compensating control, each with a
-# same-session full-registry oracle pass at sf0.01 AND a targeted or
-# `make check` pass at sf0.1: semdedup_flat + knn_label_noise +
-# embedding_outliers + audit_quarantine_curate (ANN trainer fusion /
-# shared-exchange call graph; the trainer rewrites are additionally
-# bit-replay-pinned by tests and exercised externally through the
-# HEADED ann_* rows that share every code path), bpe_merges_batched
-# (local-lane equivalence pytest-pinned; bpe_merges heads),
-# dedup_keep_best (downstream of the CC driver lane; dedup_clusters
-# and leak_safe_split head the same lane), and dedup_incr_prefix +
-# dedup_index_probe + dedup_recall (call _rarity_prefix, whose change
-# is a pass-through parameter — their plans are bit-identical to
-# r13).  Round 15 MUST re-head all eight alongside its other
-# mandates.
-#
-# Tail contents: 45 rows green in CORRECTNESS_r13 whose output-
-# affecting implementation round 14 does not change beyond the
-# exception above (one round externally stale), then 30 r12-green
-# rows on their SECOND tail round (incl. dedup_minhash_lsh and
-# dedup_embedding_banded, tailed to fund the two swap-ins) — at the
-# staleness bound, so round 15 MUST re-head all 30 (plus the 8
-# exception rows and anything round 15 touches; 38 + churn fits the
-# 50-row window with ~12 slots spare).
+# Tail contents: 38 rows green in CORRECTNESS_r13 on their SECOND
+# tail round — at the staleness bound, so ROUND 16 MUST RE-HEAD ALL
+# 38 — then 37 rows green in CORRECTNESS_r14 on their first tail
+# round, implementation untouched in round 15.
 _VERIFY_TAIL = (
-    # 45 r13-green, output-affecting implementation untouched this
-    # round (the 8 optimization-round exception rows are flagged)
+    # 38 r13-green on their SECOND tail round (MUST re-head round 16)
     "latest_only",
     "existence_probe",
     "notin_filter",
@@ -1147,9 +1128,6 @@ _VERIFY_TAIL = (
     "intersect_ids",
     "distinct_sketch",
     "count_anomalies",
-    "dedup_index_probe",   # exception row (plan-identical to r13)
-    "dedup_incr_prefix",   # exception row (plan-identical to r13)
-    "dedup_recall",        # exception row (plan-identical to r13)
     "stratified_sample",
     "doc_chunks",
     "shard_pack",
@@ -1159,44 +1137,47 @@ _VERIFY_TAIL = (
     "sequence_pack",
     "url_dedup",
     "text_clean",
-    "semdedup_flat",       # exception row (one-exchange pair shape)
     "mixture_sample",
     "dedup_paragraphs",
     "bigram_lm_score",
-    "knn_label_noise",     # exception row (ANN trainer fusion)
-    "embedding_outliers",  # exception row (ANN trainer fusion)
-    "audit_quarantine_curate",  # exception row (trainer call graph)
-    # 30 r12-green on their SECOND tail round (MUST re-head round 15)
-    "validity_fill",
-    "validity_fill_pruned",
-    "rank_versions",
-    "replication_diff",
-    "semi_prune",
-    "consistency_lookup",
-    "merge_upsert",
-    "merge_composite",
-    "ledger_scan",
-    "inlist_filter",
-    "pricing_summary",
-    "spatial_box",
-    "cone_search",
-    "column_histograms",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding",
-    "embedding_recall",
-    "pii_redact",
-    "doc_fingerprint",
-    "ann_topk_bruteforce",
-    "ann_topk_multiprobe",
-    "ann_topk_ivf",
-    "split_assign",
-    "bpe_merges_batched",  # exception row (local training lane)
-    "decontaminate",
-    "dedup_keep_best",     # exception row (CC driver lane downstream)
-    "dedup_span_removal",
-    "dedup_minhash_lsh",
-    "dedup_embedding_banded",
+    # 37 r14-green, first tail round, untouched in round 15
+    "revenue_by_nation",
+    "topk_per_key",
+    "range_join",
+    "constraint_audit",
+    "constraint_violations",
+    "table_stats",
+    "repetition_ratio",
+    "lm_score",
+    "text_stats",
+    "lang_id",
+    "token_count_bpe",
+    "multimodal_frame_sample",
+    "multimodal_decode",
+    "bpe_encode",
+    "dedup_cdc",
+    "cdc_chunks",
+    "multimodal_resize",
+    "curate_incr",
+    "ann_topk_kmeans",
+    "quality_quantiles",
+    "embedding_quantize",
+    "substring_span_removal",
+    "dup_substrings",
+    "dsir_weights",
+    "corpus_cube",
+    "ann_recall",
+    "embedding_covariance",
+    "embedding_whiten",
+    "url_block_filter",
+    "sample_exact_k",
+    "weighted_sample",
+    "dedup_edit",
+    "hybrid_search",
+    "perplexity_buckets",
+    "ann_index_persisted",
+    "ann_index_pq",
+    "corpus_drift",
 )
 
 
